@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Every implemented operator from SURVEY.md §2 gets a named entry in
+  * `queries`; where the semantics are ANSI-SQL-expressible, `oracleSql`
+  * carries the DuckDB-equivalent SQL over the same parquet tables
+  * (driver hash-compares the results). Column names are aliased
+  * identically on both sides — the driver sorts columns by name.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Aggregates.q1Agg _),
+    "q_scalar_min" -> (Aggregates.scalarMin _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Aggregates.q1AggSql,
+    "q_scalar_min" -> Aggregates.scalarMinSql
+  )
 }

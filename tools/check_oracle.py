@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from oracle_sql.json in DuckDB over the same
+parquet tables, sorts columns by name and rows by all columns, and
+compares values. Exit 0 iff everything matches.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize cell values to comparable strings
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+    out = df.apply(lambda col: col.map(cell))
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pq.read_table(f"{out_dir}/{name}").to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            failures += 1
+            continue
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        s, d = norm(spark_df), norm(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} "
+                  f"duck={list(d.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            failures += 1
+            continue
+        if not s.equals(d):
+            neq = (s != d).any(axis=1)
+            idx = list(s.index[neq])[:3]
+            print(f"FAIL {name}: {int(neq.sum())}/{len(s)} rows differ; "
+                  f"first diffs:")
+            for i in idx:
+                print(f"  spark: {s.loc[i].to_dict()}")
+                print(f"  duck : {d.loc[i].to_dict()}")
+            failures += 1
+            continue
+        print(f"PASS {name}: {len(s)} rows")
+    # queries with no oracle: rows-only check
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = pq.read_table(p).num_rows
+                print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+                if n == 0:
+                    failures += 1
+            except Exception as e:
+                print(f"FAIL {name}: unreadable ({e})")
+                failures += 1
+    print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
