@@ -1,24 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-run benchmark: every SparkEntry query over SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Two round-1 lessons baked in:
+  *  - `count()` is NOT a valid materialization for queries ending in
+  *    sorts/projections (Spark elides the sort and column evaluation), so
+  *    each query is forced through the noop sink, which fully evaluates
+  *    every row and column but writes nothing.
+  *  - the first Spark job pays JVM/codegen/session warm-up (~6s observed),
+  *    so an untimed warm-up pass of every query runs before the timed one.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed warm-up: run everything once (codegen, classloading, file
+    // listing, broadcast build paths all get hot).
+    qs.foreach { case (_, fn) =>
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

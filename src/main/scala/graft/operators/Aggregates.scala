@@ -18,12 +18,25 @@ import graft.Tables
   */
 object Aggregates {
 
-  /** Exact, order-independent sum of a double column. */
+  /** Exact, order-independent sum of a money-like double column.
+    *
+    * Precondition: values carry at most 2 decimal places and |v| < 1e16 —
+    * the cast to decimal(18,2) rounds anything finer and (under Spark 4's
+    * default ANSI mode) throws CAST_OVERFLOW beyond 1e16. Spark widens the
+    * sum to decimal(28,2), so up to ~1e10 rows of 1e16-scale values fit.
+    * Do NOT reuse on arbitrary double columns (metrics, embeddings) where
+    * 2-dp rounding changes semantics — use a plain `sum` there and accept
+    * order-dependence, or widen the precision/scale. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Exact, order-independent average of a double column. */
+  /** Order-independent average of a money-like double column (same
+    * precondition as [[dsum]]). The exact decimal sum is cast to double
+    * FIRST and then divided as an IEEE double op — both Spark and DuckDB
+    * perform the identical double division, so results are bit-identical.
+    * (Dividing in decimal space first is NOT portable: Spark rounds the
+    * decimal quotient to 12 fractional digits before the double cast.) */
   def davg(c: Column): Column =
-    (sum(c.cast("decimal(18,2)")) / count(c)).cast("double")
+    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
 
   /** Flagship aggregate — TPC-H-Q1-shaped groupBy over lineitem.
     * Map-side partial aggregation (HashAggregate x2) keeps the shuffle to
@@ -45,8 +58,8 @@ object Aggregates {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
