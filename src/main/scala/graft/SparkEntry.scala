@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.views.Views
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -20,13 +21,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Aggregates.q1Agg _),
-    "q_scalar_min" -> (Aggregates.scalarMin _)
+    "q_scalar_min" -> (Aggregates.scalarMin _),
+    "q_view_transactions" -> (Views.transactions _),
+    "q_view_retention" -> (Views.retention _),
+    "q_view_auto_optiom" -> (Views.autoOptiom _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Aggregates.q1AggSql,
-    "q_scalar_min" -> Aggregates.scalarMinSql
+    "q_scalar_min" -> Aggregates.scalarMinSql,
+    "q_view_transactions" -> Views.transactionsSql,
+    "q_view_retention" -> Views.retentionSql,
+    "q_view_auto_optiom" -> Views.autoOptiomSql
   )
 }
