@@ -24,7 +24,15 @@ object SparkEntry {
     "q_scalar_min" -> (Aggregates.scalarMin _),
     "q_view_transactions" -> (Views.transactions _),
     "q_view_retention" -> (Views.retention _),
-    "q_view_auto_optiom" -> (Views.autoOptiom _)
+    "q_view_auto_optiom" -> (Views.autoOptiom _),
+    "q_clean_strip" -> (CleanOps.qCleanStrip _),
+    "q_clean_nulls" -> (CleanOps.qCleanNulls _),
+    "q_clean_datecoerce" -> (CleanOps.qCleanDatecoerce _),
+    "q_clean_cast" -> (CleanOps.qCleanCast _),
+    "q_merge" -> (MergeOps.qMerge _),
+    "q_topk" -> (SetSortOps.qTopk _),
+    "q_union" -> (SetSortOps.qUnion _),
+    "q_base64" -> (SetSortOps.qBase64 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +42,14 @@ object SparkEntry {
     "q_scalar_min" -> Aggregates.scalarMinSql,
     "q_view_transactions" -> Views.transactionsSql,
     "q_view_retention" -> Views.retentionSql,
-    "q_view_auto_optiom" -> Views.autoOptiomSql
+    "q_view_auto_optiom" -> Views.autoOptiomSql,
+    "q_clean_strip" -> CleanOps.qCleanStripSql,
+    "q_clean_nulls" -> CleanOps.qCleanNullsSql,
+    "q_clean_datecoerce" -> CleanOps.qCleanDatecoerceSql,
+    "q_clean_cast" -> CleanOps.qCleanCastSql,
+    "q_merge" -> MergeOps.qMergeSql,
+    "q_topk" -> SetSortOps.qTopkSql,
+    "q_union" -> SetSortOps.qUnionSql,
+    "q_base64" -> SetSortOps.qBase64Sql
   )
 }

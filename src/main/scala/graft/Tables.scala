@@ -16,7 +16,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (session
+      // conf — only affects NANOS columns, which otherwise error) and
+      // convert to a microsecond timestamp. Integer `div` avoids the
+      // double rounding a plain `/` would introduce on ~1e18 values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views so programs can also be written in
     * Spark SQL (the reference keeps its relational logic as SQL strings —

@@ -1,0 +1,76 @@
+package graft.merge
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A1/A2/S7 — the reference's core state-update semantic
+  * (`config.py:180-212`): load a staging batch, take MIN(date_col) as the
+  * cutoff, and rebuild the base table as
+  * `base WHERE date < cutoff  UNION ALL  staging  ORDER BY date`.
+  *
+  * Every base row on/after the staging window start is REPLACED by the
+  * staging contents — this is the reference's whole late/corrected-data
+  * story (ST4): re-delivered rows in the overlap window win.
+  *
+  * Scale shape: the filter is a narrow map; the union is free (no
+  * shuffle); the trailing sort is one range-partition exchange. With the
+  * base table date-partitioned at rest, the cutoff filter becomes
+  * partition pruning and the rewrite touches only overlap partitions.
+  */
+object Merge {
+
+  /** A1 — scalar MIN cutoff (`config.py:180-187`). Single-row collect:
+    * the aggregation is distributed (partial mins per partition); only
+    * the one-row result reaches the driver. */
+  def cutoff(staging: DataFrame, dateCol: String): Option[Any] =
+    Option(staging.agg(min(col(dateCol))).first().get(0))
+
+  /** A2 — cutoff filter + UNION ALL + order (`config.py:192-199`).
+    * Empty staging (null cutoff) leaves the base unchanged — the
+    * reference would interpolate a Python `None` into SQL there; we make
+    * the no-op explicit instead. */
+  def merge(base: DataFrame, staging: DataFrame, dateCol: String): DataFrame =
+    cutoff(staging, dateCol) match {
+      case Some(cut) =>
+        base.filter(col(dateCol) < lit(cut))
+          .unionByName(staging)
+          .orderBy(col(dateCol).asc)
+      case None => base
+    }
+
+  /** S7 — overwrite-own-input table rewrite. BigQuery's
+    * `CREATE OR REPLACE TABLE old AS (… FROM old …)` reads and replaces
+    * the same table in one statement; Spark cannot overwrite a path it is
+    * reading, so: write to a sibling temp dir, then swap via filesystem
+    * renames (rename is atomic on HDFS/local within one volume). The
+    * displaced old data survives at `<path>.bak` until the next rewrite —
+    * a cheap poor-man's version for rollback. */
+  def overwriteAtomic(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val bak = new Path(path + ".bak")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(target) && !fs.rename(target, bak))
+      throw new java.io.IOException(s"could not displace $target")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(bak, target) // roll back
+      throw new java.io.IOException(s"could not publish $tmp to $target")
+    }
+  }
+
+  /** The full update step (reference `update_table`, `config.py:201-212`):
+    * read base, merge staging in, atomically rewrite base. */
+  def updateTable(spark: SparkSession, basePath: String,
+                  staging: DataFrame, dateCol: String): Unit = {
+    val base = spark.read.parquet(basePath)
+    // The write job scans basePath while writing the sibling tmp dir —
+    // the input is only displaced by the rename AFTER the job completes,
+    // so no checkpoint/self-overwrite hazard exists.
+    overwriteAtomic(merge(base, staging, dateCol), basePath)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.scalacheck.Gen
+import graft.merge.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: Seq[(String, Int)]) =
+    rows.toDF("d", "v").withColumn("d",
+      org.apache.spark.sql.functions.to_date($"d"))
+
+  test("A2/ST4: overlap rows are REPLACED by staging, disjoint base kept") {
+    val base = df(Seq("2020-01-01" -> 1, "2020-02-01" -> 2, "2020-03-01" -> 3))
+    val staging = df(Seq("2020-02-01" -> 20, "2020-04-01" -> 40))
+    val out = Merge.merge(base, staging, "d")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq
+    // cutoff = 2020-02-01: base keeps only January; staging wins overlap
+    assert(out === Seq("2020-01-01" -> 1, "2020-02-01" -> 20, "2020-04-01" -> 40))
+  }
+
+  test("A2: empty staging leaves base unchanged") {
+    val base = df(Seq("2020-01-01" -> 1))
+    val out = Merge.merge(base, base.filter($"v" > 99), "d")
+    assert(out.collect().map(_.getInt(1)).toSeq === Seq(1))
+  }
+
+  test("property: merge is idempotent — merge(merge(b,s),s) == merge(b,s)") {
+    val day = Gen.chooseNum(1, 28)
+    val rows = Gen.listOfN(12, Gen.zip(day, Gen.chooseNum(0, 100)))
+      .map(_.map { case (d, v) => (f"2020-01-$d%02d", v) })
+    forAllSamples(Gen.zip(rows, rows), 20) { case (b, s) =>
+      if (s.nonEmpty) {
+        val once = Merge.merge(df(b), df(s), "d")
+        val twice = Merge.merge(once, df(s), "d")
+        val key = (r: org.apache.spark.sql.Row) =>
+          (r.getDate(0).toString, r.getInt(1))
+        assert(twice.collect().map(key).sorted.toSeq ===
+          once.collect().map(key).sorted.toSeq)
+      }
+    }
+  }
+
+  test("S7: updateTable rewrites its own input atomically, keeps .bak") {
+    val dir = Files.createTempDirectory("merge-spec").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    df(Seq("2020-01-01" -> 1, "2020-02-01" -> 2)).write.parquet(basePath)
+    val staging = df(Seq("2020-02-01" -> 22))
+    Merge.updateTable(spark, basePath, staging, "d")
+    val out = spark.read.parquet(basePath)
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    assert(out === Seq("2020-01-01" -> 1, "2020-02-01" -> 22))
+    // previous generation preserved for rollback
+    assert(new java.io.File(s"$basePath.bak").exists())
+    // second update over the rewritten base still works (no stale handles)
+    Merge.updateTable(spark, basePath, df(Seq("2020-01-15" -> 9)), "d")
+    val out2 = spark.read.parquet(basePath)
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    assert(out2 === Seq("2020-01-01" -> 1, "2020-01-15" -> 9))
+  }
+}
