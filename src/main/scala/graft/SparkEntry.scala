@@ -32,7 +32,18 @@ object SparkEntry {
     "q_merge" -> (MergeOps.qMerge _),
     "q_topk" -> (SetSortOps.qTopk _),
     "q_union" -> (SetSortOps.qUnion _),
-    "q_base64" -> (SetSortOps.qBase64 _)
+    "q_base64" -> (SetSortOps.qBase64 _),
+    "q_dedup_exact" -> (graft.ext.Dedup.qDedupExact _),
+    "q_dedup_jaccard" -> (graft.ext.Dedup.qDedupJaccard _),
+    "q_dedup_minhash" -> (graft.ext.Dedup.qDedupMinhash _),
+    "q_dedup_simhash" -> (graft.ext.Dedup.qDedupSimhash _),
+    "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
+    "q_lang_id" -> (graft.ext.TextOps.qLangId _),
+    "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
+    "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
+    "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
+    "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
+    "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,6 +61,16 @@ object SparkEntry {
     "q_merge" -> MergeOps.qMergeSql,
     "q_topk" -> SetSortOps.qTopkSql,
     "q_union" -> SetSortOps.qUnionSql,
-    "q_base64" -> SetSortOps.qBase64Sql
+    "q_base64" -> SetSortOps.qBase64Sql,
+    "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,
+    "q_dedup_jaccard" -> graft.ext.Dedup.qDedupJaccardSql,
+    "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
+    "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
+    "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,
+    "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
+    "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_approx_distinct:
+    // seeded-hash / sketch internals aren't portable SQL — driver
+    // records the weaker rows-only check for these.
   )
 }

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors,
+  * unit-normalized — dot product IS cosine), plus distinct-count
+  * sketches.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the query vector and plans as
+  *    TakeOrderedAndProject — per-partition top-k heaps, k-row driver
+  *    merge, no global sort. This is the correct *baseline* even at
+  *    100 TB for single queries;
+  *  - the LSH variant buckets vectors by sign-bits of projections onto
+  *    deterministic pseudo-random hyperplanes, then scans only the
+  *    query's bucket — the standard recall/cost dial when query volume
+  *    makes full scans too expensive. Bucketing is a map-only projection
+  *    (hyperplanes derived from hashes, no stored model).
+  */
+object Similarity {
+
+  /** Exact dot product of two equal-length float-array columns in double
+    * space: zip_with products, sequential left-fold sum — the same
+    * element order DuckDB's list_sum uses, so results hash-compare. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-10 neighbors of vec_id 0. */
+  def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), dot(col("embedding"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val qAnnBruteSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
+      |FROM embeddings, q
+      |ORDER BY cosine DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** Sign of the projection of `v` onto pseudo-random hyperplane `p`
+    * (components ±1 derived from xxhash64(dim, plane) — deterministic,
+    * no stored model). */
+  private def planeBit(v: Column, p: Int): Column = {
+    val contrib = transform(sequence(lit(1), lit(64)), i =>
+      element_at(v, i).cast("double") *
+        when(xxhash64(i, lit(p)).bitwiseAND(1) === 1, 1.0).otherwise(-1.0))
+    when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) >= 0, 1L)
+      .otherwise(0L)
+  }
+
+  /** LSH-bucketed ANN: 8 signed projections → 256 buckets; scan only the
+    * query's bucket. Spark-only (seeded hashes) — rows-only check; the
+    * query vector always matches its own bucket, so rows >= 1. */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val bucket = (0 until 8)
+      .map(p => shiftleft(planeBit(col("embedding"), p), p))
+      .reduce(_ + _)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      bucket.as("bucket"))
+    val q = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        dot(col("embedding"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Exact distinct counts (oracle-checked)… */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").agg(
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("text")).as("n_texts"))
+
+  val qCountDistinctSql: String =
+    """SELECT COUNT(DISTINCT lang) AS n_langs,
+      |       COUNT(DISTINCT source) AS n_sources,
+      |       COUNT(DISTINCT text) AS n_texts
+      |FROM documents""".stripMargin
+
+  /** …and the sketch version that actually scales: HLL++
+    * approx_count_distinct — constant memory, one pass, no exact-distinct
+    * shuffle. Estimates are engine-specific → rows-only check. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").agg(
+      approx_count_distinct(col("text")).as("approx_texts"),
+      approx_count_distinct(col("source")).as("approx_sources"))
+}

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data curation (BASELINE north
+  * star): quality stats, language-ID heuristic, token counting,
+  * fingerprinting. All map-only projections — embarrassingly parallel,
+  * no shuffle, fully codegen'd (built-in + higher-order functions, no
+  * UDFs). */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Per-document quality stats: token count (whitespace), BPE-ish
+    * subword count (greedy 1-3 letter regex chunks), char length, avg
+    * token length, stopword ratio. All oracle-expressible. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      length(col("text")).as("n_chars_obs"),
+      regexp_count(col("text"), lit("[a-z]{1,3}")).as("n_bpeish"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(t)).as("avg_token_len"),
+      (size(filter(t, x => x.isInCollection(stopwords))).cast("double") /
+        size(t)).as("stopword_ratio"))
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  length(text) AS n_chars_obs,
+      |  len(regexp_extract_all(text, '[a-z]{1,3}')) AS n_bpeish,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+      |       AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |                       x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      |       AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+      |FROM documents""".stripMargin
+
+  /** Language-ID heuristic (n-gram/stopword profile). The synthetic
+    * corpus shares one vocabulary across langs, so the prediction is
+    * uniform — the operator shape (profile ratio → threshold CASE) is
+    * what's under test, and it is deterministic and oracle-checked. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    val enRatio = size(filter(t, x => x.isInCollection(stopwords)))
+      .cast("double") / size(t)
+    docs.select(
+      col("doc_id"), col("lang").as("lang_declared"),
+      enRatio.as("en_marker_ratio"),
+      when(enRatio >= 0.02, lit("en")).otherwise(lit("und")).as("lang_predicted"))
+  }
+
+  val qLangIdSql: String =
+    """SELECT doc_id, lang AS lang_declared,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |                       x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      |       AS DOUBLE) / len(string_split(text, ' ')) AS en_marker_ratio,
+      |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |                                 x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      |            AS DOUBLE) / len(string_split(text, ' ')) >= 0.02
+      |       THEN 'en' ELSE 'und' END AS lang_predicted
+      |FROM documents""".stripMargin
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text — the canonical content-address for exact dedup across
+    * storage systems. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val normalized = regexp_replace(lower(col("text")), "\\s+", " ")
+    docs.select(col("doc_id"), md5(normalized.cast("binary")).as("fp"))
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+}

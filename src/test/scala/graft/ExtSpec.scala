@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** LLM-pipeline extension operators over the sf0.001 driver testdata. */
+class ExtSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash candidates recover the high-jaccard pairs jaccard finds") {
+    val exact = Dedup.qDedupJaccard(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("jacc") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qDedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH at (8 bands, r=2) has ~100% candidate probability at jacc 0.5+;
+    // verification filter makes them exactly the jacc>=0.5 pairs.
+    assert(lsh === exact)
+  }
+
+  test("simhash pairs are near-dups, not vocabulary coincidences") {
+    val pairs = Dedup.qDedupSimhash(spark, dir).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ann brute: query vector is its own nearest neighbor, cosine ~ 1") {
+    val top = Similarity.qAnnBrute(spark, dir).collect()
+    assert(top.length === 10)
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-5)
+    // descending order
+    val cosines = top.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines === cosines.sorted.reverse)
+  }
+
+  test("ann lsh: query's bucket contains the query; cosines match brute") {
+    val lsh = Similarity.qAnnLsh(spark, dir).collect()
+    assert(lsh.nonEmpty && lsh.head.getAs[Long]("vec_id") === 0L)
+    val bruteMap = Similarity.qAnnBrute(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    lsh.filter(r => bruteMap.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") -
+        bruteMap(r.getAs[Long]("vec_id"))) < 1e-12)
+    }
+  }
+
+  test("text stats: ratios in [0,1], token counts positive") {
+    val rows = TextOps.qTextStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") > 0)
+      val sw = r.getAs[Double]("stopword_ratio")
+      assert(sw >= 0.0 && sw <= 1.0)
+    }
+  }
+
+  test("fingerprint: stable across whitespace normalization") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fp = (s: String) => Seq((1L, s)).toDF("doc_id", "text")
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")
+        .cast("binary"))).as[String].head()
+    assert(fp("Hello  World") === fp("hello world"))
+    assert(fp("hello world") !== fp("hello worlds"))
+  }
+}
