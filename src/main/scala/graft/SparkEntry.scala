@@ -43,7 +43,8 @@ object SparkEntry {
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
-    "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _)
+    "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
+    "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

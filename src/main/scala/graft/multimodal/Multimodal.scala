@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns for training-data pipelines: media as opaque
+  * `binary` payloads with typed metadata, decoded/feature-extracted in
+  * partition-batched executor code.
+  *
+  * The Spark-side plumbing is real: schema (binary + struct), encoder
+  * shapes, partition-iterator batching, and the map-only scale profile.
+  * The actual codec call is STUBBED — this container has no image/audio
+  * libraries — behind [[FakeCodec]], a deterministic header parser with
+  * the same signature a real decoder (javax.imageio / ffmpeg binding)
+  * would have. Swap `FakeCodec.decode` for the real library call and
+  * nothing else changes.
+  *
+  * Scale notes: decode is embarrassingly parallel (mapPartitions, no
+  * shuffle). Payload skew is the real hazard at 100 TB — a partition of
+  * 4K videos next to a partition of icons — so `repartitionByPayloadSize`
+  * range-partitions on size first. Batch shape: one partition iterator ≈
+  * one arrow batch in the PySpark mapInPandas equivalent; keep payloads
+  * out of wide rows so Tungsten pages don't blow up.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, modality: String, fmt: String,
+      width: Int, height: Int, n_frames: Int, n_bytes: Long,
+      feature: Array[Float])
+
+  /** The codec seam. Payload layout (synthesized by [[synthesize]]):
+    * magic "GMM0" | modality byte | width int16 | height int16 |
+    * n_frames int16 | body bytes. A real implementation replaces the
+    * body handling with the actual media library; the signature — bytes
+    * in, typed meta + feature vector out — is the contract. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      require(payload.length >= 11 &&
+        new String(payload.slice(0, 4), "US-ASCII") == "GMM0",
+        "not a GMM0 payload")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      bb.position(4)
+      val fmt = bb.get() match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      (fmt, bb.getShort().toInt, bb.getShort().toInt, bb.getShort().toInt)
+    }
+
+    /** Fake feature extraction: 8 deterministic floats from body bytes —
+      * stands in for resize+embed / fbank extraction. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val body = payload.drop(11)
+      (0 until 8).map { i =>
+        if (body.isEmpty) 0f
+        else (0 until body.length by 8).map(j =>
+          body((j + i) % body.length).toInt & 0xFF).sum.toFloat / 255f
+      }.toArray
+    }
+  }
+
+  /** Deterministic synthetic payloads derived from the documents table
+    * (the driver testdata carries no real media; payload bytes are a
+    * pure function of doc content, so every engine run agrees). */
+  def synthesize(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val modality = (id % 3).toByte
+        val w = (64 + (nChars % 512)).toShort
+        val h = (64 + (id % 512)).toShort
+        val frames = (if (modality == 2) 1 + (id % 30) else 1).toShort
+        val body = text.take(64).getBytes("UTF-8")
+        val bb = java.nio.ByteBuffer.allocate(11 + body.length)
+        bb.put("GMM0".getBytes("US-ASCII")).put(modality)
+          .putShort(w).putShort(h).putShort(frames).put(body)
+        MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), bb.array())
+      }
+  }
+
+  /** Range-partition by payload size so one partition never holds all
+    * the heavy media (the skew guard that matters at real scale). */
+  def repartitionByPayloadSize(df: DataFrame, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, length(col("payload")))
+
+  /** Decode + feature-extract, batched per partition iterator. */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition (≈ per-arrow-batch) setup would init the codec once
+      rows.map { r =>
+        val (fmt, w, h, frames) = FakeCodec.decode(r.payload)
+        MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,
+          r.payload.length.toLong, FakeCodec.features(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: keep every k-th frame index —
+    * the row-explode shape a real frame extractor produces. */
+  def sampleFrames(meta: Dataset[MediaMeta], k: Int): DataFrame = {
+    meta.toDF().filter(col("fmt") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(k))).as("frame_idx"))
+  }
+
+  /** Driver-contract query: full synthesize → decode → project pipeline
+    * (rows-only check; binary payloads aren't portable oracle SQL). */
+  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decode(synthesize(spark, dir)).toDF()
+      .select(col("doc_id"), col("modality"), col("fmt"), col("width"),
+        col("height"), col("n_frames"), col("n_bytes"))
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.slf4j.LoggerFactory
+import graft.clean.Clean
+import graft.config.PipelineConf
+import graft.merge.Merge
+import graft.schema.SchemaLoader.FieldSpec
+
+/** The reference's event-driven pipeline (`main.py:18-63`) as one
+  * Structured Streaming program:
+  *
+  *  ST1  file-arrival trigger: `readStream` on the upload dir with
+  *       `Trigger.AvailableNow` + maxFilesPerTrigger=1 — one micro-batch
+  *       per uploaded file, mirroring one Cloud-Function invocation per
+  *       GCS Finalize event
+  *  ST2  the second stage (load→merge→views) runs in the same
+  *       foreachBatch — the Pub/Sub hop becomes an in-job dataflow edge
+  *  ST3  effectively-once table update: checkpointed source offsets +
+  *       idempotent cutoff merge (re-running a batch reproduces the same
+  *       base table)
+  *  ST4  late/overlapping data: staging rows win the overlap window
+  *       (Merge semantics)
+  *  ST5  failure path: any batch error, or a batch whose rows ALL fail
+  *       cleaning, dead-letters the raw file(s) into errorDir (`S8`,
+  *       reference `config.py:223-234`)
+  *  ST6  post-update notification: one message file per processed batch
+  *       in notifyDir, base64-encoded payload (`S9`/`S10` analog — a
+  *       downstream `readStream` on notifyDir is the second trigger)
+  *  ST7  stage-transition logging via slf4j
+  *
+  * Scale: each micro-batch is the same narrow clean + merge dataflow as
+  * batch mode; state lives in the base table + checkpoint dir only.
+  */
+object StreamPipeline {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  final case class StreamDirs(
+      uploadDir: String,
+      basePath: String,
+      errorDir: String,
+      notifyDir: String,
+      checkpointDir: String)
+
+  /** S10 — decode a notify-message DataFrame (column `payload` base64). */
+  def decodeMessage(df: DataFrame): DataFrame =
+    df.withColumn("payload", unbase64(col("payload")).cast("string"))
+
+  def deadLetter(spark: SparkSession, files: Seq[String], errorDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val err = new Path(errorDir)
+    val fs = err.getFileSystem(conf)
+    fs.mkdirs(err)
+    files.foreach { f =>
+      val src = new Path(f)
+      log.warn(s"dead-lettering $src -> $errorDir")
+      fs.rename(src, new Path(err, src.getName))
+    }
+  }
+
+  private def notify(spark: SparkSession, notifyDir: String,
+                     batchId: Long, name: String): Unit = {
+    val dir = new Path(notifyDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val payload = java.util.Base64.getEncoder
+      .encodeToString(name.getBytes("UTF-8"))
+    val out = fs.create(new Path(dir, s"batch-$batchId.msg"), true)
+    out.write(s"""{"payload":"$payload"}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Wire the full pipeline; returns the started query (caller awaits).
+    * Processes everything currently in uploadDir, then stops
+    * (Trigger.AvailableNow); restart with the same checkpoint to pick up
+    * only new files. */
+  def run(spark: SparkSession, fields: Seq[FieldSpec], conf: PipelineConf,
+          dirs: StreamDirs): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stringSchema = StructType(
+      fields.map(f => StructField(f.name, StringType, nullable = true)))
+    val raw = spark.readStream
+      .option("header", true)
+      .option("maxFilesPerTrigger", 1) // one batch per uploaded file
+      .schema(stringSchema)
+      .csv(dirs.uploadDir)
+      .withColumn("__src", col("_metadata.file_path"))
+
+    raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dirs.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val files = batch.select("__src").distinct()
+          .collect().map(_.getString(0)).toSeq
+        log.info(s"[${conf.name}] batch $batchId: ${files.size} file(s)")
+        try {
+          val cleaned = Clean.clean(fields, conf)(batch.drop("__src"))
+            .localCheckpoint() // sever lineage from files we may move
+          val kept = cleaned.count()
+          if (kept == 0 && files.nonEmpty) {
+            // every row failed cleaning — treat as a poisoned file
+            log.warn(s"[${conf.name}] batch $batchId cleaned to 0 rows")
+            deadLetter(spark, files, dirs.errorDir)
+          } else {
+            Merge.updateTable(spark, dirs.basePath, cleaned, conf.dateCol)
+            log.info(s"[${conf.name}] batch $batchId merged $kept rows")
+            notify(spark, dirs.notifyDir, batchId, conf.name)
+          }
+        } catch {
+          case e: Throwable =>
+            log.warn(s"[${conf.name}] batch $batchId failed: ${e.getMessage}")
+            deadLetter(spark, files, dirs.errorDir)
+        }
+      }
+      .start()
+  }
+}

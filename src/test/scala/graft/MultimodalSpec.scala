@@ -1,0 +1,51 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("synthesize -> decode roundtrip: meta matches the encoded header") {
+    val media = Multimodal.synthesize(spark, dir)
+    val meta = Multimodal.decode(media).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      assert(Seq("image", "audio", "video").contains(m.fmt))
+      assert(m.modality === m.fmt) // synthesized modality survives decode
+      assert(m.width >= 64 && m.height >= 64)
+      assert(m.feature.length === 8)
+      assert(m.n_bytes > 11)
+      if (m.fmt != "video") assert(m.n_frames === 1)
+    }
+  }
+
+  test("decode is deterministic across partitionings") {
+    val media = Multimodal.synthesize(spark, dir)
+    val a = Multimodal.decode(media).collect().sortBy(_.doc_id)
+      .map(m => (m.doc_id, m.fmt, m.width, m.height, m.feature.toSeq))
+    val b = Multimodal.decode(media.repartition(7)).collect().sortBy(_.doc_id)
+      .map(m => (m.doc_id, m.fmt, m.width, m.height, m.feature.toSeq))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("frame sampling explodes only videos, every k-th frame") {
+    val meta = Multimodal.decode(Multimodal.synthesize(spark, dir))
+    val frames = Multimodal.sampleFrames(meta, 5).collect()
+    val videos = meta.filter(org.apache.spark.sql.functions.col("fmt") === "video")
+      .collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    videos.foreach { v =>
+      val expected = (0 until v.n_frames by 5).toSeq
+      assert(byDoc(v.doc_id).map(_.getAs[Int]("frame_idx")).toSeq.sorted === expected)
+    }
+    // non-videos contribute no frames
+    assert(byDoc.keySet.subsetOf(videos.map(_.doc_id).toSet))
+  }
+
+  test("corrupt payload fails loudly, not silently") {
+    intercept[Exception] {
+      Multimodal.FakeCodec.decode("not-media".getBytes("UTF-8"))
+    }
+  }
+}

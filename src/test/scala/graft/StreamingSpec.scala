@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.config.PipelineConf
+import graft.schema.SchemaLoader.FieldSpec
+import graft.streaming.StreamPipeline
+import graft.streaming.StreamPipeline.StreamDirs
+
+/** End-to-end streaming pipeline: file arrival -> clean -> merge -> notify,
+  * with a poisoned file landing in the dead-letter dir (ST1/ST3/ST4/ST5/ST6). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(
+    FieldSpec("PolicyNumber", "STRING", "NULLABLE"),
+    FieldSpec("PolicyExpiryDate", "DATE", "NULLABLE"),
+    FieldSpec("Amount", "FLOAT", "NULLABLE"))
+
+  private val conf = PipelineConf(
+    name = "RenewalList.CSV", jsonfile = "", dateCol = "PolicyExpiryDate",
+    convertFuncs = Map("PolicyNumber" -> "strip_excel"),
+    tableNew = "", tableOld = "", uri1 = None, uri2 = None)
+
+  private def baseDf(rows: (String, String, Double)*) =
+    rows.toDF("PolicyNumber", "PolicyExpiryDate", "Amount")
+      .withColumn("PolicyExpiryDate", to_date($"PolicyExpiryDate"))
+
+  test("e2e: good file merges (staging wins overlap), bad file dead-letters, notify emitted") {
+    val root = Files.createTempDirectory("stream-spec").toFile.getAbsolutePath
+    val dirs = StreamDirs(
+      uploadDir = s"$root/upload", basePath = s"$root/base",
+      errorDir = s"$root/error", notifyDir = s"$root/notify",
+      checkpointDir = s"$root/ckpt")
+    new java.io.File(dirs.uploadDir).mkdirs()
+
+    // seed base table: one old row, one row inside the coming overlap
+    baseDf(("P1", "2020-01-01", 10.0), ("P2", "2020-02-01", 20.0))
+      .write.parquet(dirs.basePath)
+
+    // good upload: corrects P2, adds P3 (cutoff = 2020-02-01)
+    Files.write(new java.io.File(dirs.uploadDir, "RenewalList.CSV").toPath,
+      ("PolicyNumber,PolicyExpiryDate,Amount\n" +
+        "\"=\"\"P2\"\"\",2020-02-01,22.0\n" +
+        "P3,2020-03-01,30.0\n").getBytes("UTF-8"))
+    // poisoned upload: header mismatch -> every row cleans to null date
+    Files.write(new java.io.File(dirs.uploadDir, "garbage.csv").toPath,
+      "a,b,c\nx,y,z\n1,2,3\n".getBytes("UTF-8"))
+
+    val q = StreamPipeline.run(spark, fields, conf, dirs)
+    q.awaitTermination(120000)
+
+    val base = spark.read.parquet(dirs.basePath)
+      .collect()
+      .map(r => (r.getAs[String]("PolicyNumber"),
+        r.getAs[java.sql.Date]("PolicyExpiryDate").toString,
+        r.getAs[Double]("Amount"))).toSet
+    // P1 kept (pre-cutoff), P2 replaced by staging's 22.0, P3 appended;
+    // strip_excel ran on the quoted ="P2" artifact
+    assert(base === Set(
+      ("P1", "2020-01-01", 10.0),
+      ("P2", "2020-02-01", 22.0),
+      ("P3", "2020-03-01", 30.0)))
+
+    // ST5: poisoned file moved to the dead-letter dir, gone from upload
+    val errFiles = new java.io.File(dirs.errorDir).list().toSeq
+    assert(errFiles === Seq("garbage.csv"))
+    assert(!new java.io.File(dirs.uploadDir, "garbage.csv").exists())
+    assert(new java.io.File(dirs.uploadDir, "RenewalList.CSV").exists())
+
+    // ST6: notification message present and base64-decodable (S10)
+    val msgs = new java.io.File(dirs.notifyDir).list().toSeq.filter(_.endsWith(".msg"))
+    assert(msgs.size === 1)
+    val decoded = StreamPipeline.decodeMessage(
+      spark.read.json(dirs.notifyDir)).select("payload").as[String].head()
+    assert(decoded === "RenewalList.CSV")
+  }
+
+  test("ST3: restart with same checkpoint reprocesses nothing") {
+    val root = Files.createTempDirectory("stream-spec2").toFile.getAbsolutePath
+    val dirs = StreamDirs(s"$root/upload", s"$root/base", s"$root/error",
+      s"$root/notify", s"$root/ckpt")
+    new java.io.File(dirs.uploadDir).mkdirs()
+    baseDf(("P1", "2020-01-01", 1.0)).write.parquet(dirs.basePath)
+    Files.write(new java.io.File(dirs.uploadDir, "u1.csv").toPath,
+      "PolicyNumber,PolicyExpiryDate,Amount\nP9,2020-09-01,9.0\n".getBytes("UTF-8"))
+
+    StreamPipeline.run(spark, fields, conf, dirs).awaitTermination(120000)
+    val after1 = spark.read.parquet(dirs.basePath).count()
+    // second run, same checkpoint, no new files -> no new batches
+    StreamPipeline.run(spark, fields, conf, dirs).awaitTermination(120000)
+    val after2 = spark.read.parquet(dirs.basePath).count()
+    assert(after1 === 2 && after2 === 2)
+    assert(new java.io.File(dirs.notifyDir).list()
+      .count(_.endsWith(".msg")) === 1)
+  }
+}
