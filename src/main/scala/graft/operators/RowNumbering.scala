@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graftshim.InternalRowDF
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** W1 — global ROW_NUMBER (reference `settings.yaml:94`:
@@ -13,16 +16,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   1. `orderBy(keys)` — a range-partitioned sort (Spark samples key
   *      ranges, shuffles once, sorts each partition; every partition
   *      holds a contiguous key range).
-  *   2. `rdd.zipWithIndex` — runs one lightweight count-per-partition
-  *      job, then assigns each partition a cumulative offset and each row
+  *   2. `zipWithIndex` over the plan's `RDD[InternalRow]` — one
+  *      lightweight count-per-partition job (reusing the sort's shuffle
+  *      files), then each partition gets a cumulative offset and each row
   *      offset+localIndex. No data moves; ids are globally contiguous and
   *      ordered exactly as the sort.
   *
   * Cost at scale: one shuffle (the sort you were doing anyway) plus one
   * counting pass — vs. the single-partition window's "one executor sorts
-  * 100 TB". The RDD hop does leave whole-stage codegen for this operator
-  * boundary; acceptable because the surrounding stages stay codegen'd and
-  * the alternative does not scale at all.
+  * 100 TB". The id is appended IN TUNGSTEN FORMAT: a `JoinedRow` over the
+  * sorted UnsafeRow plus a 1-field id row, handed back to Catalyst via
+  * `internalCreateDataFrame`. The earlier external form (`df.rdd` +
+  * `Row.fromSeq`) deserialized and re-encoded every field of every row —
+  * measured as the dominant cost of both view pipelines at sf0.1.
+  * (`r.copy()` is required: the scan iterator reuses its UnsafeRow
+  * buffer, and the rows outlive the `it.map` step inside downstream
+  * operator buffers.)
   *
   * `sortCols` MUST be a total order (include a unique tiebreak) or ids of
   * tied rows are nondeterministic across runs/engines.
@@ -34,9 +43,13 @@ object RowNumbering {
     val sorted = df.orderBy(sortCols: _*)
     val outSchema = StructType(
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(withIds, outSchema)
+    val withIds = InternalRowDF.toInternalRdd(sorted).zipWithIndex()
+      .mapPartitions { it =>
+        it.map { case (r, i) =>
+          val id = new GenericInternalRow(Array[Any](i + 1L))
+          new JoinedRow(r.copy(), id): InternalRow
+        }
+      }
+    InternalRowDF.fromInternalRdd(spark, withIds, outSchema)
   }
 }
