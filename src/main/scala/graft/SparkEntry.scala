@@ -69,7 +69,8 @@ object SparkEntry {
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
-    "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql
+    "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
+    "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_approx_distinct:
     // seeded-hash / sketch internals aren't portable SQL — driver
     // records the weaker rows-only check for these.

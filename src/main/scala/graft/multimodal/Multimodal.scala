@@ -108,10 +108,31 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(k))).as("frame_idx"))
   }
 
-  /** Driver-contract query: full synthesize → decode → project pipeline
-    * (rows-only check; binary payloads aren't portable oracle SQL). */
+  /** Driver-contract query: full synthesize → decode → project pipeline.
+    * Oracle-checked: the payloads are a pure function of doc_id /
+    * n_chars / text ([[synthesize]]), so the decoded metadata is
+    * re-derivable in plain SQL over `documents` — the oracle proves the
+    * whole binary round-trip (header encode → codec decode) is lossless. */
   def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decode(synthesize(spark, dir)).toDF()
       .select(col("doc_id"), col("modality"), col("fmt"), col("width"),
         col("height"), col("n_frames"), col("n_bytes"))
+
+  /** Mirrors [[synthesize]] + [[FakeCodec.decode]] field by field:
+    * width = 64 + n_chars mod 512, height = 64 + doc_id mod 512,
+    * n_frames = 1 + doc_id mod 30 for video else 1,
+    * n_bytes = 11-byte header + UTF-8 bytes of the first 64 chars. */
+  val qMultimodalDecodeSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS fmt,
+      |  CAST(64 + n_chars % 512 AS INTEGER) AS width,
+      |  CAST(64 + doc_id % 512 AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
+      |       AS INTEGER) AS n_frames,
+      |  CAST(11 + octet_length(encode(substr(text, 1, 64))) AS BIGINT)
+      |    AS n_bytes
+      |FROM documents""".stripMargin
 }
