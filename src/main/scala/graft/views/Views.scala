@@ -223,4 +223,44 @@ object Views {
        |) AS op ON tx.VIN_A = op.VIN_OP
        |WHERE EntryDateTime >= TIMESTAMP '1996-06-01 00:00:00'
        |ORDER BY EntryDateTime DESC""".stripMargin
+
+  /** S6 — the reference's query surface is `CREATE OR REPLACE VIEW` SQL
+    * text executed against the warehouse (`config.py:215-221`,
+    * `settings.yaml:25,89,133`). This is that surface in-engine: register
+    * the base tables, then create each analytical view FROM SQL TEXT —
+    * AUTO_OPTIOM composes on the TRANSACTIONS view (view-on-view, as
+    * `settings.yaml:136-137` selects `FROM Database.TRANSACTIONS`).
+    *
+    * The SQL strings are the SAME ANSI text the DuckDB oracle runs — one
+    * query surface, three engines (Spark SQL, DuckDB, the DataFrame
+    * builders above), cross-checked in ViewsSqlSpec.
+    *
+    * Scale note: the SQL text's bare `ROW_NUMBER() OVER (ORDER BY …)` is
+    * the reference's semantics verbatim and plans as a single-partition
+    * window; the DataFrame builders route the same total order through
+    * [[graft.operators.RowNumbering]] (range-sort + per-partition zip) —
+    * the plan you want at 100 TB. Views created here are lazy (Spark temp
+    * views re-evaluate per query), matching BigQuery view semantics. */
+  def createAll(spark: SparkSession, dir: String): Unit = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      s"CREATE OR REPLACE TEMP VIEW TRANSACTIONS AS\n$transactionsSql")
+    spark.sql(
+      s"CREATE OR REPLACE TEMP VIEW RETENTION AS\n$retentionSql")
+    // View-on-view: re-reference TRANSACTIONS rather than inlining it.
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW AUTO_OPTIOM AS
+         |SELECT tx.*, op.VIN_OP, op.OP_Date, op.OP_Premium, op.OP_Status
+         |FROM TRANSACTIONS AS tx
+         |LEFT JOIN (
+         |  SELECT
+         |    o_orderkey AS VIN_OP,
+         |    o_orderdate AS OP_Date,
+         |    o_totalprice AS OP_Premium,
+         |    o_orderstatus AS OP_Status
+         |  FROM orders
+         |) AS op ON tx.VIN_A = op.VIN_OP
+         |WHERE EntryDateTime >= TIMESTAMP '1996-06-01 00:00:00'
+         |ORDER BY EntryDateTime DESC""".stripMargin)
+  }
 }
