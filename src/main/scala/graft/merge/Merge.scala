@@ -73,4 +73,16 @@ object Merge {
     // so no checkpoint/self-overwrite hazard exists.
     overwriteAtomic(merge(base, staging, dateCol), basePath)
   }
+
+  /** S5 retry path — merge from the PERSISTED staging table. The
+    * reference truncate-loads `table_new` and keeps it queryable
+    * (`config.py:161-171`, `settings.yaml:20`); a merge failure leaves
+    * staging committed so the merge alone can be re-run
+    * (`main.py:50-62`: load failure dead-letters, merge failure only
+    * logs). This is that retry: no re-clean, no re-upload — just re-read
+    * `table_new` and redo the cutoff merge (idempotent, MergeSpec
+    * property). */
+  def updateFromStaging(spark: SparkSession, basePath: String,
+                        stagingPath: String, dateCol: String): Unit =
+    updateTable(spark, basePath, spark.read.parquet(stagingPath), dateCol)
 }

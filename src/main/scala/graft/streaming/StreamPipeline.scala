@@ -40,12 +40,26 @@ object StreamPipeline {
 
   private val log = LoggerFactory.getLogger(getClass)
 
+  /** stagingPath = the persisted `table_new` analog (S5, truncate-loaded
+    * every batch, queryable between batches, merge-retry source);
+    * cleanedDir = the cleaned-output bucket analog (S4, one durable
+    * cleaned CSV artifact per data type). Both default to siblings of
+    * basePath, mirroring the reference's `<type>_update` staging-table
+    * naming (`settings.yaml:20`) and second-bucket cleaned file
+    * (`config.py:146`). */
   final case class StreamDirs(
       uploadDir: String,
       basePath: String,
       errorDir: String,
       notifyDir: String,
-      checkpointDir: String)
+      checkpointDir: String,
+      stagingPath: String = "",
+      cleanedDir: String = "") {
+    def stagingOrDefault: String =
+      if (stagingPath.nonEmpty) stagingPath else basePath + "_update"
+    def cleanedOrDefault: String =
+      if (cleanedDir.nonEmpty) cleanedDir else basePath + "_cleaned"
+  }
 
   /** S10 — decode a notify-message DataFrame (column `payload` base64). */
   def decodeMessage(df: DataFrame): DataFrame =
@@ -106,9 +120,32 @@ object StreamPipeline {
             log.warn(s"[${conf.name}] batch $batchId cleaned to 0 rows")
             deadLetter(spark, files, dirs.errorDir)
           } else {
-            Merge.updateTable(spark, dirs.basePath, cleaned, conf.dateCol)
-            log.info(s"[${conf.name}] batch $batchId merged $kept rows")
-            notify(spark, dirs.notifyDir, batchId, conf.name)
+            // S4: durable cleaned artifact (reference writes the cleaned
+            // file to a second bucket, config.py:146) — inspectable
+            // between stages, overwritten per batch like the reference's
+            // fixed per-type uri2.
+            cleaned.write.mode("overwrite").option("header", true)
+              .csv(s"${dirs.cleanedOrDefault}/${conf.name}")
+            // S5: truncate-load the staging table (WRITE_TRUNCATE,
+            // config.py:161-171). table_new survives the batch and is
+            // queryable; the merge below consumes the PERSISTED artifact.
+            Merge.overwriteAtomic(cleaned, dirs.stagingOrDefault)
+            log.info(s"[${conf.name}] batch $batchId staged $kept rows " +
+              s"at ${dirs.stagingOrDefault}")
+            // Reference semantics (main.py:50-62): a load failure
+            // dead-letters, but a MERGE failure only logs — staging is
+            // committed, so the merge alone is retryable
+            // (Merge.updateFromStaging).
+            try {
+              Merge.updateFromStaging(
+                spark, dirs.basePath, dirs.stagingOrDefault, conf.dateCol)
+              log.info(s"[${conf.name}] batch $batchId merged $kept rows")
+              notify(spark, dirs.notifyDir, batchId, conf.name)
+            } catch {
+              case e: Throwable =>
+                log.warn(s"[${conf.name}] batch $batchId merge failed " +
+                  s"(staging persisted, retryable): ${e.getMessage}")
+            }
           }
         } catch {
           case e: Throwable =>

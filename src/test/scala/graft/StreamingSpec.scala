@@ -74,6 +74,51 @@ class StreamingSpec extends SparkSpec {
     val decoded = StreamPipeline.decodeMessage(
       spark.read.json(dirs.notifyDir)).select("payload").as[String].head()
     assert(decoded === "RenewalList.CSV")
+
+    // S5: staging table_new persisted past the batch and queryable —
+    // holds exactly the last GOOD batch (the poisoned batch never stages)
+    val staging = spark.read.parquet(dirs.stagingOrDefault)
+      .collect()
+      .map(r => (r.getAs[String]("PolicyNumber"),
+        r.getAs[java.sql.Date]("PolicyExpiryDate").toString,
+        r.getAs[Double]("Amount"))).toSet
+    assert(staging === Set(("P2", "2020-02-01", 22.0), ("P3", "2020-03-01", 30.0)))
+
+    // S4: durable cleaned CSV artifact in the cleaned "bucket"
+    val cleanedBack = spark.read.option("header", true)
+      .csv(s"${dirs.cleanedOrDefault}/RenewalList.CSV")
+    assert(cleanedBack.count() === 2)
+    assert(cleanedBack.columns.toSeq ===
+      Seq("PolicyNumber", "PolicyExpiryDate", "Amount"))
+  }
+
+  test("S5: merge failure leaves staging committed; updateFromStaging retries") {
+    val root = Files.createTempDirectory("stream-spec3").toFile.getAbsolutePath
+    val basePath = s"$root/base"
+    val stagingPath = s"$root/base_update"
+    baseDf(("P1", "2020-01-01", 1.0), ("P2", "2020-02-01", 2.0))
+      .write.parquet(basePath)
+
+    // load step committed staging (WRITE_TRUNCATE)
+    graft.merge.Merge.overwriteAtomic(
+      baseDf(("P2", "2020-02-01", 22.0)), stagingPath)
+
+    def baseRows() = spark.read.parquet(basePath).collect()
+      .map(r => (r.getAs[String]("PolicyNumber"), r.getAs[Double]("Amount")))
+      .toSet
+
+    // merge "fails" here — base untouched, staging survives and is queryable
+    assert(spark.read.parquet(stagingPath).count() === 1)
+    assert(baseRows() === Set(("P1", 1.0), ("P2", 2.0)))
+
+    // retry the merge alone, from the persisted artifact
+    graft.merge.Merge.updateFromStaging(spark, basePath, stagingPath, "PolicyExpiryDate")
+    assert(baseRows() === Set(("P1", 1.0), ("P2", 22.0)))
+
+    // retry again (double-delivery) — idempotent, staging still present
+    graft.merge.Merge.updateFromStaging(spark, basePath, stagingPath, "PolicyExpiryDate")
+    assert(baseRows() === Set(("P1", 1.0), ("P2", 22.0)))
+    assert(spark.read.parquet(stagingPath).count() === 1)
   }
 
   test("ST3: restart with same checkpoint reprocesses nothing") {
