@@ -40,6 +40,7 @@ object SparkEntry {
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
+    "q_tfidf" -> (graft.ext.TextOps.qTfIdf _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,
+    "q_tfidf" -> graft.ext.TextOps.qTfIdfSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql

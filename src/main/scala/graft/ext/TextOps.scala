@@ -81,4 +81,60 @@ object TextOps {
     """SELECT doc_id,
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
+
+  /** TF-IDF top-k terms per document (SURVEY §7.5; the reference's free
+    * text column is `AgentComments`, Schemas/renewals_bq.json:117).
+    *
+    * Plan shape, scale-first: tokenize is a map-only explode; TF is one
+    * shuffle on (doc_id, term); DF reuses the TF table (already distinct
+    * per (doc, term)) with one shuffle on term; corpus size N joins in
+    * as a broadcast 1-row cross join (no driver action, stays lazy);
+    * scoring is map-side; top-k is a window partitioned by doc_id —
+    * never a global sort. Every shuffle key is a natural key with
+    * cardinality that grows with the data, so the plan holds at 100 TB.
+    *
+    * Float determinism vs the oracle: idf = ln(N/df) where N/df is an
+    * IEEE double on both sides; tf*idf is one double multiply. Ties in
+    * tfidf (same tf and df) are broken by term. */
+  def qTfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val tokens = docs.select(
+      col("doc_id"),
+      explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "tfidf", "rk")
+  }
+
+  val qTfIdfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE length(term) > 0 GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tf, tfidf, rk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored) WHERE rk <= 3""".stripMargin
 }

@@ -64,4 +64,21 @@ class ExtSpec extends SparkSpec {
     assert(fp("Hello  World") === fp("hello world"))
     assert(fp("hello world") !== fp("hello worlds"))
   }
+
+  test("tfidf: k per doc, corpus-wide terms score 0, rare terms rank first") {
+    val rows = TextOps.qTfIdf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // at most k=3 terms per doc, ranks 1..k contiguous
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to rs.length).toSeq)
+      // ranks follow tfidf descending
+      val byRank = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("tfidf"))
+      assert(byRank.toSeq === byRank.sorted.reverse.toSeq)
+    }
+    // idf(term in every doc) = ln(1) = 0 → anything that surfaced in the
+    // top-k with positive score is NOT corpus-universal
+    rows.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0))
+  }
 }
