@@ -37,15 +37,18 @@ object SparkEntry {
     "q_dedup_jaccard" -> (graft.ext.Dedup.qDedupJaccard _),
     "q_dedup_minhash" -> (graft.ext.Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (graft.ext.Dedup.qDedupSimhash _),
+    "q_dedup_embed" -> (graft.ext.Dedup.qDedupEmbed _),
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
     "q_tfidf" -> (graft.ext.TextOps.qTfIdf _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
+    "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
-    "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _)
+    "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
+    "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,15 +69,17 @@ object SparkEntry {
     "q_base64" -> SetSortOps.qBase64Sql,
     "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,
     "q_dedup_jaccard" -> graft.ext.Dedup.qDedupJaccardSql,
+    "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,
     "q_tfidf" -> graft.ext.TextOps.qTfIdfSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
-    "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_approx_distinct:
-    // seeded-hash / sketch internals aren't portable SQL — driver
-    // records the weaker rows-only check for these.
+    "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
+    "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
+    // q_approx_distinct: seeded-hash / sketch / trained-model internals
+    // aren't portable SQL — driver records the weaker rows-only check.
   )
 }

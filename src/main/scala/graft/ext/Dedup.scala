@@ -252,6 +252,99 @@ object Dedup {
       .filter(col("jacc") >= 0.5)
   }
 
+  /** Docfreq cap for the embedding-cosine dim join (IDF-style pruning):
+    * trigram dims present in more than this many documents are dropped
+    * BEFORE norms and dots — on BOTH engine and oracle, so the pruned
+    * subspace IS the operator's embedding space. Two jobs in one: (a)
+    * corpus-frequent trigrams ("the", " th") carry no near-dup signal,
+    * exactly like stopword removal; (b) the join cost per dim is bounded
+    * by cap², so total work is Σ_dim df² ≤ |dims|·cap² — never quadratic
+    * in the corpus. A production deployment sizes the cap relative to
+    * corpus cardinality (it is the IDF floor); at extreme scale the
+    * exact variant is run per partition-scope and the LSH family above
+    * handles global discovery. */
+  val embedDocfreqCap = 250
+
+  /** Near-dup bar for trigram-profile cosine. Measured on this corpus:
+    * planted near-dup pairs score ≥ 0.94, the densest unrelated pairs
+    * ≤ 0.6 (same language + tiny vocabulary), so 0.8 splits the two
+    * populations with a wide margin either side. */
+  val embedCosineMin = 0.8
+
+  /** Embedding-cosine near-dup pairs, oracle-checked. The "embedding"
+    * is the classic scalable sparse instantiation: a hashed character-
+    * 3-gram COUNT vector per document (dim = c₁·2¹⁴ + c₂·2⁷ + c₃ —
+    * injective for 7-bit chars, so no collision term in the oracle).
+    * Dense-vector near-dup reduces to the same plan once vectors are
+    * sparsified; for the dense `embeddings` table see qAnnBrute/qAnnLsh.
+    *
+    * Plan shape — all-pairs similarity search via inverted index:
+    *   1. one map-only pass explodes trigram dims (zip_with over three
+    *      shifted char slices — linear, never substr-per-position);
+    *   2. one shuffle builds the (doc, dim, count) profile; docfreq
+    *      prunes hot dims (embedDocfreqCap) — both the IDF semantics
+    *      and the quadratic-cost guard;
+    *   3. dots come from a dim equi-join (per-dim fan-out ≤ cap²/2),
+    *      norms from a per-doc aggregate; cosine = dot / (‖a‖·‖b‖) in
+    *      pure IEEE double ops that hash-match DuckDB.
+    * The profile subtree feeds three branches; Spark's ReuseExchange
+    * dedupes the shuffle rather than re-scanning the corpus. */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val txt = lower(col("text"))
+    val chars = split(txt, "")
+    val n2 = size(chars) - 2
+    val dims = zip_with(
+      zip_with(slice(chars, lit(1), n2), slice(chars, lit(2), n2),
+        (a, b) => ascii(a) * 16384 + ascii(b) * 128),
+      slice(chars, lit(3), n2),
+      (ab, c) => ab + ascii(c))
+    val cnt = docs.filter(length(txt) >= 3)
+      .select(col("doc_id"), explode(dims).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+    val dfq = cnt.groupBy("dim").agg(count(lit(1)).as("df"))
+    val kept = cnt.join(dfq.filter(col("df") <= embedDocfreqCap), "dim")
+      .select("doc_id", "dim", "c")
+    val nrm = kept.groupBy("doc_id").agg(sqrt(sum(col("c") * col("c"))).as("nr"))
+    val dots = kept.as("a").join(kept.as("b"),
+        col("a.dim") === col("b.dim") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    dots.join(nrm.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(nrm.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot") / (col("x.nr") * col("y.nr"))).as("cosine"))
+      .filter(col("cosine") >= embedCosineMin)
+  }
+
+  val qDedupEmbedSql: String =
+    s"""WITH tri AS (
+      |  SELECT doc_id,
+      |    ascii(substr(t,1,1))*16384 + ascii(substr(t,2,1))*128
+      |      + ascii(substr(t,3,1)) AS dim
+      |  FROM (
+      |    SELECT doc_id, substr(lower(text), i, 3) AS t
+      |    FROM documents,
+      |         LATERAL unnest(generate_series(1, length(text)-2)) AS u(i)
+      |  ) WHERE length(t) = 3
+      |), cnt AS (
+      |  SELECT doc_id, dim, count(*) AS c FROM tri GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT dim, count(*) AS df FROM cnt GROUP BY 1
+      |), kept AS (
+      |  SELECT cnt.* FROM cnt JOIN dfq USING (dim)
+      |  WHERE dfq.df <= $embedDocfreqCap
+      |), nrm AS (
+      |  SELECT doc_id, sqrt(sum(c*c)) AS nr FROM kept GROUP BY 1
+      |), dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.c*b.c) AS dot
+      |  FROM kept a JOIN kept b ON a.dim = b.dim AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, dot/(x.nr*y.nr) AS cosine
+      |FROM dots JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
+      |WHERE dot/(x.nr*y.nr) >= $embedCosineMin""".stripMargin
+
   /** SimHash near-dup detection (Spark-only, rows-only check): 64-bit
     * signature from signed sums of token-hash bits — a map-only
     * projection per document (no shuffle to build signatures). Pairs are

@@ -79,6 +79,47 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into cells; a query probes only the `nprobe` cells whose
+    * centroids are nearest, then brute-forces inside them — the standard
+    * scale path when query volume makes full scans too expensive and
+    * hyperplane buckets too coarse.
+    *
+    * Index build (the KMeans fit) is the offline step a real deployment
+    * runs once and persists; probing is a cell-membership filter that
+    * prunes the scan to ~nprobe/k of the corpus, then the same
+    * TakeOrderedAndProject top-k as the brute path. Centroid distances
+    * for probe selection are computed on the driver over k vectors —
+    * O(k·d), never corpus-sized. Float sums inside KMeans are
+    * aggregation-order-dependent → rows-only check; the spec
+    * cross-validates every returned cosine against the brute path. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nprobe = 4
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+      .fit(emb)
+    val cells = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val qv = cells.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val qcol = array(qv.map(lit(_)): _*)
+    cells.filter(col("cell").isInCollection(probed.toSeq))
+      .select(col("vec_id"), col("cell"),
+        dot(col("embedding"), qcol).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Exact distinct counts (oracle-checked)… */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").agg(

@@ -118,6 +118,20 @@ object Multimodal {
       .select(col("doc_id"), col("modality"), col("fmt"), col("width"),
         col("height"), col("n_frames"), col("n_bytes"))
 
+  /** Driver-contract query: frame sampling over the decoded video rows
+    * (every 5th frame index). Oracle-checked: n_frames is a pure
+    * function of doc_id ([[synthesize]]), so the exploded frame list is
+    * re-derivable with generate_series over `documents`. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(decode(synthesize(spark, dir)), 5)
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"))
+
+  val qFrameSampleSql: String =
+    """SELECT doc_id,
+      |  CAST(unnest(generate_series(0, doc_id % 30, 5)) AS BIGINT)
+      |    AS frame_idx
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
   /** Mirrors [[synthesize]] + [[FakeCodec.decode]] field by field:
     * width = 64 + n_chars mod 512, height = 64 + doc_id mod 512,
     * n_frames = 1 + doc_id mod 30 for video else 1,

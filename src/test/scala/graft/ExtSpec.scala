@@ -65,6 +65,37 @@ class ExtSpec extends SparkSpec {
     assert(fp("hello world") !== fp("hello worlds"))
   }
 
+  test("embed dedup: pairs land in the near-dup cosine band, jaccard pairs recovered") {
+    val embed = Dedup.qDedupEmbed(spark, dir).collect()
+    assert(embed.nonEmpty)
+    embed.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= Dedup.embedCosineMin && c <= 1.0 + 1e-12)
+    }
+    // the strong near-dups jaccard finds (>=0.5) should almost all be
+    // trigram-cosine near-dups too — two independent lenses, same
+    // population (set-Jaccard vs count-cosine legitimately disagree on
+    // boundary pairs, e.g. when one doc repeats content)
+    val jacc = Dedup.qDedupJaccard(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("jacc") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embedPairs = embed.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jacc.intersect(embedPairs).size >= (jacc.size * 9) / 10)
+  }
+
+  test("ann ivf: probed-cell cosines match brute exactly; query finds itself") {
+    val ivf = Similarity.qAnnIvf(spark, dir).collect()
+    assert(ivf.nonEmpty && ivf.head.getAs[Long]("vec_id") === 0L)
+    val bruteMap = Similarity.qAnnBrute(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    ivf.filter(r => bruteMap.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") -
+        bruteMap(r.getAs[Long]("vec_id"))) < 1e-12)
+    }
+  }
+
   test("tfidf: k per doc, corpus-wide terms score 0, rare terms rank first") {
     val rows = TextOps.qTfIdf(spark, dir).collect()
     assert(rows.nonEmpty)
