@@ -30,6 +30,9 @@ object SparkEntry {
     "q_clean_datecoerce" -> (CleanOps.qCleanDatecoerce _),
     "q_clean_cast" -> (CleanOps.qCleanCast _),
     "q_merge" -> (MergeOps.qMerge _),
+    "q_events_window" -> (Events.qEventsWindow _),
+    "q_sessionize" -> (Events.qSessionize _),
+    "q_json_props" -> (Events.qJsonProps _),
     "q_topk" -> (SetSortOps.qTopk _),
     "q_union" -> (SetSortOps.qUnion _),
     "q_base64" -> (SetSortOps.qBase64 _),
@@ -64,6 +67,9 @@ object SparkEntry {
     "q_clean_datecoerce" -> CleanOps.qCleanDatecoerceSql,
     "q_clean_cast" -> CleanOps.qCleanCastSql,
     "q_merge" -> MergeOps.qMergeSql,
+    "q_events_window" -> Events.qEventsWindowSql,
+    "q_sessionize" -> Events.qSessionizeSql,
+    "q_json_props" -> Events.qJsonPropsSql,
     "q_topk" -> SetSortOps.qTopkSql,
     "q_union" -> SetSortOps.qUnionSql,
     "q_base64" -> SetSortOps.qBase64Sql,

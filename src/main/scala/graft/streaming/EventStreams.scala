@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analytics over event streams — the streaming
+  * halves of [[graft.operators.Events]]:
+  *
+  *  - [[windowedCounts]]: event-time tumbling-window aggregation with a
+  *    watermark. The watermark bounds state (windows older than the
+  *    watermark are finalized and evicted), which is what makes an
+  *    unbounded stream aggregable on a fixed-memory cluster; the shuffle
+  *    is |windows × types| after partial aggregation, same as batch.
+  *  - [[sessionize]]: gap-based sessionization via
+  *    `flatMapGroupsWithState` — genuinely stateful per-key logic that
+  *    windowed aggs can't express (a session's end depends on the NEXT
+  *    event's time). State per user is one open session (constant size);
+  *    `EventTimeTimeout` + the watermark close idle sessions and evict
+  *    their state, so state never grows with stream length — the 100 TB
+  *    concern for any stateful operator.
+  *
+  * Both are spec-checked against their batch formulations
+  * (`qEventsWindow` / `qSessionize`) on the same data — the agreement
+  * proof the reference's split batch/stream systems can't give you.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  /** Tumbling 1-hour counts per event_type with a 2-hour watermark.
+    * Append mode emits each window once, when the watermark passes it —
+    * the semantics that match the batch groupBy exactly on a bounded
+    * replay. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+
+  /** Gap-based sessions (gap = [[graft.operators.Events.sessionGapMicros]]).
+    * Within a micro-batch, a user's events arrive as an unordered
+    * iterator — they are sorted by event time here, then folded into the
+    * open session carried in `GroupState`. A session is emitted when a
+    * gap closes it or its event-time timeout fires (watermark passed
+    * start + gap). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gap = graft.operators.Events.sessionGapMicros
+
+    // java.sql.Timestamp.getTime is millisecond-resolution; event time is
+    // microseconds. Round-trip through micros-since-epoch exactly, or
+    // sessions disagree with the batch formulation in the sub-ms digits.
+    def toMicros(t: Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    def toTimestamp(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos((us % 1000000).toInt * 1000)
+      t
+    }
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[SessionState]): Iterator[Session] = {
+      def toSession(s: SessionState) = Session(userId,
+        toTimestamp(s.start), toTimestamp(s.end), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+        var open = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val us = toMicros(e.ts)
+          open match {
+            case Some(s) if us - s.end <= gap =>
+              open = Some(SessionState(s.start, us, s.n + 1))
+            case Some(s) =>
+              closed += toSession(s)
+              open = Some(SessionState(us, us, 1))
+            case None =>
+              open = Some(SessionState(us, us, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // close the session once the watermark passes its end + gap
+          state.setTimeoutTimestamp(s.end / 1000 + gap / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Events
+import graft.streaming.EventStreams
+
+/** Streaming/batch agreement for the event analytics: the watermarked
+  * streaming operators must produce exactly the batch answer on every
+  * window/session the watermark has finalized. (Windows and sessions
+  * still open when a bounded replay ends are unemitted by design —
+  * append mode emits on watermark passage — so the comparison domain is
+  * "finalized by the end-of-stream watermark".) */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def eventsDf = Tables(spark, dir, "events")
+
+  /** Raw file schema (ts as nanos-long — [[Tables]] sets the nanosAsLong
+    * conf; the timestamp conversion happens post-read, as in Tables). */
+  private def rawSchema = {
+    Tables(spark, dir, "events") // ensures nanosAsLong conf is set
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** FileStreamSource wants a directory; stage the parquet into one. */
+  private def stageSourceDir(): String = {
+    val d = Files.createTempDirectory("evt-src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toFile.getAbsolutePath
+  }
+
+  test("streaming windowed counts == batch on watermark-finalized windows") {
+    val src = spark.readStream
+      .schema(rawSchema)
+      .parquet(stageSourceDir())
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = Files.createTempDirectory("evt-win").toFile.getAbsolutePath
+    val q = EventStreams.windowedCounts(src)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win_counts")
+      .select($"ws", $"event_type", $"n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = Events.qEventsWindow(spark, dir)
+      .select($"ws", $"event_type", $"n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    assert(streamed.nonEmpty)
+    // every emitted window matches batch exactly
+    assert(streamed.subsetOf(batch))
+    // and everything older than maxTs - watermark(2h) - window(1h) was emitted
+    val maxTs = eventsDf.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val cutoff = maxTs.getTime - (3L * 3600 * 1000)
+    val mustEmit = batch.filter(_._1.getTime < cutoff)
+    assert(mustEmit.subsetOf(streamed))
+  }
+
+  test("streaming sessionize == batch on watermark-finalized sessions") {
+    val src = spark.readStream
+      .schema(rawSchema)
+      .parquet(stageSourceDir())
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val out = Files.createTempDirectory("evt-sess").toFile.getAbsolutePath
+    val q = EventStreams.sessionize(src)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sessions")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    val batch = Events.qSessionize(spark, dir)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // sessions that closed well before the end-of-stream watermark
+    // (maxTs - 2h) must all have been emitted via gap or timeout
+    val maxTs = eventsDf.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val gapMs = Events.sessionGapMicros / 1000
+    val cutoff = maxTs.getTime - (2L * 3600 * 1000) - gapMs
+    val mustEmit = batch.filter(_._3.getTime < cutoff)
+    assert(mustEmit.subsetOf(streamed))
+  }
+}
