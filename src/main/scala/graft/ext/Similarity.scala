@@ -22,9 +22,17 @@ import graft.Tables
 object Similarity {
 
   /** Exact dot product of two equal-length float-array columns in double
-    * space: zip_with products, sequential left-fold sum — the same
-    * element order DuckDB's list_sum uses, so results hash-compare. */
+    * space — a sequential left fold in element order, the same order
+    * DuckDB's list_sum uses, so results hash-compare. Backed by the
+    * native codegen'd [[graft.functions.FloatVectorDot]]; [[dotHof]]
+    * keeps the built-in-composition form as the semantic cross-check. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** The higher-order-function formulation of [[dot]] (interpreted, not
+    * codegen'd) — retained as the independent reference implementation
+    * the FunctionsSpec equivalence property runs against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

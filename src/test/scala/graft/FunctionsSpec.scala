@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+
+/** Native codegen'd vec_dot vs the interpreted HOF formulation: the two
+  * must agree BIT-EXACTLY (same sequential left fold in double space) on
+  * real embeddings and on adversarial random vectors, and the function
+  * must be callable from SQL text after registration. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("vec_dot == HOF fold bit-exactly on the embeddings table") {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      Similarity.dot(col("embedding"), col("qv")).as("native"),
+      Similarity.dotHof(col("embedding"), col("qv")).as("hof"))
+    val rows = both.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      // bitwise equality, not epsilon — same IEEE op sequence
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("vec_dot == HOF fold on random vectors (property)") {
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-1e6f, 1e6f))
+    forAllSamples(Gen.zip(genVec, genVec), n = 50) { case (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val Array(row) = df.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+  }
+
+  test("vec_dot: mismatched lengths -> null, null input -> null") {
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (null.asInstanceOf[Array[Float]], Array(1f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.dot(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("vec_dot is callable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d").head()
+    assert(r.getDouble(0) === 9.0)
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // AQE defers physical planning, so CodegenMode sees no subtrees
+    // until execution; turn it off for the static plan inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val code = emb.crossJoin(broadcast(q))
+        .select(Similarity.dot(col("embedding"), col("qv")).as("d"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+      assert(code.contains("WholeStageCodegen"))
+      // the generated Java contains the primitive loop, not an eval() call
+      assert(code.contains(".getFloat("))
+      assert(!code.contains("nullSafeEval"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
