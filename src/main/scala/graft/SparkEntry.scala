@@ -45,6 +45,7 @@ object SparkEntry {
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
     "q_tfidf" -> (graft.ext.TextOps.qTfIdf _),
+    "q_quality_filter" -> (graft.ext.TextOps.qQualityFilter _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,
     "q_tfidf" -> graft.ext.TextOps.qTfIdfSql,
+    "q_quality_filter" -> graft.ext.TextOps.qQualityFilterSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,

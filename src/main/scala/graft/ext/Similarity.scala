@@ -108,7 +108,10 @@ object Similarity {
     val nprobe = 4
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("fv", array_to_vector(col("embedding")))
+    // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
+    // give stable-enough cells at a quarter of the fit cost
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(5)
       .fit(emb)
     val cells = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))

