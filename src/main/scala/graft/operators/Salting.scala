@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed joins — the explicit fallback when AQE's
+  * runtime skew-join split can't apply (streaming joins, non-AQE
+  * plans, or a single key so hot that one split still OOMs a task).
+  *
+  * Shape: the skewed (fact) side spreads each row across `salts`
+  * sub-keys with a deterministic pseudo-random salt; the build (dim)
+  * side replicates every row once per salt value; the equi-join runs on
+  * (key, salt), so a key holding 10⁹ rows lands on `salts` tasks
+  * instead of one. Cost: the dim side is `salts`× larger in the
+  * shuffle — size `salts` to the observed skew factor, not higher.
+  *
+  * AQE's skew handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default in this engine's sessions) is the first line of defense —
+  * prefer it; reach for explicit salting only when the plan shows a
+  * skewed SMJ that AQE didn't split.
+  */
+object Salting {
+
+  /** Deterministic row salt in [0, salts): hashed from the whole row's
+    * key column plus a per-row disambiguator, so re-runs salt
+    * identically (no `rand()` — nondeterministic salts break retried
+    * tasks and any oracle comparison). */
+  private def rowSalt(key: Column, salts: Int): Column =
+    pmod(xxhash64(key, monotonically_increasing_id()), lit(salts.toLong))
+      .cast("int")
+
+  /** Equi-join `fact ⋈ dim` on `factKey == dimKey`, salted `salts` ways.
+    * Semantics identical to the plain join (spec-checked); only the
+    * physical distribution of the hot keys changes. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("__salt", rowSalt(col(factKey), salts))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__salt") === saltedDim("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}
