@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Aggregates.q1Agg _),
     "q_scalar_min" -> (Aggregates.scalarMin _),
+    "q_rollup" -> (Aggregates.qRollup _),
     "q_view_transactions" -> (Views.transactions _),
     "q_view_retention" -> (Views.retention _),
     "q_view_auto_optiom" -> (Views.autoOptiom _),
@@ -60,6 +61,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Aggregates.q1AggSql,
     "q_scalar_min" -> Aggregates.scalarMinSql,
+    "q_rollup" -> Aggregates.qRollupSql,
     "q_view_transactions" -> Views.transactionsSql,
     "q_view_retention" -> Views.retentionSql,
     "q_view_auto_optiom" -> Views.autoOptiomSql,

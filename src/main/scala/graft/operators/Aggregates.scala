@@ -74,6 +74,23 @@ object Aggregates {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Multi-level rollup (SURVEY §2.4: the reference defers grouping to
+    * its BI layer; the engine proves the path natively). Spark plans
+    * rollup as ONE Expand + hash-aggregate pass — grouping-set rows are
+    * generated map-side and partially aggregated before the shuffle, so
+    * the exchange still carries only |groups| rows per level. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   /** A1 — scalar MIN aggregate used as the merge cutoff
     * (reference config.py:180-187). */
   def scalarMin(spark: SparkSession, dir: String): DataFrame =

@@ -84,13 +84,29 @@ case class FloatVectorDot(left: Expression, right: Expression)
 object VectorExpressions {
 
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "vec_dot takes exactly 2 arguments")
-        FloatVectorDot(args.head, args(1))
-      }))
+    Seq(
+      (
+        new FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "vec_dot takes exactly 2 arguments")
+          FloatVectorDot(args.head, args(1))
+        }),
+      // SURVEY §2.8: the reference's one converter fn, SQL-callable —
+      // strip_excel(s) ≡ btrim(s, '"=') (strip Excel ="0123" artifacts).
+      // Resolves to the builtin StringTrimBoth, so it codegens like any
+      // btrim call; registration just gives it the reference's name.
+      (
+        new FunctionIdentifier("strip_excel"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.StringTrimBoth].getName,
+          "strip_excel"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "strip_excel takes exactly 1 argument")
+          new org.apache.spark.sql.catalyst.expressions.StringTrimBoth(
+            args.head,
+            org.apache.spark.sql.catalyst.expressions.Literal("\"="))
+        }))
 
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(

@@ -58,6 +58,15 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 9.0)
   }
 
+  test("strip_excel is SQL-callable and matches btrim semantics") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""SELECT strip_excel('="0123"') AS s""").head()
+    assert(r.getString(0) === "0123")
+    // untouched strings pass through
+    assert(spark.sql("SELECT strip_excel('plain') AS s")
+      .head().getString(0) === "plain")
+  }
+
   test("vec_dot stays inside whole-stage codegen") {
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
