@@ -34,6 +34,7 @@ object SparkEntry {
     "q_events_window" -> (Events.qEventsWindow _),
     "q_sessionize" -> (Events.qSessionize _),
     "q_json_props" -> (Events.qJsonProps _),
+    "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_topk" -> (SetSortOps.qTopk _),
     "q_union" -> (SetSortOps.qUnion _),
     "q_base64" -> (SetSortOps.qBase64 _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q_events_window" -> Events.qEventsWindowSql,
     "q_sessionize" -> Events.qSessionizeSql,
     "q_json_props" -> Events.qJsonPropsSql,
+    "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_topk" -> SetSortOps.qTopkSql,
     "q_union" -> SetSortOps.qUnionSql,
     "q_base64" -> SetSortOps.qBase64Sql,
