@@ -35,6 +35,7 @@ object SparkEntry {
     "q_sessionize" -> (Events.qSessionize _),
     "q_json_props" -> (Events.qJsonProps _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
+    "q_range_join" -> (RangeJoin.qRangeJoin _),
     "q_topk" -> (SetSortOps.qTopk _),
     "q_union" -> (SetSortOps.qUnion _),
     "q_base64" -> (SetSortOps.qBase64 _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_sessionize" -> Events.qSessionizeSql,
     "q_json_props" -> Events.qJsonPropsSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
+    "q_range_join" -> RangeJoin.qRangeJoinSql,
     "q_topk" -> SetSortOps.qTopkSql,
     "q_union" -> SetSortOps.qUnionSql,
     "q_base64" -> SetSortOps.qBase64Sql,
