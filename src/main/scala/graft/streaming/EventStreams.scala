@@ -47,6 +47,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
 
+  /** Stream-stream proximity join — the streaming counterpart of
+    * [[graft.operators.RangeJoin]]: error events joined to the same
+    * user's click events within ± 1 hour, as two watermarked streams.
+    *
+    * Spark's stream-stream join REQUIRES the event-time bound in the
+    * join condition — it is what lets each side evict buffered state
+    * once the other side's watermark passes `t ± tolerance`, keeping
+    * state proportional to the tolerance window, not the stream. This
+    * is the built-in, state-bounded form of the same bucketing idea the
+    * batch RangeJoin uses. */
+  def proximityJoin(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = clicks.withWatermark("cts", "2 hours")
+      .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+        col("cts"))
+    e.join(c,
+      col("user_id") === col("cuser") &&
+        col("cts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("event_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("dt_us"))
+  }
+
   /** Gap-based sessions (gap = [[graft.operators.Events.sessionGapMicros]]).
     * Within a micro-batch, a user's events arrive as an unordered
     * iterator — they are sorted by event time here, then folded into the
