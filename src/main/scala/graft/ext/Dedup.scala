@@ -22,16 +22,21 @@ object Dedup {
   private def toks(c: Column): Column = split(c, " ")
 
   /** Distinct word-3-gram shingles of a text column; texts shorter than
-    * 3 tokens fall back to the whole text as one shingle.
-    *
-    * Built as zip_with over three shifted slices, NOT as
-    * transform(sequence, i -> element_at(t, i)...): higher-order
-    * functions are interpreted (no codegen), and any lambda BODY that
-    * references the split array re-evaluates the split per element —
-    * O(tokens²) string splitting per document. Array-argument positions
-    * evaluate once per row, so the slice form does a constant ~7 splits
-    * per document (measured 6× faster on the sf0.1 corpus). */
-  def shingles3(c: Column): Column = {
+    * 3 tokens fall back to the whole text as one shingle. Backed by the
+    * native codegen'd [[org.apache.spark.sql.graftshim.Shingles3]] —
+    * the Jaccard/MinHash/SimHash DAGs each evaluate this over the
+    * corpus more than once, and the interpreted HOF form it replaces
+    * ([[shingles3Hof]], kept as the cross-check) was the hottest
+    * expression in the bench. */
+  def shingles3(c: Column): Column =
+    org.apache.spark.sql.graftshim.Shingles3.shingles3(c)
+
+  /** The higher-order-function formulation of [[shingles3]] (zip_with
+    * over three shifted slices + array_distinct — slices evaluate the
+    * split once per row, so it's O(tokens), just interpreted). Retained
+    * as the independent reference implementation FunctionsSpec checks
+    * the native expression against. */
+  def shingles3Hof(c: Column): Column = {
     val t = toks(c)
     val n2 = size(t) - 2
     val tri = zip_with(

@@ -88,3 +88,61 @@ object TrigramCounts {
   def trigramCounts(c: Column): Column =
     ExpressionUtils.column(TrigramCounts(ExpressionUtils.expression(c)))
 }
+
+/** Distinct word-3-gram shingles of a single-space-tokenized text, as a
+  * native expression: `shingles3(text)` → array<string>. Semantics match
+  * the HOF form it replaces (zip_with over three shifted token slices +
+  * array_distinct, with the whole-text fallback for < 3 tokens) and the
+  * jaccard oracle's list comprehension — first-occurrence order, which
+  * array_distinct also preserves. Shared by the Jaccard / MinHash /
+  * SimHash dedup paths, whose DAGs evaluate it over the corpus more
+  * than once: interpreted lambdas there were the single hottest
+  * expression in the bench. */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "shingles3"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.Shingles3.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Shingles3 = copy(child = newChild)
+}
+
+object Shingles3 {
+
+  def compute(s: UTF8String): ArrayData = {
+    // split on single spaces, exactly like split(text, " ") — empty
+    // tokens from doubled/leading/trailing spaces included
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    var idx = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      out(idx) = UTF8String.fromString(it.next()); idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingles3(c: Column): Column =
+    ExpressionUtils.column(Shingles3(ExpressionUtils.expression(c)))
+}

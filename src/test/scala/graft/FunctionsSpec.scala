@@ -58,6 +58,24 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 9.0)
   }
 
+  test("shingles3 native == HOF formulation exactly, including order") {
+    val docs = Tables(spark, dir, "documents")
+    val both = docs.select(
+      graft.ext.Dedup.shingles3(col("text")).as("native"),
+      graft.ext.Dedup.shingles3Hof(col("text")).as("hof"))
+    val rows = both.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // edge cases: < 3 tokens falls back to whole text; empty tokens kept
+    val edge = Seq("one two", "a  b c d", "").toDF("text")
+      .select(graft.ext.Dedup.shingles3(col("text")).as("n"),
+        graft.ext.Dedup.shingles3Hof(col("text")).as("h"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("strip_excel is SQL-callable and matches btrim semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql("""SELECT strip_excel('="0123"') AS s""").head()
