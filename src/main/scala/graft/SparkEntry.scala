@@ -47,6 +47,7 @@ object SparkEntry {
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
+    "q_winnow" -> (graft.ext.TextOps.qWinnow _),
     "q_tfidf" -> (graft.ext.TextOps.qTfIdf _),
     "q_quality_filter" -> (graft.ext.TextOps.qQualityFilter _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,
+    "q_winnow" -> graft.ext.TextOps.qWinnowSql,
     "q_tfidf" -> graft.ext.TextOps.qTfIdfSql,
     "q_quality_filter" -> graft.ext.TextOps.qQualityFilterSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,

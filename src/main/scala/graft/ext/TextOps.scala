@@ -82,6 +82,43 @@ object TextOps {
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Rolling-hash document fingerprinting (winnowing / MOSS): rolling
+    * polynomial hash over char 8-grams, sliding-window minima, distinct
+    * set per doc — the position-robust fingerprint (vs [[qFingerprint]]'s
+    * whole-document md5, which any edit changes entirely). Computed by
+    * the native [[org.apache.spark.sql.graftshim.WinnowFingerprints]]
+    * expression (O(len) per doc, map-only, no shuffle before the
+    * explode); the oracle replays the identical integer arithmetic in
+    * SQL. */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftshim.WinnowFingerprints
+          .winnowFingerprints(col("text"))).as("fp"))
+
+  val qWinnowSql: String = {
+    import org.apache.spark.sql.graftshim.WinnowFingerprints.{B, K, M, W}
+    def lowcp(j: Int): String =
+      s"(CASE WHEN ascii(substr(text, i+$j, 1)) BETWEEN 65 AND 90 " +
+        s"THEN ascii(substr(text, i+$j, 1)) + 32 " +
+        s"ELSE ascii(substr(text, i+$j, 1)) END)"
+    val horner = (1 until K).foldLeft(s"(${lowcp(0)} % $M)") {
+      (acc, j) => s"(($acc * $B + ${lowcp(j)}) % $M)"
+    }
+    s"""WITH pos AS (
+      |  SELECT doc_id, i, $horner AS h
+      |  FROM documents,
+      |       LATERAL unnest(generate_series(1, length(text) - ${K - 1}))
+      |         AS u(i)
+      |), win AS (
+      |  SELECT doc_id, MIN(h) OVER (
+      |    PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+      |  FROM pos
+      |)
+      |SELECT DISTINCT doc_id, fp FROM win""".stripMargin
+  }
+
   /** Quality filter — the actual curation operator: score each document
     * on length / punctuation ratio / stopword ratio and keep only docs
     * passing all gates (thresholds sized to this corpus: length ≥ 100

@@ -96,6 +96,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("winnow: near-dup docs share fingerprints, position-robust") {
+    // the winnowing guarantee: docs overlapping by >= w + k - 1 chars
+    // share at least one fingerprint — near-dup pairs must overlap
+    val fps = TextOps.qWinnow(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("fp")).toSet }
+    val nearDups = Dedup.qDedupJaccard(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("jacc") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (a, b) =>
+      assert(fps(a).intersect(fps(b)).nonEmpty,
+        s"near-dup pair ($a,$b) shares no winnow fingerprint")
+    }
+    // and fingerprints are far smaller than the text (the point of
+    // winnowing vs keeping every k-gram hash)
+    val avgFps = fps.values.map(_.size).sum.toDouble / fps.size
+    assert(avgFps < 200)
+  }
+
   test("tfidf: k per doc, corpus-wide terms score 0, rare terms rank first") {
     val rows = TextOps.qTfIdf(spark, dir).collect()
     assert(rows.nonEmpty)
