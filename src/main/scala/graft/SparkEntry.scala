@@ -34,6 +34,8 @@ object SparkEntry {
     "q_events_window" -> (Events.qEventsWindow _),
     "q_sessionize" -> (Events.qSessionize _),
     "q_json_props" -> (Events.qJsonProps _),
+    "q_pivot" -> (Events.qPivot _),
+    "q_quantiles" -> (Events.qQuantiles _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_range_join" -> (RangeJoin.qRangeJoin _),
     "q_topk" -> (SetSortOps.qTopk _),
@@ -76,6 +78,8 @@ object SparkEntry {
     "q_events_window" -> Events.qEventsWindowSql,
     "q_sessionize" -> Events.qSessionizeSql,
     "q_json_props" -> Events.qJsonPropsSql,
+    "q_pivot" -> Events.qPivotSql,
+    "q_quantiles" -> Events.qQuantilesSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_range_join" -> RangeJoin.qRangeJoinSql,
     "q_topk" -> SetSortOps.qTopkSql,

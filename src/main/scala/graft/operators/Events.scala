@@ -91,6 +91,48 @@ object Events {
       |  COUNT(*) AS n_events
       |FROM numbered GROUP BY 1, 2""".stripMargin
 
+  /** Pivot — long-to-wide reshaping: per-user event counts, one column
+    * per event type. The value list is EXPLICIT: `pivot(col)` without
+    * values first runs a distinct job over the corpus to discover them
+    * and caps at `spark.sql.pivotMaxValues` — at 100 TB the enumerated
+    * form is one pass, plans as an ordinary grouping aggregation, and
+    * fails loudly if a new type appears instead of silently widening. */
+  val eventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+
+  val qPivotSql: String =
+    s"""SELECT user_id,
+      |${eventTypes.map(t =>
+        s"  COUNT(*) FILTER (event_type = '$t') AS \"$t\"").mkString(",\n")}
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Exact continuous percentiles per event type (both engines use the
+    * same (1-d)·lower + d·upper interpolation). Exact ordered statistics
+    * sort each group — the honest cost; the constant-memory scale path
+    * is `approx_percentile` (same plan family as the HLL sketch pair in
+    * Similarity), kept out of the oracle query because sketch estimates
+    * are engine-specific. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+
+  val qQuantilesSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** JSON property extraction from the `props` column (every training
     * pipeline parses sidecar JSON metadata): pull `$.k` as a typed
     * column and keep the raw event key. */
