@@ -105,9 +105,11 @@ object Dedup {
     val inv = grams.groupBy("g")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, jaccardDocfreqCap))
-    val pairsOf = flatten(transform(col("ds"), a =>
-      transform(filter(col("ds"), b => b > a), b =>
-        struct(a.as("doc_a"), b.as("doc_b")))))
+    // map-side pair generation via the native pair_combos expression
+    // (the doubly-nested transform/filter HOF it replaces was
+    // interpreted and the single hottest stage of this query)
+    val pairsOf =
+      org.apache.spark.sql.graftshim.PairCombos.pairCombos(col("ds"))
     // localCheckpoint: cand is consumed twice below (pair join + id list);
     // without it the whole corpus-scale index pipeline re-runs per branch.
     // The materialized table is only (long, long) per candidate pair.

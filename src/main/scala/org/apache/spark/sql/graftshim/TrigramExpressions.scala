@@ -146,3 +146,57 @@ object Shingles3 {
   def shingles3(c: Column): Column =
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(c)))
 }
+
+/** All ordered pairs (a, b) with a < b from a sorted long array —
+  * the map-side candidate-pair generation of the Jaccard inverted
+  * index (`pair_combos(ds)` over each shingle's doc list). Replaces a
+  * doubly-nested interpreted transform/filter HOF; per-list cost is
+  * n(n-1)/2 with n already capped by the docfreq guard. */
+case class PairCombos(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pair_combos"
+
+  override def nullSafeEval(input: Any): Any =
+    PairCombos.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.PairCombos.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PairCombos = copy(child = newChild)
+}
+
+object PairCombos {
+
+  def compute(ds: ArrayData): ArrayData = {
+    val n = ds.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var (i, idx) = (0, 0)
+    while (i < n) {
+      val a = ds.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = InternalRow(a, ds.getLong(j)); idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pairCombos(c: Column): Column =
+    ExpressionUtils.column(PairCombos(ExpressionUtils.expression(c)))
+}
