@@ -38,6 +38,36 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof == brute-force reference on random data (property)") {
+    import org.scalacheck.Gen
+    val genRows = for {
+      nl <- Gen.chooseNum(0, 30)
+      nr <- Gen.chooseNum(0, 30)
+      lrows <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 50L)))
+      rrows <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 50L)))
+    } yield (lrows, rrows)
+    forAllSamples(genRows, n = 15) { case (lrows, rrows) =>
+      // dedupe right on (k, t): the operator is deterministic only when
+      // the right side has one payload per (key, time) — same contract
+      // the driver query satisfies
+      val rclean = rrows.distinctBy(x => (x._1, x._2))
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"l$i") }.toDF("k", "t", "lv")
+      val right = rclean.map { case (k, t) => (k, t, s"r$k-$t") }
+        .toDF("k", "t", "rv")
+      val got = AsofJoin.asofJoin(left, right, "k", "t")
+        .select("k", "t", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)).orNull)).toSet
+      val want = lrows.zipWithIndex.map { case ((k, t), i) =>
+        val best = rclean.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        (k, t, s"l$i", best.map(r => s"r${r._1}-${r._2}").orNull)
+      }.toSet
+      assert(got === want)
+    }
+  }
+
   test("asof driver query: every click row present, matches forward-fill invariant") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables(spark, dir, "events")

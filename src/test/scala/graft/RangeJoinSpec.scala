@@ -45,6 +45,33 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("range join == brute-force reference on random data (property)") {
+    import org.scalacheck.Gen
+    val base = ts("2024-01-01 00:00:00").getTime
+    val tol = 90L * 1000000 // 90 s
+    val genRows = for {
+      nl <- Gen.chooseNum(0, 25)
+      nr <- Gen.chooseNum(0, 25)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 600L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 600L)))
+    } yield (l.distinct, r.distinct)
+    forAllSamples(genRows, n = 15) { case (lrows, rrows) =>
+      val left = lrows.map { case (k, s) =>
+        (k, new Timestamp(base + s * 1000), s"l$k-$s") }.toDF("k", "lt", "ln")
+      val right = rrows.map { case (k, s) =>
+        (k, new Timestamp(base + s * 1000), s"r$k-$s") }.toDF("k", "rt", "rn")
+      val got = RangeJoin.rangeJoin(left, right, "k", "lt", "rt", tol)
+        .select("ln", "rn").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val want = (for {
+        (lk, ls) <- lrows
+        (rk, rs) <- rrows
+        if lk == rk && math.abs(ls - rs) * 1000000 <= tol
+      } yield (s"l$lk-$ls", s"r$rk-$rs")).sorted
+      assert(got === want)
+    }
+  }
+
   test("driver query: pairs are within tolerance and keyed correctly") {
     val out = RangeJoin.qRangeJoin(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
