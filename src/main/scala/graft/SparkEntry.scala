@@ -41,6 +41,9 @@ object SparkEntry {
     "q_topk" -> (SetSortOps.qTopk _),
     "q_union" -> (SetSortOps.qUnion _),
     "q_base64" -> (SetSortOps.qBase64 _),
+    "q_anti_join" -> (SetSortOps.qAntiJoin _),
+    "q_edit_distance" -> (graft.ext.TextOps.qEditDistance _),
+    "q_hash_sample" -> (graft.ext.TextOps.qHashSample _),
     "q_dedup_exact" -> (graft.ext.Dedup.qDedupExact _),
     "q_dedup_jaccard" -> (graft.ext.Dedup.qDedupJaccard _),
     "q_dedup_minhash" -> (graft.ext.Dedup.qDedupMinhash _),
@@ -85,6 +88,9 @@ object SparkEntry {
     "q_topk" -> SetSortOps.qTopkSql,
     "q_union" -> SetSortOps.qUnionSql,
     "q_base64" -> SetSortOps.qBase64Sql,
+    "q_anti_join" -> SetSortOps.qAntiJoinSql,
+    "q_edit_distance" -> graft.ext.TextOps.qEditDistanceSql,
+    "q_hash_sample" -> graft.ext.TextOps.qHashSampleSql,
     "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,
     "q_dedup_jaccard" -> graft.ext.Dedup.qDedupJaccardSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,

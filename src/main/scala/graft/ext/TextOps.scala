@@ -82,6 +82,55 @@ object TextOps {
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Edit-distance verification over the exact-dedup groups: for every
+    * prefix-collision group, the Levenshtein distance between the
+    * representative and each other member — the character-level
+    * confirmation pass a dedup pipeline runs on its cheapest candidate
+    * source. O(len²) per PAIR, but pairs = docs in multi-member groups
+    * only; the quadratic unit cost never touches the corpus. */
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 40).as("pk"))
+    val rep = docs.groupBy("pk").agg(min(col("doc_id")).as("rep_id"))
+    docs.join(rep, "pk")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .join(Tables(spark, dir, "documents")
+        .select(col("doc_id").as("rep_id"), col("text").as("rep_text")),
+        "rep_id")
+      .select(col("rep_id"), col("doc_id"),
+        levenshtein(col("text"), col("rep_text")).as("edit_dist"))
+  }
+
+  val qEditDistanceSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, text, substr(text, 1, 40) AS pk FROM documents
+      |), rep AS (
+      |  SELECT pk, MIN(doc_id) AS rep_id FROM keyed GROUP BY pk
+      |)
+      |SELECT r.rep_id, k.doc_id,
+      |  levenshtein(k.text, rd.text) AS edit_dist
+      |FROM keyed k
+      |JOIN rep r ON k.pk = r.pk AND k.doc_id <> r.rep_id
+      |JOIN documents rd ON rd.doc_id = r.rep_id""".stripMargin
+
+  /** Deterministic hash sampling — the reproducible train/test split
+    * every training pipeline needs: keep a row iff the first hex digit
+    * of md5(doc_id) falls in a fixed bucket set (here 2/16 = 12.5%).
+    * Unlike TABLESAMPLE/rand(), the split is a pure function of the
+    * key: stable across runs, engines, partitionings, and cluster
+    * sizes, and any worker can answer "which split is this row in?"
+    * without coordination. Map-only, scale-free. */
+  def qHashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val qHashSampleSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin
+
   /** Rolling-hash document fingerprinting (winnowing / MOSS): rolling
     * polynomial hash over char 8-grams, sliding-window minima, distinct
     * set per doc — the position-robust fingerprint (vs [[qFingerprint]]'s

@@ -55,4 +55,25 @@ object SetSortOps {
       |  CAST(from_base64(base64(CAST(event_type AS BLOB))) AS VARCHAR)
       |    AS decoded
       |FROM events""".stripMargin
+
+  /** Anti join — customers with no order since 1998. Spark's left_anti
+    * plans as a broadcast/shuffled hash anti join: the probe side
+    * streams, the build side holds only join keys — the right shape for
+    * "rows with no match" at any scale (vs the NOT IN subquery
+    * formulation, which null-semantics aside degenerates without
+    * decorrelation). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""".stripMargin
 }
