@@ -90,9 +90,10 @@ object Dedup {
     *      jaccardDocfreqCap are dropped (hot-shingle guard), lists of one
     *      doc generate no pairs;
     *   2. candidate pairs are generated MAP-SIDE from each surviving doc
-    *      list (≤ cap²/2 pairs per shingle, a higher-order transform —
-    *      no self-join, no corpus-sized shuffle), then counted per pair;
-    *      only pairs sharing ≥ jaccardMinCommonRare rare shingles survive;
+    *      list (≤ cap²/2 pairs per shingle, via the native pair_combos
+    *      expression — no self-join, no corpus-sized shuffle), then
+    *      counted per pair; only pairs sharing ≥ jaccardMinCommonRare
+    *      rare shingles survive;
     *   3. exact Jaccard over the FULL shingle sets, recomputed only for
     *      docs that appear in a candidate pair (left_semi on `documents`),
     *      via array_intersect on the two per-doc shingle arrays.
