@@ -74,6 +74,60 @@ object Merge {
     overwriteAtomic(merge(base, staging, dateCol), basePath)
   }
 
+  /** The 100 TB merge: base laid out partitioned by month
+    * (`pmonth=yyyy-MM` directories) and the rewrite touches ONLY the
+    * partitions on/after the cutoff month — everything older is not
+    * read, not shuffled, and not rewritten.
+    *
+    * Mechanics: rows to publish = (base rows in overlap partitions
+    * still below the exact cutoff) ∪ staging; written with
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the written data and leaves all others'
+    * files byte-identical (spec-asserted). The unpartitioned
+    * [[updateTable]] rewrites the whole table per batch — correct, but
+    * O(table); this variant is O(overlap), which is what makes a daily
+    * merge into a years-deep 100 TB table feasible. Reading the
+    * partitions being overwritten is safe: the source files are
+    * replaced only at job commit.
+    *
+    * Semantics are IDENTICAL to [[merge]] (MergeSpec cross-checks the
+    * resulting table): cutoff-month base rows below the exact cutoff
+    * survive, everything on/after the cutoff is replaced by staging. */
+  def updateTablePartitioned(spark: SparkSession, basePath: String,
+                             staging: DataFrame, dateCol: String): Unit =
+    cutoff(staging, dateCol) match {
+      case Some(cut) =>
+        val pmonth = date_format(col(dateCol), "yyyy-MM")
+        val cutMonth = staging.sparkSession.range(1)
+          .select(date_format(lit(cut), "yyyy-MM")).first().getString(0)
+        val base = spark.read.parquet(basePath)
+        // localCheckpoint materializes the surviving overlap rows BEFORE
+        // the write starts: it is what keeps this off Spark's
+        // "cannot overwrite a path being read from" hazard, and it is
+        // bounded by the overlap window — O(overlap), never O(table)
+        val keepInOverlap = base
+          .filter(col("pmonth") >= cutMonth && col(dateCol) < lit(cut))
+          .drop("pmonth")
+          .localCheckpoint()
+        val out = keepInOverlap.unionByName(staging)
+          .withColumn("pmonth", pmonth)
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try out.write.mode("overwrite").partitionBy("pmonth").parquet(basePath)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      case None => ()
+    }
+
+  /** Initial load for the partitioned layout. */
+  def writePartitioned(df: DataFrame, basePath: String, dateCol: String): Unit =
+    df.withColumn("pmonth", date_format(col(dateCol), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("pmonth").parquet(basePath)
+
   /** S5 retry path — merge from the PERSISTED staging table. The
     * reference truncate-loads `table_new` and keeps it queryable
     * (`config.py:161-171`, `settings.yaml:20`); a merge failure leaves

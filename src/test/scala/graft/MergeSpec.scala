@@ -59,4 +59,37 @@ class MergeSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
     assert(out2 === Seq("2020-01-01" -> 1, "2020-01-15" -> 9))
   }
+
+  test("partitioned merge: same semantics as merge(), old partitions untouched") {
+    val dir = Files.createTempDirectory("merge-part").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    val base = df(Seq(
+      "2020-01-01" -> 1, "2020-01-20" -> 2,
+      "2020-02-01" -> 3, "2020-02-10" -> 4,
+      "2020-03-01" -> 5))
+    Merge.writePartitioned(base, basePath, "d")
+
+    def partFiles(month: String) = {
+      val d = new java.io.File(s"$basePath/pmonth=$month")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSeq.sorted
+    }
+    val janBefore = partFiles("2020-01")
+
+    // staging cuts into February: cutoff = 2020-02-05
+    val staging = df(Seq("2020-02-05" -> 40, "2020-03-15" -> 50))
+    Merge.updateTablePartitioned(spark, basePath, staging, "d")
+
+    // semantics == the unpartitioned merge
+    val got = spark.read.parquet(basePath).drop("pmonth")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    val want = Merge.merge(base, staging, "d")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    assert(got === want)
+    assert(got === Seq("2020-01-01" -> 1, "2020-01-20" -> 2,
+      "2020-02-01" -> 3, "2020-02-05" -> 40, "2020-03-15" -> 50))
+
+    // January's partition files were not rewritten (same names + mtimes)
+    assert(partFiles("2020-01") === janBefore)
+  }
 }
