@@ -100,6 +100,33 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: re-encode every image payload to the target
+    * dimensions, leaving other modalities untouched — the standard
+    * normalization step before batch feature extraction. The pixel
+    * transform is the codec seam again (a real implementation calls the
+    * imaging library between decode and re-encode); the Spark shape —
+    * mapPartitions over the payload column, metadata updated in the
+    * same pass, non-image rows passed through untouched — is the real
+    * contract. Map-only, embarrassingly parallel; run it AFTER
+    * [[repartitionByPayloadSize]] so a partition of 4K images can't
+    * straggle. */
+  def resize(media: Dataset[MediaRow], width: Short, height: Short): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would init the codec once
+      rows.map { r =>
+        if (r.modality != "image") r
+        else {
+          val bb = java.nio.ByteBuffer.wrap(r.payload.clone())
+          // header layout per [[synthesize]]: w/h live at offsets 5/7;
+          // a real codec re-encodes the body too — seam, not semantics
+          bb.putShort(5, width).putShort(7, height)
+          MediaRow(r.doc_id, r.modality, bb.array())
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: keep every k-th frame index —
     * the row-explode shape a real frame extractor produces. */
   def sampleFrames(meta: Dataset[MediaMeta], k: Int): DataFrame = {

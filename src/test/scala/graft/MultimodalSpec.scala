@@ -48,4 +48,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.FakeCodec.decode("not-media".getBytes("UTF-8"))
     }
   }
+
+  test("resize rewrites image dimensions only, passes other modalities through") {
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.synthesize(spark, dir)
+    val before = Multimodal.decode(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    val resized = Multimodal.decode(
+      Multimodal.resize(media, 224, 224)).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m =>
+      val b = before(m.doc_id)
+      if (m.modality == "image") {
+        assert(m.width === 224 && m.height === 224)
+        assert(m.n_bytes === b.n_bytes) // stub re-encode keeps the body
+      } else {
+        // untouched: same dims, same payload-derived features
+        assert(m.width === b.width && m.height === b.height)
+        assert(m.feature.toSeq === b.feature.toSeq)
+      }
+    }
+  }
 }
