@@ -61,7 +61,8 @@ object SparkEntry {
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
-    "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _)
+    "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
+    "q_media_near_dup" -> (graft.multimodal.Multimodal.qMediaNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -159,6 +159,42 @@ object Multimodal {
       |    AS frame_idx
       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
+  /** Media near-dup detection over EXTRACTED features — the multimodal
+    * and similarity families composed: synthesize → decode/feature →
+    * LSH-bucket the 8-dim feature vectors (sign bits of deterministic
+    * pseudo-random projections, same scheme as Similarity.qAnnLsh) →
+    * exact cosine verify within buckets. Never all-pairs: candidates
+    * come from an equi-join on the bucket id. Feature extraction is
+    * behind the codec seam → rows-only check; MultimodalSpec
+    * cross-validates every reported cosine by recomputation. */
+  def qMediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{decode => _, _}
+    val feats = Multimodal.decode(synthesize(spark, dir)).toDF()
+      .select(col("doc_id"), col("feature"))
+    val dot = graft.functions.GraftFunctions.vecDot _
+    def planeBit(v: org.apache.spark.sql.Column, p: Int) = {
+      val contrib = transform(sequence(lit(1), lit(8)), i =>
+        element_at(v, i).cast("double") *
+          when(xxhash64(i, lit(p)).bitwiseAND(1) === 1, 1.0).otherwise(-1.0))
+      when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) >= 0, 1L)
+        .otherwise(0L)
+    }
+    val bucket = (0 until 4)
+      .map(p => shiftleft(planeBit(col("feature"), p), p)).reduce(_ + _)
+    val b = feats.select(col("doc_id"), col("feature"), bucket.as("bucket"))
+    val norm = sqrt(dot(col("a.feature"), col("a.feature"))) *
+      sqrt(dot(col("b.feature"), col("b.feature")))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (dot(col("a.feature"), col("b.feature")) / norm).as("cosine"))
+      // all-positive fake features make baseline cosines high (~0.999);
+      // the planted near-dups sit at >= 0.9999999 with the next cluster
+      // at 0.99992, so this bar keeps exactly the genuine duplicates
+      .filter(col("cosine") >= 0.99999)
+  }
+
   /** Mirrors [[synthesize]] + [[FakeCodec.decode]] field by field:
     * width = 64 + n_chars mod 512, height = 64 + doc_id mod 512,
     * n_frames = 1 + doc_id mod 30 for video else 1,

@@ -49,6 +49,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media near-dup: reported cosines verify by recomputation, band respected") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Multimodal.qMediaNearDup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    val feats = Multimodal.decode(Multimodal.synthesize(spark, dir))
+      .collect().map(m => m.doc_id -> m.feature).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    pairs.foreach { r =>
+      val expected = cos(feats(r.getAs[Long]("doc_a")), feats(r.getAs[Long]("doc_b")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-9)
+      assert(r.getAs[Double]("cosine") >= 0.99999)
+    }
+  }
+
   test("resize rewrites image dimensions only, passes other modalities through") {
     val dir = "/root/testdata/sf0.001"
     val media = Multimodal.synthesize(spark, dir)
