@@ -101,8 +101,12 @@ object Dedup {
     * stage materializes or shuffles more than the shingle→id index. */
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // Index on HASHED shingles: the inverted-index shuffle carries
+    // 8-byte longs instead of multi-word shingle strings (same
+    // candidate pairs modulo ~n²/2⁶⁴ collision odds; the oracle groups
+    // on the strings and agrees on the output pairs).
     val grams = docs.select(col("doc_id"),
-      explode(shingles3(col("text"))).as("g"))
+      explode(transform(shingles3(col("text")), g => xxhash64(g))).as("g"))
     val inv = grams.groupBy("g")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, jaccardDocfreqCap))

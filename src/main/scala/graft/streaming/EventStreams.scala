@@ -47,6 +47,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup — the ingestion guard of every training-data
+    * pipeline (re-delivered files, at-least-once sources):
+    * `dropDuplicatesWithinWatermark` keys state by event_id and EVICTS
+    * each key once the watermark passes its event time + delay — state
+    * is bounded by the watermark window, where plain streaming
+    * `dropDuplicates` grows keys forever (the 100 TB failure mode). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream proximity join — the streaming counterpart of
     * [[graft.operators.RangeJoin]]: error events joined to the same
     * user's click events within ± 1 hour, as two watermarked streams.

@@ -65,6 +65,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(mustEmit.subsetOf(streamed))
   }
 
+  test("streaming dedup: a fully re-delivered file emits no duplicates") {
+    // stage the SAME parquet twice — an exact at-least-once re-delivery
+    val srcDir = Files.createTempDirectory("evt-dup")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events_a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events_b.parquet"))
+    val src = spark.readStream
+      .schema(rawSchema)
+      .parquet(srcDir.toFile.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = Files.createTempDirectory("evt-dup-out").toFile.getAbsolutePath
+    val q = graft.streaming.EventStreams.dedupEvents(src)
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("dedup_events")
+    assert(streamed.count() === eventsDf.count())
+    assert(streamed.select("event_id").distinct().count() === eventsDf.count())
+  }
+
   test("stream-stream proximity join == batch range join (inner join: complete on bounded replay)") {
     def src() = spark.readStream
       .schema(rawSchema)
