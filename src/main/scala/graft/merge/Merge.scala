@@ -139,4 +139,11 @@ object Merge {
   def updateFromStaging(spark: SparkSession, basePath: String,
                         stagingPath: String, dateCol: String): Unit =
     updateTable(spark, basePath, spark.read.parquet(stagingPath), dateCol)
+
+  /** [[updateFromStaging]] against a month-partitioned base — the same
+    * retryable/idempotent contract, O(overlap) per attempt. */
+  def updateFromStagingPartitioned(spark: SparkSession, basePath: String,
+                                   stagingPath: String, dateCol: String): Unit =
+    updateTablePartitioned(spark, basePath,
+      spark.read.parquet(stagingPath), dateCol)
 }

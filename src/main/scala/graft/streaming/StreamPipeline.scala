@@ -54,7 +54,8 @@ object StreamPipeline {
       notifyDir: String,
       checkpointDir: String,
       stagingPath: String = "",
-      cleanedDir: String = "") {
+      cleanedDir: String = "",
+      partitionedBase: Boolean = false) {
     def stagingOrDefault: String =
       if (stagingPath.nonEmpty) stagingPath else basePath + "_update"
     def cleanedOrDefault: String =
@@ -137,7 +138,12 @@ object StreamPipeline {
             // committed, so the merge alone is retryable
             // (Merge.updateFromStaging).
             try {
-              Merge.updateFromStaging(
+              // partitionedBase routes through the O(overlap) dynamic-
+              // partition-overwrite merge — the 100 TB base-table layout
+              if (dirs.partitionedBase)
+                Merge.updateFromStagingPartitioned(
+                  spark, dirs.basePath, dirs.stagingOrDefault, conf.dateCol)
+              else Merge.updateFromStaging(
                 spark, dirs.basePath, dirs.stagingOrDefault, conf.dateCol)
               log.info(s"[${conf.name}] batch $batchId merged $kept rows")
               notify(spark, dirs.notifyDir, batchId, conf.name)

@@ -92,4 +92,22 @@ class MergeSpec extends SparkSpec {
     // January's partition files were not rewritten (same names + mtimes)
     assert(partFiles("2020-01") === janBefore)
   }
+
+  test("partitioned merge from persisted staging is retryable and idempotent") {
+    val dir = Files.createTempDirectory("merge-part-retry").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    val stagingPath = s"$dir/base_update"
+    Merge.writePartitioned(
+      df(Seq("2020-01-01" -> 1, "2020-02-01" -> 2)), basePath, "d")
+    Merge.overwriteAtomic(df(Seq("2020-02-01" -> 22)), stagingPath)
+
+    def baseRows() = spark.read.parquet(basePath).drop("pmonth")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+
+    Merge.updateFromStagingPartitioned(spark, basePath, stagingPath, "d")
+    assert(baseRows() === Seq("2020-01-01" -> 1, "2020-02-01" -> 22))
+    // double delivery — idempotent
+    Merge.updateFromStagingPartitioned(spark, basePath, stagingPath, "d")
+    assert(baseRows() === Seq("2020-01-01" -> 1, "2020-02-01" -> 22))
+  }
 }
