@@ -359,42 +359,47 @@ object Dedup {
       |FROM dots JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
       |WHERE dot/(x.nr*y.nr) >= $embedCosineMin""".stripMargin
 
+  /** Hot-block guard for the SimHash (blk, v) equi-join, mirroring the
+    * MinHash `maxBucket`: a 16-bit block value shared by more than this
+    * many docs is uninformative (the self-join on it is O(size²) with no
+    * near-dup signal — a genuine hamming≤3 pair still collides in one of
+    * its other, discriminative blocks), so oversized buckets are dropped
+    * before pairing. This is what keeps the block join from going
+    * quadratic on a hot block value at 100 TB. */
+  val simhashMaxBlockBucket = 100
+
   /** SimHash near-dup detection (Spark-only, rows-only check): 64-bit
-    * signature from signed sums of token-hash bits — a map-only
-    * projection per document (no shuffle to build signatures). Pairs are
-    * found by the block trick: split the 64 bits into 4 × 16-bit blocks;
-    * any pair within Hamming distance 3 must share at least one exact
-    * block, so candidate generation is again an equi-join on
-    * (block_idx, block_value), verified with bit_count(xor) <= 3. */
+    * signature via the native [[org.apache.spark.sql.graftshim.Simhash64]]
+    * expression over the doc's shingle hashes — genuinely MAP-ONLY (the
+    * signed-bit fold happens inside the expression; building signatures
+    * shuffles nothing). Pairs are found by the block trick: split the 64
+    * bits into 4 × 16-bit blocks; any pair within Hamming distance 3 must
+    * share at least one exact block, so candidate generation is an
+    * equi-join on (block_idx, block_value) — capped by
+    * [[simhashMaxBlockBucket]] against hot blocks — verified with
+    * bit_count(xor) <= 3. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // 3-gram shingles, not unigrams: the synthetic corpus has a 31-word
     // vocabulary, so unigram token SETS collide across unrelated docs and
     // unigram simhash degenerates (~1000 hamming<=3 pairs); 3-grams keep
     // the signature discriminative (only genuine near-dups survive).
-    //
-    // Shape: explode shingle hashes, then ONE hash-aggregate computing 64
-    // signed bit-sums with map-side partial aggregation — the shuffle
-    // carries 64 longs per doc, and the whole thing stays in codegen
-    // (64 per-row HOF aggregates were ~6x slower).
-    val exploded = docs.select(col("doc_id"),
-      explode(transform(shingles3(col("text")), t => xxhash64(t))).as("h"))
-    val bitSums = exploded.groupBy(col("doc_id")).agg(
-      sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("s0"),
-      (1 until 64).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")): _*)
-    val sim = (0 until 64)
-      .map(j => shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j))
-      .reduce(_ + _)
-    val signed = bitSums.select(col("doc_id"), sim.as("simhash"))
+    val signed = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftshim.Simhash64.simhash64(
+        transform(shingles3(col("text")), t => xxhash64(t))).as("simhash"))
     val blocks = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.blk").as("blk"), col("bb.v").as("v"))
-    blocks.as("a")
-      .join(blocks.as("b"),
+    val smallBlocks = blocks
+      .withColumn("cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("blk", "v")))
+      .filter(col("cnt") <= simhashMaxBlockBucket)
+      .drop("cnt")
+    smallBlocks.as("a")
+      .join(smallBlocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

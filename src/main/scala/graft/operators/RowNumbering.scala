@@ -35,6 +35,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * `sortCols` MUST be a total order (include a unique tiebreak) or ids of
   * tied rows are nondeterministic across runs/engines.
+  *
+  * The sorted RDD is `localCheckpoint()`ed before `zipWithIndex`:
+  * zipWithIndex's partition-count job is EAGER (it executes the sort
+  * pipeline at DataFrame-construction time), and without the checkpoint
+  * the `LogicalRDD`-backed result re-runs the whole upstream pipeline
+  * again on every downstream execution — measured as a ≥2× re-execution
+  * of the transactions view per invocation (round-3 bench regression).
+  * With it, the count job doubles as the materialization pass and every
+  * later execution reads the cached (memory-and-disk, spillable)
+  * partitions — the materialize-once semantics a warehouse gives a
+  * row-numbered view anyway. Rows are `copy()`ed BEFORE caching because
+  * the scan iterator reuses its UnsafeRow buffer.
   */
 object RowNumbering {
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
@@ -43,11 +55,14 @@ object RowNumbering {
     val sorted = df.orderBy(sortCols: _*)
     val outSchema = StructType(
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val withIds = InternalRowDF.toInternalRdd(sorted).zipWithIndex()
+    val base = InternalRowDF.toInternalRdd(sorted)
+      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
+      .localCheckpoint()
+    val withIds = base.zipWithIndex()
       .mapPartitions { it =>
         it.map { case (r, i) =>
           val id = new GenericInternalRow(Array[Any](i + 1L))
-          new JoinedRow(r.copy(), id): InternalRow
+          new JoinedRow(r, id): InternalRow
         }
       }
     InternalRowDF.fromInternalRdd(spark, withIds, outSchema)

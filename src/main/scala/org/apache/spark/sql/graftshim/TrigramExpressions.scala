@@ -179,6 +179,64 @@ case class PairCombos(child: Expression)
       newChild: Expression): PairCombos = copy(child = newChild)
 }
 
+/** 64-bit SimHash from an array of shingle hashes, as one native
+  * expression: `simhash64(array<bigint>)` → bigint with bit j set iff
+  * Σ_h ((h>>j & 1)·2 − 1) > 0 — exactly the signed-bit-sum signature the
+  * explode + 64-column hash-aggregate formulation computed, but MAP-ONLY:
+  * the per-document fold happens inside the expression, so building
+  * signatures for a 100 TB corpus shuffles nothing (the old shape pushed
+  * corpus×shingles rows into a 64-aggregate exchange). */
+case class Simhash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    Simhash64.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.Simhash64.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Simhash64 = copy(child = newChild)
+}
+
+object Simhash64 {
+
+  def compute(hs: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  def simhash64(c: Column): Column =
+    ExpressionUtils.column(Simhash64(ExpressionUtils.expression(c)))
+}
+
 object PairCombos {
 
   def compute(ds: ArrayData): ArrayData = {
