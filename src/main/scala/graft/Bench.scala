@@ -35,6 +35,10 @@ object Bench {
     // Min of two timed passes: a single pass is exposed to one-off GC /
     // OS noise (observed inflating a 3 s query to 12 s); the minimum of
     // two is a far lower-variance estimate of the query's true cost.
+    // NOTE: rounds 1-2 reported single-pass times; `queries` has been
+    // min-of-2 since round 3 — cross-round comparisons should mind the
+    // methodology change. `passes` records every raw pass so any other
+    // statistic can be recomputed.
     val results = qs.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -42,12 +46,15 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val pjson = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","queries":$qjson,"passes":$pjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

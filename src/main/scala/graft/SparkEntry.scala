@@ -94,6 +94,7 @@ object SparkEntry {
     "q_hash_sample" -> graft.ext.TextOps.qHashSampleSql,
     "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,
     "q_dedup_jaccard" -> graft.ext.Dedup.qDedupJaccardSql,
+    "q_dedup_minhash" -> graft.ext.Dedup.qDedupMinhashSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
@@ -105,8 +106,10 @@ object SparkEntry {
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
-    // q_approx_distinct: seeded-hash / sketch / trained-model internals
-    // aren't portable SQL — driver records the weaker rows-only check.
+    // q_dedup_simhash / q_ann_lsh / q_ann_ivf / q_approx_distinct:
+    // seeded-hash / sketch / trained-model internals aren't portable
+    // SQL — driver records the weaker rows-only check. (q_dedup_minhash's
+    // OUTPUT pair set IS oracle-checked above, via the rare-shingle
+    // candidate route.)
   )
 }

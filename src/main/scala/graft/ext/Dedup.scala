@@ -146,7 +146,13 @@ object Dedup {
       .filter(col("jacc") >= 0.2)
   }
 
-  val qDedupJaccardSql: String =
+  /** Rare-shingle candidate route + exact Jaccard at `floor`, in DuckDB
+    * SQL — the engine-independent definition of the near-dup pair set.
+    * Shared by the jaccard oracle (floor 0.2) and the MinHash OUTPUT
+    * oracle (floor 0.5): the LSH internals are seeded-hash-specific, but
+    * the final pair set (exact Jaccard ≥ 0.5) is deterministic, so the
+    * driver can hash-compare it. */
+  private def jaccardPairsSql(floor: Double): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |grams AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -177,7 +183,19 @@ object Dedup {
       |FROM inter
       |JOIN sizes sa ON doc_a = sa.doc_id
       |JOIN sizes sb ON doc_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2""".stripMargin
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $floor""".stripMargin
+
+  val qDedupJaccardSql: String = jaccardPairsSql(0.2)
+
+  /** Output-level oracle for [[qDedupMinhash]]: the seeded LSH
+    * internals aren't portable SQL, but the OUTPUT — pairs with exact
+    * Jaccard ≥ 0.5 over the full shingle sets — is engine-independent.
+    * DuckDB reaches the same set via the rare-shingle candidate route
+    * (candidate recall holds for both routes at this corpus's near-dup
+    * margin: planted pairs sit ≥ 0.9 Jaccard, where an 8-band×2-row
+    * LSH miss is ~1e-7 and a ≥ 0.9 pair of ≥ 3-shingle docs always
+    * shares ≥ 3 rare shingles). */
+  val qDedupMinhashSql: String = jaccardPairsSql(0.5)
 
   /** MinHash + LSH banded near-dup detection (Spark-only — seeded
     * xxhash64 signatures aren't portable SQL; driver records rows-only).

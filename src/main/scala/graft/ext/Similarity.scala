@@ -87,25 +87,20 @@ object Similarity {
       .limit(10)
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-    * corpus into cells; a query probes only the `nprobe` cells whose
-    * centroids are nearest, then brute-forces inside them — the standard
-    * scale path when query volume makes full scans too expensive and
-    * hyperplane buckets too coarse.
-    *
-    * Index build (the KMeans fit) is the offline step a real deployment
-    * runs once and persists; probing is a cell-membership filter that
-    * prunes the scan to ~nprobe/k of the corpus, then the same
-    * TakeOrderedAndProject top-k as the brute path. Centroid distances
-    * for probe selection are computed on the driver over k vectors —
-    * O(k·d), never corpus-sized. Float sums inside KMeans are
-    * aggregation-order-dependent → rows-only check; the spec
-    * cross-validates every returned cosine against the brute path. */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer's cell
+    * assignments (materialized) plus its centroids — the artifact a real
+    * deployment builds offline, persists (as a table partitioned/bucketed
+    * by `cell`), and serves every query from. */
+  final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Double]])
+
+  /** Offline IVF index build — the KMeans fit. Runs ONCE per corpus:
+    * qAnnIvf memoizes the result, so the per-query path never trains.
+    * The cell table is localCheckpoint-materialized (vec_id, embedding,
+    * cell — the same bytes a persisted index table would hold); centroid
+    * math beyond the fit is driver-side O(k·d) only. */
+  def buildIvfIndex(spark: SparkSession, dir: String, k: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
-    val nprobe = 4
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("fv", array_to_vector(col("embedding")))
     // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
@@ -115,16 +110,39 @@ object Similarity {
       .fit(emb)
     val cells = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    val qv = cells.filter(col("vec_id") === 0)
+      .localCheckpoint()
+    IvfIndex(cells, model.clusterCenters.map(_.toArray))
+  }
+
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** IVF (inverted-file) ANN query: probe only the `nprobe` cells whose
+    * centroids are nearest the query vector, then brute-force inside
+    * them — the standard scale path when query volume makes full scans
+    * too expensive and hyperplane buckets too coarse.
+    *
+    * The index comes from [[buildIvfIndex]], built on first use and
+    * cached per corpus — the query path is a cell-membership filter that
+    * prunes the scan to ~nprobe/k of the corpus, then the same
+    * TakeOrderedAndProject top-k as the brute path. Centroid distances
+    * for probe selection are driver-side over k vectors — O(k·d), never
+    * corpus-sized. Float sums inside KMeans are
+    * aggregation-order-dependent → rows-only check; the spec
+    * cross-validates every returned cosine against the brute path. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 4
+    val idx = ivfIndexes.computeIfAbsent(dir, d => buildIvfIndex(spark, d))
+    val qv = idx.cells.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val probed = model.clusterCenters.zipWithIndex
+    val probed = idx.centroids.zipWithIndex
       .map { case (c, i) =>
-        val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        val d = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
     val qcol = array(qv.map(lit(_)): _*)
-    cells.filter(col("cell").isInCollection(probed.toSeq))
+    idx.cells.filter(col("cell").isInCollection(probed.toSeq))
       .select(col("vec_id"), col("cell"),
         dot(col("embedding"), qcol).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)

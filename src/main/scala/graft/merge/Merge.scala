@@ -92,7 +92,18 @@ object Merge {
     *
     * Semantics are IDENTICAL to [[merge]] (MergeSpec cross-checks the
     * resulting table): cutoff-month base rows below the exact cutoff
-    * survive, everything on/after the cutoff is replaced by staging. */
+    * survive, everything on/after the cutoff is replaced by staging.
+    *
+    * Dynamic partition overwrite only replaces partitions PRESENT in the
+    * written data — a base partition on/after the cutoff month where no
+    * base row survives the exact cutoff AND staging delivers no rows
+    * would silently keep its stale files (rows [[merge]] deletes). So
+    * the overlap partition dirs are listed BEFORE the write (a pure
+    * filesystem metadata call, O(#overlap months)) and any of them the
+    * output months did not cover is deleted after the write commits.
+    * Delete-after-commit keeps the crash contract: a failure mid-step
+    * leaves at worst stale extra rows, and the merge is idempotent —
+    * re-running it converges. */
   def updateTablePartitioned(spark: SparkSession, basePath: String,
                              staging: DataFrame, dateCol: String): Unit =
     cutoff(staging, dateCol) match {
@@ -100,6 +111,14 @@ object Merge {
         val pmonth = date_format(col(dateCol), "yyyy-MM")
         val cutMonth = staging.sparkSession.range(1)
           .select(date_format(lit(cut), "yyyy-MM")).first().getString(0)
+        val fs = new Path(basePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val overlapMonths = fs.listStatus(new Path(basePath)).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("pmonth="))
+          .map(_.stripPrefix("pmonth="))
+          .filter(_ >= cutMonth)
         val base = spark.read.parquet(basePath)
         // localCheckpoint materializes the surviving overlap rows BEFORE
         // the write starts: it is what keeps this off Spark's
@@ -111,6 +130,9 @@ object Merge {
           .localCheckpoint()
         val out = keepInOverlap.unionByName(staging)
           .withColumn("pmonth", pmonth)
+          .localCheckpoint()
+        val outMonths = out.select("pmonth").distinct()
+          .collect().map(_.getString(0)).toSet
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try out.write.mode("overwrite").partitionBy("pmonth").parquet(basePath)
@@ -119,6 +141,9 @@ object Merge {
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None =>
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        overlapMonths.filterNot(outMonths).foreach { m =>
+          fs.delete(new Path(basePath, s"pmonth=$m"), true)
         }
       case None => ()
     }

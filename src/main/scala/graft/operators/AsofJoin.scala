@@ -28,6 +28,18 @@ import graft.Tables
   * the usual guards (AQE, or pre-aggregate the right side per key).
   *
   * Left/right payload column names must be disjoint (enforced).
+  *
+  * The right payload is forward-filled as ONE struct column built only
+  * on right rows — never per payload column: independent per-column
+  * fills would backfill a legitimately-NULL payload value from an OLDER
+  * right row, stitching the output from different right rows. With the
+  * struct, a matched right row's nulls stay null, exactly as a real join
+  * would produce.
+  *
+  * Determinism contract: if the right side has duplicate (key, time)
+  * rows, which of them a left row picks up is UNSPECIFIED (the
+  * in-partition sort breaks the tie arbitrarily) — deduplicate the right
+  * side or add a tiebreak column to `time` if that matters.
   */
 object AsofJoin {
 
@@ -38,24 +50,27 @@ object AsofJoin {
     val overlap = leftPayload.intersect(rightPayload)
     require(overlap.isEmpty,
       s"payload columns must be disjoint, both sides have: $overlap")
+    require(rightPayload.nonEmpty, "right side must carry payload columns")
 
+    val rpayType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
     val lAligned = left.select(
       Seq(col(key), col(time), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rpayType).as("__rpay"): _*)
     val rAligned = right.select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
         leftPayload.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__rpay"): _*)
 
     val w = Window.partitionBy(key).orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(lAligned.unionByName(rAligned)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = lAligned.unionByName(rAligned)
+      .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(Seq(col(key), col(time)) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"__rpay.$c").as(c)): _*)
   }
 
   /** Driver-contract query: each click event picks up the value of the

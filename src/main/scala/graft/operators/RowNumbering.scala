@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.graftshim.InternalRowDF
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** W1 — global ROW_NUMBER (reference `settings.yaml:94`:
   * `ROW_NUMBER() OVER (ORDER BY EntryDateTime ASC) as Id`).
@@ -43,10 +44,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * again on every downstream execution — measured as a ≥2× re-execution
   * of the transactions view per invocation (round-3 bench regression).
   * With it, the count job doubles as the materialization pass and every
-  * later execution reads the cached (memory-and-disk, spillable)
-  * partitions — the materialize-once semantics a warehouse gives a
-  * row-numbered view anyway. Rows are `copy()`ed BEFORE caching because
-  * the scan iterator reuses its UnsafeRow buffer.
+  * later execution reads the cached partitions — the materialize-once
+  * semantics a warehouse gives a row-numbered view anyway. Rows are
+  * `copy()`ed BEFORE caching because the scan iterator reuses its
+  * UnsafeRow buffer. Storage is MEMORY_AND_DISK_SER, not deserialized:
+  * serialized blocks are a handful of byte arrays the garbage collector
+  * skips over, where deserialized caching holds every row as a live
+  * object — measured as old-gen GC thrash (3× slowdown) once several
+  * checkpoint generations coexist in one JVM.
   */
 object RowNumbering {
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
@@ -57,6 +62,7 @@ object RowNumbering {
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
     val base = InternalRowDF.toInternalRdd(sorted)
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
       .localCheckpoint()
     val withIds = base.zipWithIndex()
       .mapPartitions { it =>

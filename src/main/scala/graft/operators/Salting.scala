@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic row salt in [0, salts): hashed from the whole row's
-    * key column plus a per-row disambiguator, so re-runs salt
-    * identically (no `rand()` — nondeterministic salts break retried
-    * tasks and any oracle comparison). */
-  private def rowSalt(key: Column, salts: Int): Column =
-    pmod(xxhash64(key, monotonically_increasing_id()), lit(salts.toLong))
+  /** Deterministic row salt in [0, salts): hashed from ALL of the fact
+    * row's columns, so it is a pure function of row CONTENT — stable
+    * across runs, retries, and repartitionings (`rand()` or
+    * `monotonically_increasing_id()` both vary with partition layout and
+    * break retried tasks / oracle comparisons). Exact duplicate rows
+    * share a salt, so a hot key whose rows are all byte-identical still
+    * lands on one task — spreading those needs a store-side disambiguator
+    * (ingest sequence number), not a salt function. */
+  private def rowSalt(fact: DataFrame, salts: Int): Column =
+    pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong))
       .cast("int")
 
   /** Equi-join `fact ⋈ dim` on `factKey == dimKey`, salted `salts` ways.
@@ -36,7 +40,7 @@ object Salting {
                  dimKey: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedFact = fact.withColumn("__salt", rowSalt(col(factKey), salts))
+    val saltedFact = fact.withColumn("__salt", rowSalt(fact, salts))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim,

@@ -38,6 +38,19 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof: null right payload values are NOT backfilled from older rows") {
+    val left = Seq((1L, 30L, "l")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, Option("old"), Option(100L)),
+      (1L, 20L, Option.empty[String], Option(200L))
+    ).toDF("k", "t", "ra", "rb")
+    val out = AsofJoin.asofJoin(left, right, "k", "t").collect().head
+    // the t=20 row is the match; all payload comes from IT — its null ra
+    // must not be stitched together with t=10's "old"
+    assert(out.getAs[Long]("rb") === 200L)
+    assert(out.getAs[String]("ra") == null)
+  }
+
   test("asof == brute-force reference on random data (property)") {
     import org.scalacheck.Gen
     val genRows = for {

@@ -93,6 +93,27 @@ class MergeSpec extends SparkSpec {
     assert(partFiles("2020-01") === janBefore)
   }
 
+  test("partitioned merge deletes overlap partitions staging does not cover") {
+    val dir = Files.createTempDirectory("merge-part-stale").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    // March is entirely on/after the cutoff and staging delivers no March
+    // rows: dynamic overwrite alone would leave pmonth=2020-03 untouched
+    // and its rows would wrongly survive.
+    val base = df(Seq(
+      "2020-01-01" -> 1, "2020-02-01" -> 3, "2020-02-10" -> 4,
+      "2020-03-01" -> 5, "2020-03-20" -> 6))
+    Merge.writePartitioned(base, basePath, "d")
+    val staging = df(Seq("2020-02-05" -> 40))
+    Merge.updateTablePartitioned(spark, basePath, staging, "d")
+    val got = spark.read.parquet(basePath).drop("pmonth")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    val want = Merge.merge(base, staging, "d")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    assert(got === want)
+    assert(got === Seq("2020-01-01" -> 1, "2020-02-01" -> 3, "2020-02-05" -> 40))
+    assert(!new java.io.File(s"$basePath/pmonth=2020-03").exists())
+  }
+
   test("partitioned merge from persisted staging is retryable and idempotent") {
     val dir = Files.createTempDirectory("merge-part-retry").toFile.getAbsolutePath
     val basePath = s"$dir/base"
