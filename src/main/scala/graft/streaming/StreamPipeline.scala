@@ -90,6 +90,37 @@ object StreamPipeline {
     out.close()
   }
 
+  /** ST6/S10 — the DECOUPLED second stage: a `readStream` on notifyDir,
+    * the Pub/Sub-subscription analog. The reference's second Cloud
+    * Function is triggered BY the message alone (`main.py:47-48`,
+    * `config.py:55-57`), not by sharing a process with the loader — this
+    * is that hop: each notify file becomes a micro-batch row, the base64
+    * payload is decoded to the data-type name, and `onMessage(name)`
+    * runs the downstream step (view refresh, in the reference). The
+    * checkpoint makes message consumption effectively-once across
+    * restarts, like a Pub/Sub ack.
+    *
+    * Scale: message files are tiny and per-batch; the stream's state is
+    * the checkpointed file offsets only. The downstream work runs as
+    * ordinary batch jobs inside foreachBatch. */
+  def runNotifyStage(spark: SparkSession, notifyDir: String,
+                     checkpointDir: String)(onMessage: String => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = StructType(Seq(StructField("payload", StringType, true)))
+    val msgs = spark.readStream.schema(schema).json(notifyDir)
+    msgs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decodeMessage(batch).select("payload")
+          .collect().map(_.getString(0)).foreach { name =>
+            log.info(s"notify stage: batch $batchId message '$name'")
+            onMessage(name)
+          }
+      }
+      .start()
+  }
+
   /** Wire the full pipeline; returns the started query (caller awaits).
     * Processes everything currently in uploadDir, then stops
     * (Trigger.AvailableNow); restart with the same checkpoint to pick up

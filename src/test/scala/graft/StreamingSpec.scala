@@ -75,6 +75,14 @@ class StreamingSpec extends SparkSpec {
       spark.read.json(dirs.notifyDir)).select("payload").as[String].head()
     assert(decoded === "RenewalList.CSV")
 
+    // ST6 decoupled hop: the second stage consumes the REAL message file
+    // written above and fires from it alone
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    StreamPipeline.runNotifyStage(spark, dirs.notifyDir, s"$root/nckpt") {
+      name => fired.add(name)
+    }.awaitTermination(120000)
+    assert(fired.toArray.toSeq === Seq("RenewalList.CSV"))
+
     // S5: staging table_new persisted past the batch and queryable —
     // holds exactly the last GOOD batch (the poisoned batch never stages)
     val staging = spark.read.parquet(dirs.stagingOrDefault)
@@ -119,6 +127,29 @@ class StreamingSpec extends SparkSpec {
     graft.merge.Merge.updateFromStaging(spark, basePath, stagingPath, "PolicyExpiryDate")
     assert(baseRows() === Set(("P1", 1.0), ("P2", 22.0)))
     assert(spark.read.parquet(stagingPath).count() === 1)
+  }
+
+  test("ST6: notify stage is message-triggered and effectively-once") {
+    val root = Files.createTempDirectory("stream-notify").toFile.getAbsolutePath
+    val notifyDir = s"$root/notify"
+    new java.io.File(notifyDir).mkdirs()
+    // the message IS the trigger: no first stage runs in this test
+    val payload = java.util.Base64.getEncoder
+      .encodeToString("RenewalList.CSV".getBytes("UTF-8"))
+    Files.write(new java.io.File(notifyDir, "batch-7.msg").toPath,
+      s"""{"payload":"$payload"}""".getBytes("UTF-8"))
+
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    StreamPipeline.runNotifyStage(spark, notifyDir, s"$root/nckpt") {
+      name => fired.add(name)
+    }.awaitTermination(120000)
+    assert(fired.toArray.toSeq === Seq("RenewalList.CSV"))
+
+    // restart with the same checkpoint: message already acked — no refire
+    StreamPipeline.runNotifyStage(spark, notifyDir, s"$root/nckpt") {
+      name => fired.add(name)
+    }.awaitTermination(120000)
+    assert(fired.size === 1)
   }
 
   test("ST3: restart with same checkpoint reprocesses nothing") {
