@@ -197,8 +197,9 @@ object Dedup {
     * shares ≥ 3 rare shingles). */
   val qDedupMinhashSql: String = jaccardPairsSql(0.5)
 
-  /** MinHash + LSH banded near-dup detection (Spark-only — seeded
-    * xxhash64 signatures aren't portable SQL; driver records rows-only).
+  /** MinHash + LSH banded near-dup detection. The seeded LSH internals
+    * aren't portable SQL, but the OUTPUT pair set (exact Jaccard ≥ 0.5)
+    * is — the driver hash-checks it against [[qDedupMinhashSql]].
     *
     * K=16 minhashes, 8 bands × 2 rows → candidate threshold
     * (1/8)^(1/2) ≈ 0.35 Jaccard; candidates verified with exact Jaccard
@@ -207,22 +208,22 @@ object Dedup {
     val K = 16
     val B = 8 // bands of r = 2
     val docs = Tables(spark, dir, "documents")
-    // Signatures via explode + ONE hash-aggregate of K mins: stays in
-    // whole-stage codegen with map-side partial aggregation. (The
-    // tempting nested-HOF form — transform(seq, j -> array_min(
-    // transform(gs, g -> xxhash64(g, j)))) — is interpreted, not
-    // codegen'd, and this DAG references the signature table from four
-    // branches; interpreted × recomputed was ~45 s at sf0.1.)
+    // Signatures via the native MAP-ONLY [[graftshim.MinHash16]]
+    // expression — the 16-way min folds inside the expression, so
+    // building signatures shuffles NOTHING at any corpus size (the
+    // earlier explode + 16-min hash-aggregate pushed corpus×shingles
+    // rows through an aggregate exchange; the nested-HOF form before
+    // that was interpreted and ~45 s at sf0.1).
     // localCheckpoint materializes the per-doc table exactly once for all
     // downstream branches — and it carries ONLY doc_id + the K signature
-    // longs (136 bytes/doc), never document content: at 100 TB of corpus
-    // the checkpoint is still just #docs × 17 small columns. Shingle sets
+    // longs (~136 bytes/doc), never document content: at 100 TB of corpus
+    // the checkpoint is still just #docs × 17 small values. Shingle sets
     // are recomputed later for verification SURVIVORS only.
-    val exploded = docs.select(col("doc_id"),
-      explode(shingles3(col("text"))).as("g"))
-    val sigTbl = exploded.groupBy(col("doc_id")).agg(
-      min(xxhash64(col("g"), lit(0))).as("m0"),
-      (1 until K).map(j => min(xxhash64(col("g"), lit(j))).as(s"m$j")): _*)
+    val sigTbl = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftshim.MinHash16.minhash16(
+        transform(shingles3(col("text")), g => xxhash64(g))).as("sig"))
+      .select(col("doc_id") +:
+        (0 until K).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
       .localCheckpoint()
     val bandCol = explode(array((0 until B).map(b =>
       struct(lit(b).as("band"),

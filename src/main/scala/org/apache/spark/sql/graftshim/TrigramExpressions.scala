@@ -237,6 +237,66 @@ object Simhash64 {
     ExpressionUtils.column(Simhash64(ExpressionUtils.expression(c)))
 }
 
+/** K=16 MinHash signature from an array of shingle hashes, as one
+  * native expression: `minhash16(array<bigint>)` → array<bigint> where
+  * element j = min over shingles of XXH64(h, seed = j) — the same
+  * per-document 16-way min the explode + 16-min hash-aggregate
+  * formulation computed, but MAP-ONLY: the fold happens inside the
+  * expression, so signature building shuffles nothing at any corpus
+  * size (the old shape pushed corpus×shingles rows through a partial /
+  * final aggregate exchange). An empty input yields Long.MaxValue mins
+  * (callers never produce one: shingles3 falls back to the whole
+  * text). */
+case class MinHash16(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "minhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash16.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.MinHash16.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHash16 = copy(child = newChild)
+}
+
+object MinHash16 {
+
+  val K = 16
+
+  def compute(hs: ArrayData): ArrayData = {
+    val mins = Array.fill(K)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < K) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(h, j.toLong)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  def minhash16(c: Column): Column =
+    ExpressionUtils.column(MinHash16(ExpressionUtils.expression(c)))
+}
+
 object PairCombos {
 
   def compute(ds: ArrayData): ArrayData = {
