@@ -55,6 +55,8 @@ object SparkEntry {
     "q_winnow" -> (graft.ext.TextOps.qWinnow _),
     "q_tfidf" -> (graft.ext.TextOps.qTfIdf _),
     "q_quality_filter" -> (graft.ext.TextOps.qQualityFilter _),
+    "q_pii_scrub" -> (graft.ext.TextOps.qPiiScrub _),
+    "q_chunk" -> (graft.ext.TextOps.qChunk _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
@@ -102,6 +104,8 @@ object SparkEntry {
     "q_winnow" -> graft.ext.TextOps.qWinnowSql,
     "q_tfidf" -> graft.ext.TextOps.qTfIdfSql,
     "q_quality_filter" -> graft.ext.TextOps.qQualityFilterSql,
+    "q_pii_scrub" -> graft.ext.TextOps.qPiiScrubSql,
+    "q_chunk" -> graft.ext.TextOps.qChunkSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,

@@ -203,6 +203,87 @@ object TextOps {
       |WHERE n_chars_obs >= 100 AND punct_ratio <= 0.3
       |  AND stopword_ratio >= 0.01""".stripMargin
 
+  /** PII patterns shared by engine and oracle. Restricted to the regex
+    * subset Java regex and RE2 (DuckDB) agree on — character classes,
+    * bounded repetition, no lookaround/backreferences — so redaction is
+    * bit-identical across engines. */
+  val piiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val piiPhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before text leaves curation: replace email-like and
+    * phone-like spans with placeholder tokens and count what was
+    * redacted (the counts feed compliance reporting). Map-only, two
+    * codegen'd regex passes per row, no shuffle — runs at scan speed at
+    * any corpus size. The synthetic corpus plants no PII, so counts are
+    * zero here; FunctionsSpec proves the redaction semantics on
+    * handcrafted strings, the oracle proves engine parity over the
+    * corpus. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+        piiPhoneRe, "<PHONE>").as("scrubbed"),
+      regexp_count(col("text"), lit(piiEmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col("text"), lit(piiPhoneRe)).cast("bigint").as("n_phones"))
+
+  val qPiiScrubSql: String =
+    s"""SELECT doc_id,
+      |  regexp_replace(regexp_replace(text,
+      |    '$piiEmailRe', '<EMAIL>', 'g'),
+      |    '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(text, '$piiEmailRe')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$piiPhoneRe')) AS BIGINT)
+      |    AS n_phones
+      |FROM documents""".stripMargin
+
+  /** Chunk window / stride in tokens: 32-token chunks every 24 tokens
+    * (8-token overlap so no boundary context is lost) — the corpus runs
+    * 10–99 tokens/doc, so documents split into 1–5 chunks. */
+  val chunkWindow = 32
+  val chunkStride = 24
+
+  /** Document chunking — the stage that turns curated documents into
+    * training-context-sized pieces: overlapping token windows of
+    * [[chunkWindow]] tokens every [[chunkStride]], keyed
+    * (doc_id, chunk_id) with the token count per chunk. A chunk starts
+    * at every stride offset below the document length, so the final
+    * chunk may be short (it is never empty, and every token is covered
+    * by at least one chunk). Map-only: sequence + slice build the
+    * chunk list in-expression and the explode is the only row
+    * amplification — no shuffle at any corpus size. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    val lastChunk = floor((size(t) - lit(1)).cast("double") / chunkStride)
+      .cast("bigint")
+    val chunks = docs.select(col("doc_id"), t.as("t"),
+      explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+    chunks.select(
+      col("doc_id"), col("chunk_id"),
+      concat_ws(" ", slice(col("t"),
+        (col("chunk_id") * chunkStride + 1).cast("int"),
+        lit(chunkWindow))).as("chunk_text"),
+      size(slice(col("t"),
+        (col("chunk_id") * chunkStride + 1).cast("int"),
+        lit(chunkWindow))).cast("bigint").as("n_chunk_tokens"))
+  }
+
+  val qChunkSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |)
+      |SELECT doc_id, i AS chunk_id,
+      |  array_to_string(t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow],
+      |    ' ') AS chunk_text,
+      |  CAST(len(t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow])
+      |    AS BIGINT) AS n_chunk_tokens
+      |FROM toks,
+      |     LATERAL unnest(generate_series(0, (len(t)-1)//$chunkStride))
+      |       AS u(i)""".stripMargin
+
   /** TF-IDF top-k terms per document (SURVEY §7.5; the reference's free
     * text column is `AgentComments`, Schemas/renewals_bq.json:117).
     *

@@ -45,6 +45,56 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub: emails and phones redacted, other text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "contact Bob.Smith+x@corp.example.com or 555-123-4567 today"),
+      (2L, "no pii here, just words and a year 2020"),
+      (3L, "two mails: a@b.io c.d@e-f.org and 800.555.1212")
+    ).toDF("doc_id", "text")
+    val scrub = regexp_replace(
+      regexp_replace(col("text"), TextOps.piiEmailRe, "<EMAIL>"),
+      TextOps.piiPhoneRe, "<PHONE>")
+    val out = df.select(col("doc_id"), scrub.as("s"),
+        regexp_count(col("text"), lit(TextOps.piiEmailRe)).as("ne"),
+        regexp_count(col("text"), lit(TextOps.piiPhoneRe)).as("np"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3))).toSet
+    assert(out === Set(
+      (1L, "contact <EMAIL> or <PHONE> today", 1, 1),
+      (2L, "no pii here, just words and a year 2020", 0, 0),
+      (3L, "two mails: <EMAIL> <EMAIL> and <PHONE>", 2, 1)))
+    // corpus run: deterministic shape, one row per doc
+    val corpus = TextOps.qPiiScrub(spark, dir)
+    assert(corpus.count() === Tables(spark, dir, "documents").count())
+  }
+
+  test("chunking: every token covered, overlaps correct, chunks ordered") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    val chunks = TextOps.qChunk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(chunks.keySet === lens.keySet)
+    chunks.foreach { case (docId, rows) =>
+      val n = lens(docId)
+      val byId = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids are contiguous from 0 and cover the last token
+      assert(byId.map(_.getAs[Long]("chunk_id")).toSeq ===
+        (0L until byId.length.toLong))
+      val lastStart = (byId.length - 1) * TextOps.chunkStride
+      assert(lastStart < n && lastStart + TextOps.chunkStride >= n)
+      byId.zipWithIndex.foreach { case (r, i) =>
+        val expectLen = math.min(TextOps.chunkWindow,
+          n - i * TextOps.chunkStride)
+        assert(r.getAs[Long]("n_chunk_tokens") === expectLen.toLong)
+      }
+    }
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
