@@ -49,6 +49,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (graft.ext.Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (graft.ext.Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (graft.ext.Dedup.qDedupEmbed _),
+    "q_decontaminate" -> (graft.ext.Dedup.qDecontaminate _),
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> graft.ext.Dedup.qDedupJaccardSql,
     "q_dedup_minhash" -> graft.ext.Dedup.qDedupMinhashSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
+    "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,

@@ -378,6 +378,65 @@ object Dedup {
       |FROM dots JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
       |WHERE dot/(x.nr*y.nr) >= $embedCosineMin""".stripMargin
 
+  /** Train/eval decontamination — the overlap check every LLM pipeline
+    * runs so held-out evaluation data never leaks into training: split
+    * the corpus deterministically (the md5 rule of q_hash_sample: first
+    * hex digit 0/1 → eval, ~12.5%), then flag every TRAINING document
+    * that shares at least one rare shingle with ANY eval document,
+    * reporting how many distinct rare shingles and eval docs it hit.
+    *
+    * Containment, not similarity: a training doc that embeds one eval
+    * paragraph verbatim has low Jaccard to the whole eval doc but is
+    * still contaminated — hence any-shared-shingle, not a ratio.
+    *
+    * Scale shape: one exploded-shingle pass; the docfreq cap
+    * ([[jaccardDocfreqCap]], same corpus-distinctiveness semantics as
+    * the jaccard candidate route — stopword-grade shingles carry no
+    * contamination signal) bounds the train×eval equi-join fan-out to
+    * cap² per shingle, so the join never goes quadratic in the corpus.
+    * Shingles are hashed to longs for the shuffle; the oracle groups on
+    * the strings and agrees on all counts (collision odds ~n²/2⁶⁴). */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isEval = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1).isin("0", "1")
+    val grams = docs.select(col("doc_id"), isEval.as("eval"),
+      explode(transform(shingles3(col("text")), g => xxhash64(g))).as("g"))
+    val dfq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val rare = grams.join(dfq.filter(col("df") <= jaccardDocfreqCap), "g")
+    val evalG = rare.filter(col("eval"))
+      .select(col("g"), col("doc_id").as("eval_doc"))
+    val trainG = rare.filter(!col("eval")).select(col("g"), col("doc_id"))
+    trainG.join(evalG, "g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_shared_shingles"),
+        count_distinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS eval,
+      |    unnest(list_distinct(
+      |    CASE WHEN len(t) >= 3
+      |         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |               for i in range(1, len(t) - 1)]
+      |         ELSE [array_to_string(t, ' ')] END)) AS g
+      |  FROM toks),
+      |docfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+      |rare AS (
+      |  SELECT grams.doc_id, grams.eval, grams.g FROM grams
+      |  JOIN docfreq ON grams.g = docfreq.g
+      |  WHERE docfreq.df <= $jaccardDocfreqCap)
+      |SELECT tr.doc_id,
+      |  COUNT(DISTINCT tr.g) AS n_shared_shingles,
+      |  COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+      |FROM rare tr
+      |JOIN rare ev ON tr.g = ev.g
+      |WHERE NOT tr.eval AND ev.eval
+      |GROUP BY tr.doc_id""".stripMargin
+
   /** Hot-block guard for the SimHash (blk, v) equi-join, mirroring the
     * MinHash `maxBucket`: a 16-bit block value shared by more than this
     * many docs is uninformative (the self-join on it is O(size²) with no

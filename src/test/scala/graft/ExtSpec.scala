@@ -45,6 +45,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: flags exactly the train docs sharing rare shingles with eval") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.qDecontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_shingles"), r.getAs[Long]("n_eval_docs"))).toMap
+    // brute-force reference, driver-side (sf0.001 is 100 docs)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set(t)
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def isEval(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.head == '0' || hex.head == '1'
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val dfreq = sets.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
+    val rare = sets.map { case (id, s) =>
+      id -> s.filter(g => dfreq(g) <= Dedup.jaccardDocfreqCap) }.toMap
+    val evalIds = docs.map(_._1).filter(isEval).toSet
+    val want = docs.map(_._1).filterNot(evalIds).flatMap { id =>
+      val shared = rare(id).filter(g => evalIds.exists(e => rare(e).contains(g)))
+      val hits = evalIds.count(e => rare(e).intersect(rare(id)).nonEmpty)
+      if (shared.nonEmpty) Some(id -> (shared.size.toLong, hits.toLong)) else None
+    }.toMap
+    assert(got === want)
+    assert(got.keySet.intersect(evalIds).isEmpty)
+  }
+
   test("pii scrub: emails and phones redacted, other text untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
