@@ -58,6 +58,8 @@ object SparkEntry {
     "q_quality_filter" -> (graft.ext.TextOps.qQualityFilter _),
     "q_pii_scrub" -> (graft.ext.TextOps.qPiiScrub _),
     "q_chunk" -> (graft.ext.TextOps.qChunk _),
+    "q_rep_ratio" -> (graft.ext.TextOps.qRepRatio _),
+    "q_group_cap" -> (graft.ext.TextOps.qGroupCap _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
@@ -108,6 +110,8 @@ object SparkEntry {
     "q_quality_filter" -> graft.ext.TextOps.qQualityFilterSql,
     "q_pii_scrub" -> graft.ext.TextOps.qPiiScrubSql,
     "q_chunk" -> graft.ext.TextOps.qChunkSql,
+    "q_rep_ratio" -> graft.ext.TextOps.qRepRatioSql,
+    "q_group_cap" -> graft.ext.TextOps.qGroupCapSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,

