@@ -321,18 +321,38 @@ object TextOps {
     * documents per (lang, source) cell so no single source dominates the
     * training mix, selected DETERMINISTICALLY (ordered by the md5 of the
     * doc id, the same engine-independent coin as the hash split — never
-    * rand() or first-seen). One window shuffle on the group key; group
-    * cardinality grows with the corpus, so the plan holds at 100 TB
-    * (no single hot partition unless one (lang, source) holds the whole
-    * corpus — the exact situation the cap exists to report). */
+    * rand() or first-seen).
+    *
+    * (lang, source) cardinality is BOUNDED — it does not grow with the
+    * corpus — so a bare window over it would sort corpus-sized
+    * partitions on ~25 tasks at 100 TB. The scale path is a
+    * coin-quantile prefilter: one cheap count aggregate gives each
+    * group's size gn (25 rows, broadcast back), and only rows whose
+    * uniform md5-coin falls below ~4·N/gn survive to the exact window —
+    * expected 4·N rows per group regardless of corpus size, so the
+    * window sorts O(N) rows per group. The top-N smallest coins are all
+    * under the threshold unless fewer than N of E[4N] survivors exist
+    * (P[Binom(gn, 4N/gn) < N] ≈ 1e-13 at N=20) — the same
+    * vanishing-probability recall contract as the LSH candidate routes,
+    * and the oracle's unprefiltered form agrees whenever it holds. */
   val groupCapN = 20
 
   def qGroupCap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
     val coin = md5(col("doc_id").cast("string").cast("binary"))
+    // coin as a uniform fraction in [0, 1): first 8 hex digits / 2^32
+    val coinFrac = conv(substring(coin, 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val sizes = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("gn"))
+    val keepFrac = least(lit(1.0), lit(4.0 * groupCapN) / col("gn"))
+    val pre = docs.join(broadcast(sizes), Seq("lang", "source"))
+      .filter(coinFrac < keepFrac)
+      .drop("gn")
     val w = Window.partitionBy("lang", "source").orderBy(coin, col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), col("source"))
+    pre.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= groupCapN)
   }
