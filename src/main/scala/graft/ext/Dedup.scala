@@ -21,6 +21,16 @@ object Dedup {
   /** Word tokens (the synthetic corpus is single-space separated). */
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Hashes of the distinct word-3-gram shingles of a text column —
+    * semantically `transform(shingles3(c), g => xxhash64(g))`, fused
+    * into the native [[org.apache.spark.sql.graftshim.Shingles3Hashed]]
+    * expression (hashes byte slices of the original text in place; the
+    * interpreted per-element HOF lambda it replaces ran corpus-wide on
+    * every dedup path). FunctionsSpec checks value equality with the
+    * composed form. */
+  def shingles3Hashed(c: Column): Column =
+    org.apache.spark.sql.graftshim.Shingles3Hashed.shingles3Hashed(c)
+
   /** Distinct word-3-gram shingles of a text column; texts shorter than
     * 3 tokens fall back to the whole text as one shingle. Backed by the
     * native codegen'd [[org.apache.spark.sql.graftshim.Shingles3]] —
@@ -106,7 +116,7 @@ object Dedup {
     // candidate pairs modulo ~n²/2⁶⁴ collision odds; the oracle groups
     // on the strings and agrees on the output pairs).
     val grams = docs.select(col("doc_id"),
-      explode(transform(shingles3(col("text")), g => xxhash64(g))).as("g"))
+      explode(shingles3Hashed(col("text"))).as("g"))
     val inv = grams.groupBy("g")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, jaccardDocfreqCap))
@@ -135,7 +145,7 @@ object Dedup {
     // one materialization of doc_id + ~#shingles longs per candidate doc.)
     val gsets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        transform(shingles3(col("text")), g => xxhash64(g)).as("gs"))
+        shingles3Hashed(col("text")).as("gs"))
       .localCheckpoint()
     val i = size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double")
     cand
@@ -221,7 +231,7 @@ object Dedup {
     // are recomputed later for verification SURVIVORS only.
     val sigTbl = docs.select(col("doc_id"),
       org.apache.spark.sql.graftshim.MinHash16.minhash16(
-        transform(shingles3(col("text")), g => xxhash64(g))).as("sig"))
+        shingles3Hashed(col("text"))).as("sig"))
       .select(col("doc_id") +:
         (0 until K).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
       .localCheckpoint()
@@ -401,7 +411,7 @@ object Dedup {
     val isEval = substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 1).isin("0", "1")
     val grams = docs.select(col("doc_id"), isEval.as("eval"),
-      explode(transform(shingles3(col("text")), g => xxhash64(g))).as("g"))
+      explode(shingles3Hashed(col("text"))).as("g"))
     val dfq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val rare = grams.join(dfq.filter(col("df") <= jaccardDocfreqCap), "g")
     val evalG = rare.filter(col("eval"))
@@ -464,7 +474,7 @@ object Dedup {
     // the signature discriminative (only genuine near-dups survive).
     val signed = docs.select(col("doc_id"),
       org.apache.spark.sql.graftshim.Simhash64.simhash64(
-        transform(shingles3(col("text")), t => xxhash64(t))).as("simhash"))
+        shingles3Hashed(col("text"))).as("simhash"))
     val blocks = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),

@@ -147,6 +147,93 @@ object Shingles3 {
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(c)))
 }
 
+/** Fused shingle hashing: `shingles3_hashed(text)` → array<bigint>,
+  * semantically `transform(shingles3(text), g -> xxhash64(g))` but
+  * computed WITHOUT materializing shingle strings: the corpus is
+  * single-space tokenized, so every word-3-gram's bytes are exactly a
+  * contiguous byte slice of the original text (UTF-8 multi-byte chars
+  * never contain 0x20, so byte-scanning for spaces is exact), and each
+  * distinct shingle is hashed in place with Spark's XXH64 (seed 42 —
+  * identical values to the `xxhash64` built-in on the shingle string).
+  * Replaces the interpreted per-element HOF lambda on the dedup hot
+  * paths (jaccard / minhash / simhash / decontaminate each evaluate it
+  * corpus-wide). Distinctness is tracked by hash value — two distinct
+  * shingles of one document colliding in 64 bits (odds ~shingles²/2⁶⁴)
+  * would drop one, the same collision contract the hashed inverted
+  * index already documents. */
+case class Shingles3Hashed(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "shingles3_hashed"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3Hashed.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.Shingles3Hashed.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Shingles3Hashed = copy(child = newChild)
+}
+
+object Shingles3Hashed {
+
+  private val seed = 42L // xxhash64 built-in default seed
+
+  def compute(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // token start offsets (token k begins after the k-th space byte)
+    var nTokens = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ')
+        nTokens += 1
+      i += 1
+    }
+    if (nTokens < 3)
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off, len, seed)))
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // virtual separator past the end
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var k = 0
+    while (k + 2 < nTokens) {
+      val from = starts(k)
+      val until = starts(k + 3) - 1 // drop the trailing separator
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, seed))
+      k += 1
+    }
+    val out = new Array[Any](seen.size())
+    var idx = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingles3Hashed(c: Column): Column =
+    ExpressionUtils.column(Shingles3Hashed(ExpressionUtils.expression(c)))
+}
+
 /** All ordered pairs (a, b) with a < b from a sorted long array —
   * the map-side candidate-pair generation of the Jaccard inverted
   * index (`pair_combos(ds)` over each shingle's doc list). Replaces a

@@ -76,6 +76,26 @@ class FunctionsSpec extends SparkSpec {
     edge.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("shingles3_hashed == transform(shingles3, xxhash64) exactly") {
+    val docs = Tables(spark, dir, "documents")
+    val both = docs.select(
+      graft.ext.Dedup.shingles3Hashed(col("text")).as("fused"),
+      transform(graft.ext.Dedup.shingles3(col("text")),
+        g => xxhash64(g)).as("composed"))
+    val rows = both.collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // edge cases: < 3 tokens (whole-text hash), doubled/leading spaces,
+    // empty string
+    val edge = Seq("one two", "a  b c d", " lead sp ace", "")
+      .toDF("text")
+      .select(graft.ext.Dedup.shingles3Hashed(col("text")).as("f"),
+        transform(graft.ext.Dedup.shingles3(col("text")),
+          g => xxhash64(g)).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("strip_excel is SQL-callable and matches btrim semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql("""SELECT strip_excel('="0123"') AS s""").head()
