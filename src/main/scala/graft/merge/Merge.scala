@@ -148,6 +148,56 @@ object Merge {
       case None => ()
     }
 
+  /** Small-file compaction for the month-partitioned base — the
+    * maintenance pass a streamed-into table needs: per-batch merges
+    * leave each overlap partition with one file generation per batch,
+    * and at 100 TB a scan over millions of small files is dominated by
+    * open/footer costs. For every partition holding more than
+    * `maxFiles` parquet files, rewrite it to ⌈bytes/targetBytes⌉ files
+    * (a coalesce — no shuffle; rows within the partition just
+    * concatenate) and swap via rename. Temp/backup dirs are
+    * dot-prefixed so partition discovery never sees them; a partition
+    * is briefly absent between the two renames — run as the
+    * single-maintainer job, like every rewrite here. Returns the number
+    * of partitions compacted. Idempotent: a compacted partition is
+    * under `maxFiles` and is skipped on re-run. */
+  def compactPartitions(spark: SparkSession, basePath: String,
+                        maxFiles: Int = 8,
+                        targetBytes: Long = 128L << 20): Int = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(basePath)).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("pmonth="))
+    var compacted = 0
+    parts.foreach { p =>
+      val files = fs.listStatus(p.getPath).toSeq.filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFiles) {
+        val month = p.getPath.getName.stripPrefix("pmonth=")
+        val n = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        val tmp = new Path(basePath, s".compact-tmp-$month")
+        val bak = new Path(basePath, s".compact-bak-$month")
+        fs.delete(tmp, true)
+        // the write job reads the live partition while writing tmp; the
+        // source is only displaced by the renames after it completes
+        spark.read.parquet(p.getPath.toString).coalesce(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (!fs.rename(p.getPath, bak))
+          throw new java.io.IOException(s"could not displace ${p.getPath}")
+        if (!fs.rename(tmp, p.getPath)) {
+          fs.rename(bak, p.getPath) // roll back
+          throw new java.io.IOException(s"could not publish $tmp")
+        }
+        fs.delete(bak, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Initial load for the partitioned layout. */
   def writePartitioned(df: DataFrame, basePath: String, dateCol: String): Unit =
     df.withColumn("pmonth", date_format(col(dateCol), "yyyy-MM"))

@@ -114,6 +114,46 @@ class MergeSpec extends SparkSpec {
     assert(!new java.io.File(s"$basePath/pmonth=2020-03").exists())
   }
 
+  test("compaction: fragmented partitions rewritten, healthy ones untouched, rows identical") {
+    val dir = Files.createTempDirectory("merge-compact").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    // January fragmented into many files; February written compact
+    val jan = (1 to 24).map(d => (f"2020-01-$d%02d", d))
+    val feb = Seq("2020-02-01" -> 100)
+    df(jan).repartition(12)
+      .withColumn("pmonth",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("d"), "yyyy-MM"))
+      .write.partitionBy("pmonth").parquet(basePath)
+    df(feb).coalesce(1)
+      .withColumn("pmonth",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("d"), "yyyy-MM"))
+      .write.mode("append").partitionBy("pmonth").parquet(basePath)
+
+    def files(month: String) =
+      new java.io.File(s"$basePath/pmonth=$month").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+    val febBefore = files("2020-02").map(f => f.getName -> f.lastModified()).toSeq
+    assert(files("2020-01").length > 4)
+
+    val before = spark.read.parquet(basePath).drop("pmonth")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSeq.sorted
+
+    val n = Merge.compactPartitions(spark, basePath, maxFiles = 4)
+    assert(n === 1)
+    assert(files("2020-01").length <= 4)
+    // healthy partition untouched (same names + mtimes); no stray dirs
+    assert(files("2020-02").map(f => f.getName -> f.lastModified()).toSeq === febBefore)
+    assert(!new java.io.File(basePath).list().exists(_.contains("compact")))
+    // data identical
+    val after = spark.read.parquet(basePath).drop("pmonth")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSeq.sorted
+    assert(after === before)
+    // idempotent: second run finds nothing to do
+    assert(Merge.compactPartitions(spark, basePath, maxFiles = 4) === 0)
+  }
+
   test("partitioned merge from persisted staging is retryable and idempotent") {
     val dir = Files.createTempDirectory("merge-part-retry").toFile.getAbsolutePath
     val basePath = s"$dir/base"
