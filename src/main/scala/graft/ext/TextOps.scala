@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -287,20 +287,29 @@ object TextOps {
   /** Within-document repetition ratio — the Gopher-style quality rule
     * that catches boilerplate and generation loops: the fraction of word
     * 2-grams that are repeats of an earlier 2-gram in the same document
-    * (0 = no repetition, →1 = the same phrase looping). Map-only HOF
-    * arithmetic over the token array, no shuffle. Documents under 2
-    * tokens report 0. */
-  def qRepRatio(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val t = split(col("text"), " ")
+    * (0 = no repetition, →1 = the same phrase looping). Computed by the
+    * native codegen'd [[org.apache.spark.sql.graftshim.BigramRepRatio]]
+    * expression — map-only, no per-row array materialization (the
+    * interpreted zip_with + array_distinct composition it replaces,
+    * kept as [[repRatioHof]] for the spec cross-check, built and
+    * deduped every bigram string). Documents under 2 tokens report 0. */
+  def qRepRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      org.apache.spark.sql.graftshim.BigramRepRatio
+        .bigramRepRatio(col("text")).as("rep_ratio"))
+
+  /** The HOF formulation of the repetition ratio — the independent
+    * reference implementation the spec checks the native expression
+    * against. */
+  def repRatioHof(c: Column): Column = {
+    val t = split(c, " ")
     val n1 = size(t) - 1
     val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
       (x, y) => concat_ws(" ", x, y))
-    docs.select(
-      col("doc_id"),
-      when(size(t) >= 2,
-        lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
-        .otherwise(lit(0.0)).as("rep_ratio"))
+    when(size(t) >= 2,
+      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
+      .otherwise(lit(0.0))
   }
 
   val qRepRatioSql: String =

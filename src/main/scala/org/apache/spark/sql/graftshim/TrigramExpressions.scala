@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document character-trigram HISTOGRAM as one native expression:
@@ -232,6 +232,80 @@ object Shingles3Hashed {
 
   def shingles3Hashed(c: Column): Column =
     ExpressionUtils.column(Shingles3Hashed(ExpressionUtils.expression(c)))
+}
+
+/** Word-bigram repetition ratio as one native expression:
+  * `bigram_rep_ratio(text)` → double = 1 − distinct_bigrams/total_bigrams
+  * (0.0 for texts under 2 tokens) — semantically the
+  * zip_with + array_distinct HOF composition it replaces, but computed
+  * over byte slices of the original single-space-tokenized text with no
+  * per-row array materialization (the interpreted lambda built and
+  * deduped every bigram string). Distinctness is tracked by seeded
+  * XXH64 of the slice — two distinct bigrams of one document colliding
+  * in 64 bits (odds ~tokens²/2⁶⁴) is the same vanishing contract as the
+  * hashed shingle paths. */
+case class BigramRepRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bigram_rep_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramRepRatio.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.BigramRepRatio.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramRepRatio = copy(child = newChild)
+}
+
+object BigramRepRatio {
+
+  private val seed = 42L
+
+  def compute(s: UTF8String): Double = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var nTokens = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ')
+        nTokens += 1
+      i += 1
+    }
+    if (nTokens < 2) return 0.0
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var k = 0
+    while (k + 1 < nTokens) {
+      val from = starts(k)
+      val until = starts(k + 2) - 1
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, seed))
+      k += 1
+    }
+    1.0 - seen.size().toDouble / (nTokens - 1).toDouble
+  }
+
+  def bigramRepRatio(c: Column): Column =
+    ExpressionUtils.column(BigramRepRatio(ExpressionUtils.expression(c)))
 }
 
 /** All ordered pairs (a, b) with a < b from a sorted long array —

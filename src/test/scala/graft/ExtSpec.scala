@@ -139,23 +139,19 @@ class ExtSpec extends SparkSpec {
       (2L, "one two three four five"),   // all bigrams distinct
       (3L, "solo")                        // < 2 tokens: 0 by contract
     ).toDF("doc_id", "text")
-    val t = split(col("text"), " ")
-    val n1 = size(t) - 1
-    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
-      (x, y) => concat_ws(" ", x, y))
-    val rep = when(size(t) >= 2,
-      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
-      .otherwise(lit(0.0))
-    val out = df.select(col("doc_id"), rep.as("r")).collect()
+    val native = org.apache.spark.sql.graftshim.BigramRepRatio
+      .bigramRepRatio(col("text"))
+    val out = df.select(col("doc_id"), native.as("r")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(out(1L) - (1.0 - 2.0 / 7.0)) < 1e-12)
     assert(out(2L) === 0.0 && out(3L) === 0.0)
-    // corpus invariants on the real operator
-    val got = TextOps.qRepRatio(spark, dir).collect()
-    assert(got.nonEmpty)
-    got.foreach { r =>
-      val v = r.getAs[Double]("rep_ratio")
-      assert(v >= 0.0 && v < 1.0)
+    // native == HOF formulation on the whole corpus, and bounds hold
+    val both = Tables(spark, dir, "documents").select(
+      native.as("n"), TextOps.repRatioHof(col("text")).as("h")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0)
     }
   }
 
