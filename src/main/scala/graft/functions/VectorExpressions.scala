@@ -12,8 +12,12 @@ import org.apache.spark.sql.graftshim.VectorExpressions
   * from SQL text and via `functions.call_function("vec_dot", a, b)`. */
 object GraftFunctions {
 
+  private def all =
+    VectorExpressions.descriptions ++
+      org.apache.spark.sql.graftshim.TextExpressionDescriptions.descriptions
+
   def register(spark: SparkSession): Unit =
-    VectorExpressions.descriptions.foreach { case (ident, info, builder) =>
+    all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
@@ -26,5 +30,7 @@ object GraftFunctions {
   * cluster-wide injection point for custom expressions/rules). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    VectorExpressions.descriptions.foreach(ext.injectFunction)
+    (VectorExpressions.descriptions ++
+      org.apache.spark.sql.graftshim.TextExpressionDescriptions.descriptions)
+      .foreach(ext.injectFunction)
 }

@@ -308,6 +308,37 @@ object BigramRepRatio {
     ExpressionUtils.column(BigramRepRatio(ExpressionUtils.expression(c)))
 }
 
+/** Registration descriptors for the text-pipeline native expressions —
+  * consumed by `graft.functions.GraftFunctions.register` and the
+  * `GraftExtensions` SparkSessionExtensions hook, so every one of them
+  * is callable from SQL text (`SELECT simhash64(...)`) exactly like the
+  * built-ins. */
+object TextExpressionDescriptions {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def unary(name: String, cls: Class[_],
+                    mk: Expression => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name takes exactly 1 argument")
+        mk(args.head)
+      })
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    unary("trigram_counts", classOf[TrigramCounts], TrigramCounts(_)),
+    unary("shingles3", classOf[Shingles3], Shingles3(_)),
+    unary("shingles3_hashed", classOf[Shingles3Hashed], Shingles3Hashed(_)),
+    unary("pair_combos", classOf[PairCombos], PairCombos(_)),
+    unary("minhash16", classOf[MinHash16], MinHash16(_)),
+    unary("simhash64", classOf[Simhash64], Simhash64(_)),
+    unary("bigram_rep_ratio", classOf[BigramRepRatio], BigramRepRatio(_)),
+    unary("winnow_fingerprints", classOf[WinnowFingerprints],
+      WinnowFingerprints(_)))
+}
+
 /** All ordered pairs (a, b) with a < b from a sorted long array —
   * the map-side candidate-pair generation of the Jaccard inverted
   * index (`pair_combos(ds)` over each shingle's doc list). Replaces a

@@ -105,6 +105,26 @@ class FunctionsSpec extends SparkSpec {
       .head().getString(0) === "plain")
   }
 
+  test("text-pipeline expressions are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT simhash64(shingles3_hashed('a b c d e')) AS s")
+      .head().getLong(0) ===
+      spark.sql(
+        "SELECT simhash64(transform(shingles3('a b c d e'), g -> xxhash64(g))) AS s")
+        .head().getLong(0))
+    assert(spark.sql("SELECT size(minhash16(array(1L, 2L, 3L))) AS n")
+      .head().getInt(0) === 16)
+    assert(spark.sql("SELECT bigram_rep_ratio('x y x y x y') AS r")
+      .head().getDouble(0) > 0.5)
+    assert(spark.sql("SELECT size(pair_combos(array(1L, 2L, 3L))) AS n")
+      .head().getInt(0) === 3)
+    assert(spark.sql("SELECT size(winnow_fingerprints('abcdefghijklmnop')) AS n")
+      .head().getInt(0) >= 1)
+    assert(spark.sql("SELECT size(trigram_counts('abcd')) AS n")
+      .head().getInt(0) === 2)
+  }
+
   test("vec_dot stays inside whole-stage codegen") {
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
