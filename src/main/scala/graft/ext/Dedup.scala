@@ -200,11 +200,17 @@ object Dedup {
   /** Output-level oracle for [[qDedupMinhash]]: the seeded LSH
     * internals aren't portable SQL, but the OUTPUT — pairs with exact
     * Jaccard ≥ 0.5 over the full shingle sets — is engine-independent.
-    * DuckDB reaches the same set via the rare-shingle candidate route
-    * (candidate recall holds for both routes at this corpus's near-dup
-    * margin: planted pairs sit ≥ 0.9 Jaccard, where an 8-band×2-row
-    * LSH miss is ~1e-7 and a ≥ 0.9 pair of ≥ 3-shingle docs always
-    * shares ≥ 3 rare shingles). */
+    * DuckDB reaches the same set via the rare-shingle candidate route.
+    *
+    * Operating envelope, stated honestly: the two candidate routes
+    * agree because this corpus's pair-similarity distribution is
+    * BIMODAL — planted near-dups sit ≥ 0.9 Jaccard (8-band×2-row LSH
+    * miss ~1e-7, est-prune miss ~1e-5, and ≥ 3 shared rare shingles
+    * guaranteed), everything else far below 0.5. A corpus with pairs
+    * in the marginal [0.5, ~0.8) band, or near-dup clusters larger
+    * than the docfreq cap, would make the probabilistic route and the
+    * deterministic oracle diverge — there the oracle is a recall
+    * diagnostic, not an equality gate. */
   val qDedupMinhashSql: String = jaccardPairsSql(0.5)
 
   /** MinHash + LSH banded near-dup detection. The seeded LSH internals
@@ -449,11 +455,15 @@ object Dedup {
 
   /** Hot-block guard for the SimHash (blk, v) equi-join, mirroring the
     * MinHash `maxBucket`: a 16-bit block value shared by more than this
-    * many docs is uninformative (the self-join on it is O(size²) with no
-    * near-dup signal — a genuine hamming≤3 pair still collides in one of
-    * its other, discriminative blocks), so oversized buckets are dropped
-    * before pairing. This is what keeps the block join from going
-    * quadratic on a hot block value at 100 TB. */
+    * many docs is uninformative (the self-join on it is O(size²)), so
+    * oversized buckets are dropped before pairing — what keeps the
+    * block join from going quadratic on a hot block value at 100 TB.
+    * Honest recall note: unlike MinHash's probabilistic bands, the
+    * block trick's guarantee is pigeonhole (hamming≤3 over 4 blocks ⇒
+    * ≥1 exactly-matching block), so a pair whose ONLY matching block is
+    * hot is lost — the cap deliberately trades that worst case (a pair
+    * indistinguishable in its hot block from >cap other docs) for
+    * bounded join cost, the standard LSH skew guard. */
   val simhashMaxBlockBucket = 100
 
   /** SimHash near-dup detection (Spark-only, rows-only check): 64-bit

@@ -114,6 +114,12 @@ object Similarity {
     IvfIndex(cells, model.clusterCenters.map(_.toArray))
   }
 
+  // Keyed by (session identity, corpus dir): checkpointed cell blocks
+  // live in one SparkContext, so an index must never outlive or cross
+  // its building session. Rewritten DATA at the same dir keeps serving
+  // the built index by design — an offline index reflects its build
+  // time and is refreshed by an explicit rebuild, exactly like a
+  // persisted index table.
   private val ivfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
@@ -132,7 +138,9 @@ object Similarity {
     * cross-validates every returned cosine against the brute path. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 4
-    val idx = ivfIndexes.computeIfAbsent(dir, d => buildIvfIndex(spark, d))
+    val idx = ivfIndexes.computeIfAbsent(
+      s"${System.identityHashCode(spark)}@$dir",
+      _ => buildIvfIndex(spark, dir))
     val qv = idx.cells.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val probed = idx.centroids.zipWithIndex

@@ -213,20 +213,25 @@ object TextOps {
   /** PII scrubbing — the redaction stage every training-data pipeline
     * runs before text leaves curation: replace email-like and
     * phone-like spans with placeholder tokens and count what was
-    * redacted (the counts feed compliance reporting). Map-only, two
-    * codegen'd regex passes per row, no shuffle — runs at scan speed at
-    * any corpus size. The synthetic corpus plants no PII, so counts are
-    * zero here; FunctionsSpec proves the redaction semantics on
-    * handcrafted strings, the oracle proves engine parity over the
+    * redacted (the counts feed compliance reporting). Redaction is
+    * sequential (emails first), so the phone COUNT runs on the
+    * email-redacted text — a phone-shaped span swallowed by an email
+    * match (e.g. `555-123-4567@host`) is counted once as an email, and
+    * each count equals the number of placeholders of its kind in the
+    * output. Map-only codegen'd regex passes, no shuffle — runs at scan
+    * speed at any corpus size. The synthetic corpus plants no PII, so
+    * counts are zero here; FunctionsSpec proves the redaction semantics
+    * on handcrafted strings, the oracle proves engine parity over the
     * corpus. */
-  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailScrubbed = regexp_replace(col("text"), piiEmailRe, "<EMAIL>")
     Tables(spark, dir, "documents").select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
-        piiPhoneRe, "<PHONE>").as("scrubbed"),
+      regexp_replace(emailScrubbed, piiPhoneRe, "<PHONE>").as("scrubbed"),
       regexp_count(col("text"), lit(piiEmailRe)).cast("bigint").as("n_emails"),
-      regexp_count(col("text"), lit(piiPhoneRe)).cast("bigint").as("n_phones"))
+      regexp_count(emailScrubbed, lit(piiPhoneRe)).cast("bigint")
+        .as("n_phones"))
+  }
 
   val qPiiScrubSql: String =
     s"""SELECT doc_id,
@@ -235,8 +240,9 @@ object TextOps {
       |    '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed,
       |  CAST(len(regexp_extract_all(text, '$piiEmailRe')) AS BIGINT)
       |    AS n_emails,
-      |  CAST(len(regexp_extract_all(text, '$piiPhoneRe')) AS BIGINT)
-      |    AS n_phones
+      |  CAST(len(regexp_extract_all(
+      |    regexp_replace(text, '$piiEmailRe', '<EMAIL>', 'g'),
+      |    '$piiPhoneRe')) AS BIGINT) AS n_phones
       |FROM documents""".stripMargin
 
   /** Chunk window / stride in tokens: 32-token chunks every 24 tokens

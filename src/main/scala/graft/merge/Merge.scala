@@ -159,8 +159,10 @@ object Merge {
     * dot-prefixed so partition discovery never sees them; a partition
     * is briefly absent between the two renames — run as the
     * single-maintainer job, like every rewrite here. Returns the number
-    * of partitions compacted. Idempotent: a compacted partition is
-    * under `maxFiles` and is skipped on re-run. */
+    * of partitions compacted. Idempotent: a partition already at its
+    * target file count — `max(maxFiles, ⌈bytes/targetBytes⌉)` for
+    * partitions bigger than maxFiles·targetBytes — is skipped on
+    * re-run, so large healthy partitions are never re-rewritten. */
   def compactPartitions(spark: SparkSession, basePath: String,
                         maxFiles: Int = 8,
                         targetBytes: Long = 128L << 20): Int = {
@@ -173,10 +175,10 @@ object Merge {
     parts.foreach { p =>
       val files = fs.listStatus(p.getPath).toSeq.filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length > maxFiles) {
+      val n = math.max(1,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      if (files.length > math.max(maxFiles, n)) {
         val month = p.getPath.getName.stripPrefix("pmonth=")
-        val n = math.max(1,
-          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
         val tmp = new Path(basePath, s".compact-tmp-$month")
         val bak = new Path(basePath, s".compact-bak-$month")
         fs.delete(tmp, true)

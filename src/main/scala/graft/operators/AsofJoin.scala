@@ -50,7 +50,10 @@ object AsofJoin {
     val overlap = leftPayload.intersect(rightPayload)
     require(overlap.isEmpty,
       s"payload columns must be disjoint, both sides have: $overlap")
-    require(rightPayload.nonEmpty, "right side must carry payload columns")
+    // a payload-less right side has nothing to attach: the as-of join
+    // degenerates to the left rows unchanged (struct() of zero columns
+    // is not expressible, and no output column would reference it)
+    if (rightPayload.isEmpty) return left
 
     val rpayType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c)))

@@ -38,6 +38,14 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof: payload-less right side degenerates to the left unchanged") {
+    val l = Seq((1L, 10L, "x"), (2L, 5L, "y")).toDF("k", "t", "lv")
+    val r = Seq((1L, 8L), (2L, 9L)).toDF("k", "t")
+    val out = AsofJoin.asofJoin(l, r, "k", "t")
+    assert(out.columns.toSeq === l.columns.toSeq)
+    assert(out.collect().map(_.toSeq).toSet === l.collect().map(_.toSeq).toSet)
+  }
+
   test("asof: null right payload values are NOT backfilled from older rows") {
     val left = Seq((1L, 30L, "l")).toDF("k", "t", "lv")
     val right = Seq(

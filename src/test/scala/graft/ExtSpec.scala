@@ -85,20 +85,24 @@ class ExtSpec extends SparkSpec {
     val df = Seq(
       (1L, "contact Bob.Smith+x@corp.example.com or 555-123-4567 today"),
       (2L, "no pii here, just words and a year 2020"),
-      (3L, "two mails: a@b.io c.d@e-f.org and 800.555.1212")
+      (3L, "two mails: a@b.io c.d@e-f.org and 800.555.1212"),
+      // phone-shaped span swallowed by the email match: counted once,
+      // as an email — counts must equal placeholders in the output
+      (4L, "reach me: 555-123-4567@corp.example.com")
     ).toDF("doc_id", "text")
-    val scrub = regexp_replace(
-      regexp_replace(col("text"), TextOps.piiEmailRe, "<EMAIL>"),
-      TextOps.piiPhoneRe, "<PHONE>")
-    val out = df.select(col("doc_id"), scrub.as("s"),
+    val emailScrubbed =
+      regexp_replace(col("text"), TextOps.piiEmailRe, "<EMAIL>")
+    val out = df.select(col("doc_id"),
+        regexp_replace(emailScrubbed, TextOps.piiPhoneRe, "<PHONE>").as("s"),
         regexp_count(col("text"), lit(TextOps.piiEmailRe)).as("ne"),
-        regexp_count(col("text"), lit(TextOps.piiPhoneRe)).as("np"))
+        regexp_count(emailScrubbed, lit(TextOps.piiPhoneRe)).as("np"))
       .collect().map(r => (r.getLong(0), r.getString(1),
         r.getInt(2), r.getInt(3))).toSet
     assert(out === Set(
       (1L, "contact <EMAIL> or <PHONE> today", 1, 1),
       (2L, "no pii here, just words and a year 2020", 0, 0),
-      (3L, "two mails: <EMAIL> <EMAIL> and <PHONE>", 2, 1)))
+      (3L, "two mails: <EMAIL> <EMAIL> and <PHONE>", 2, 1),
+      (4L, "reach me: <EMAIL>", 1, 0)))
     // corpus run: deterministic shape, one row per doc
     val corpus = TextOps.qPiiScrub(spark, dir)
     assert(corpus.count() === Tables(spark, dir, "documents").count())

@@ -152,6 +152,14 @@ class MergeSpec extends SparkSpec {
     assert(after === before)
     // idempotent: second run finds nothing to do
     assert(Merge.compactPartitions(spark, basePath, maxFiles = 4) === 0)
+    // a partition already AT its byte-sized target file count is skipped
+    // even when that count exceeds maxFiles (no perpetual re-rewrite of
+    // large healthy partitions): with targetBytes tiny, n >= current
+    // files, so nothing is rewritten
+    val febFiles = files("2020-02").map(f => f.getName -> f.lastModified()).toSeq
+    assert(Merge.compactPartitions(spark, basePath,
+      maxFiles = 0, targetBytes = 1L) === 0)
+    assert(files("2020-02").map(f => f.getName -> f.lastModified()).toSeq === febFiles)
   }
 
   test("partitioned merge from persisted staging is retryable and idempotent") {
