@@ -67,12 +67,18 @@ object Views {
       col("l_extendedprice").as("CommTotal"))
 
     // W1: global row number. The reference orders by EntryDateTime alone
-    // (settings.yaml:94); (PolicyNumber, LineNumber) is appended as a
+    // (settings.yaml:94); the remaining columns are appended as a
     // deterministic tiebreak — required for a stable total order across
     // engines, and semantics-preserving for the IsNew derivation.
+    // (PolicyNumber, LineNumber) alone is NOT unique in the testdata
+    // (duplicate (orderkey, linenumber) pairs exist at sf0.1), so the
+    // tiebreak extends through VIN_A/CommTotal/AgencyName; rows equal on
+    // ALL projected columns may take either id — the output set is
+    // identical either way.
     val withId = RowNumbering.withGlobalRowNumber(
       projected,
-      Seq(col("EntryDateTime"), col("PolicyNumber"), col("LineNumber")),
+      Seq(col("EntryDateTime"), col("PolicyNumber"), col("LineNumber"),
+        col("VIN_A"), col("CommTotal"), col("AgencyName")),
       "Id")
 
     // W2 partitioned MIN + W3 IsNew flag (settings.yaml:90-92). The
@@ -92,7 +98,7 @@ object Views {
       |FROM (
       |  SELECT *, MIN(Id) OVER (PARTITION BY PolicyNumber) AS MinId
       |  FROM (
-      |    SELECT *, ROW_NUMBER() OVER (ORDER BY EntryDateTime, PolicyNumber, LineNumber) AS Id
+      |    SELECT *, ROW_NUMBER() OVER (ORDER BY EntryDateTime, PolicyNumber, LineNumber, VIN_A, CommTotal, AgencyName) AS Id
       |    FROM (
       |      SELECT
       |        l_shipdate AS EntryDateTime,
