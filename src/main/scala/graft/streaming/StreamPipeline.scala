@@ -55,7 +55,15 @@ object StreamPipeline {
       checkpointDir: String,
       stagingPath: String = "",
       cleanedDir: String = "",
-      partitionedBase: Boolean = false) {
+      partitionedBase: Boolean = false,
+      /** When > 0 (requires partitionedBase): run
+        * [[graft.merge.Merge.compactPartitions]] after every Nth
+        * successfully merged batch — per-batch dynamic overwrites
+        * fragment the overlap partitions, and the pipeline maintains
+        * itself instead of leaning on an external maintenance job. A
+        * compaction failure only logs: the data is correct either way,
+        * and the next trigger retries. */
+      compactEveryBatches: Int = 0) {
     def stagingOrDefault: String =
       if (stagingPath.nonEmpty) stagingPath else basePath + "_update"
     def cleanedOrDefault: String =
@@ -177,6 +185,16 @@ object StreamPipeline {
               else Merge.updateFromStaging(
                 spark, dirs.basePath, dirs.stagingOrDefault, conf.dateCol)
               log.info(s"[${conf.name}] batch $batchId merged $kept rows")
+              if (dirs.partitionedBase && dirs.compactEveryBatches > 0 &&
+                  (batchId + 1) % dirs.compactEveryBatches == 0)
+                try {
+                  val n = Merge.compactPartitions(spark, dirs.basePath)
+                  log.info(s"[${conf.name}] batch $batchId compacted $n partition(s)")
+                } catch {
+                  case e: Throwable =>
+                    log.warn(s"[${conf.name}] compaction failed " +
+                      s"(data unaffected, retried next trigger): ${e.getMessage}")
+                }
               notify(spark, dirs.notifyDir, batchId, conf.name)
             } catch {
               case e: Throwable =>

@@ -152,6 +152,38 @@ class StreamingSpec extends SparkSpec {
     assert(fired.size === 1)
   }
 
+  test("partitioned base: streamed merge + in-pipeline compaction") {
+    val root = Files.createTempDirectory("stream-part").toFile.getAbsolutePath
+    val dirs = StreamDirs(s"$root/upload", s"$root/base", s"$root/error",
+      s"$root/notify", s"$root/ckpt",
+      partitionedBase = true, compactEveryBatches = 1)
+    new java.io.File(dirs.uploadDir).mkdirs()
+    // seed a deliberately fragmented January (12 files) + February
+    val seed = baseDf((1 to 24).map(d => (f"P$d%02d", f"2020-01-$d%02d", d * 1.0)) :+
+      (("PF", "2020-02-01", 99.0)): _*)
+    seed.repartition(12).withColumn("pmonth",
+        org.apache.spark.sql.functions.date_format($"PolicyExpiryDate", "yyyy-MM"))
+      .write.partitionBy("pmonth").parquet(dirs.basePath)
+    def janFiles() =
+      new java.io.File(s"${dirs.basePath}/pmonth=2020-01").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(janFiles() > 8)
+
+    // upload cuts into February: staging wins the overlap
+    Files.write(new java.io.File(dirs.uploadDir, "RenewalList.CSV").toPath,
+      ("PolicyNumber,PolicyExpiryDate,Amount\n" +
+        "PF,2020-02-01,42.0\nPG,2020-03-01,7.0\n").getBytes("UTF-8"))
+    StreamPipeline.run(spark, fields, conf, dirs).awaitTermination(120000)
+
+    val base = spark.read.parquet(dirs.basePath).drop("pmonth")
+      .collect().map(r => (r.getAs[String]("PolicyNumber"),
+        r.getAs[Double]("Amount"))).toSet
+    assert(base.contains("PF" -> 42.0) && base.contains("PG" -> 7.0))
+    assert(base.size === 26) // 24 January + replaced PF + new PG
+    // compaction ran inside the pipeline: January defragmented
+    assert(janFiles() <= 8)
+  }
+
   test("ST3: restart with same checkpoint reprocesses nothing") {
     val root = Files.createTempDirectory("stream-spec2").toFile.getAbsolutePath
     val dirs = StreamDirs(s"$root/upload", s"$root/base", s"$root/error",
