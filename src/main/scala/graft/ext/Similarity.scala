@@ -114,22 +114,18 @@ object Similarity {
     IvfIndex(cells, model.clusterCenters.map(_.toArray))
   }
 
-  // Keyed by (session identity, corpus dir): checkpointed cell blocks
-  // live in one SparkContext, so an index must never outlive or cross
-  // its building session. Rewritten DATA at the same dir keeps serving
-  // the built index by design — an offline index reflects its build
-  // time and is refreshed by an explicit rebuild, exactly like a
-  // persisted index table.
-  private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-
   /** IVF (inverted-file) ANN query: probe only the `nprobe` cells whose
     * centroids are nearest the query vector, then brute-force inside
     * them — the standard scale path when query volume makes full scans
     * too expensive and hyperplane buckets too coarse.
     *
     * The index comes from [[buildIvfIndex]], built on first use and
-    * cached per corpus — the query path is a cell-membership filter that
+    * cached per (session, corpus) via [[graft.util.SessionCache]] —
+    * checkpointed cell blocks live in one SparkContext, so the index
+    * must never outlive or cross its building session; rewritten DATA
+    * at the same dir keeps serving the built index by design, exactly
+    * like a persisted index table awaiting an explicit rebuild. The
+    * query path is a cell-membership filter that
     * prunes the scan to ~nprobe/k of the corpus, then the same
     * TakeOrderedAndProject top-k as the brute path. Centroid distances
     * for probe selection are driver-side over k vectors — O(k·d), never
@@ -138,9 +134,9 @@ object Similarity {
     * cross-validates every returned cosine against the brute path. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 4
-    val idx = ivfIndexes.computeIfAbsent(
-      s"${System.identityHashCode(spark)}@$dir",
-      _ => buildIvfIndex(spark, dir))
+    val idx = graft.util.SessionCache.memoize(spark, "ivf", dir) {
+      buildIvfIndex(spark, dir)
+    }
     val qv = idx.cells.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val probed = idx.centroids.zipWithIndex

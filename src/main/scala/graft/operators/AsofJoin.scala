@@ -51,9 +51,12 @@ object AsofJoin {
     require(overlap.isEmpty,
       s"payload columns must be disjoint, both sides have: $overlap")
     // a payload-less right side has nothing to attach: the as-of join
-    // degenerates to the left rows unchanged (struct() of zero columns
-    // is not expressible, and no output column would reference it)
-    if (rightPayload.isEmpty) return left
+    // degenerates to the left rows (struct() of zero columns is not
+    // expressible, and no output column would reference it) — re-ordered
+    // to the joined path's (key, time, leftPayload...) layout so
+    // positional consumers see one schema regardless of right payload
+    if (rightPayload.isEmpty)
+      return left.select(Seq(col(key), col(time)) ++ leftPayload.map(col): _*)
 
     val rpayType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c)))

@@ -21,17 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic row salt in [0, salts): hashed from ALL of the fact
-    * row's columns, so it is a pure function of row CONTENT — stable
-    * across runs, retries, and repartitionings (`rand()` or
+  /** xxhash64 rejects maps (and variants) at analysis; a fact carrying
+    * such a column must not fail a generic salt, so the salt hashes only
+    * the hashable columns. */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case _: VariantType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+  }
+
+  /** Deterministic row salt in [0, salts): hashed from all HASHABLE fact
+    * columns, so it is a pure function of row CONTENT — stable across
+    * runs, retries, and repartitionings (`rand()` or
     * `monotonically_increasing_id()` both vary with partition layout and
     * break retried tasks / oracle comparisons). Exact duplicate rows
-    * share a salt, so a hot key whose rows are all byte-identical still
-    * lands on one task — spreading those needs a store-side disambiguator
-    * (ingest sequence number), not a salt function. */
-  private def rowSalt(fact: DataFrame, salts: Int): Column =
-    pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong))
-      .cast("int")
+    * (up to unhashable map/variant columns) share a salt, so a hot key
+    * whose rows are all byte-identical still lands on one task —
+    * spreading those needs a store-side disambiguator (ingest sequence
+    * number), not a salt function. */
+  private def rowSalt(fact: DataFrame, salts: Int): Column = {
+    val cols = fact.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+    require(cols.nonEmpty,
+      "saltedJoin needs at least one hashable (non-map, non-variant) " +
+        "fact column to derive a deterministic salt from")
+    pmod(xxhash64(cols: _*), lit(salts.toLong)).cast("int")
+  }
 
   /** Equi-join `fact ⋈ dim` on `factKey == dimKey`, salted `salts` ways.
     * Semantics identical to the plain join (spec-checked); only the

@@ -37,8 +37,24 @@ object Views {
   /** TRANSACTIONS view body minus the final cosmetic sort (so composing
     * views don't pay for a sort a downstream join immediately destroys —
     * the reference nests ORDER BYs, `settings.yaml:119,122`, which its
-    * warehouse also treats as no-ops). */
-  def transactionsCore(spark: SparkSession, dir: String): DataFrame = {
+    * warehouse also treats as no-ops).
+    *
+    * Memoized per (session, dir): the row-number step materializes a
+    * checkpoint of the whole joined/projected fact (see
+    * [[graft.operators.RowNumbering]]), and a warehouse builds that
+    * materialization ONCE per table version, not once per query —
+    * without the memo every `transactions`/`autoOptiom` call re-built
+    * and re-persisted a fresh checkpoint generation, which both slowed
+    * the caller and accumulated dead cached blocks across a many-query
+    * JVM. Rewritten data at the same dir keeps serving the built view by
+    * design (refresh = new session or [[graft.util.SessionCache.clear]]),
+    * exactly like a materialized view awaiting REFRESH. */
+  def transactionsCore(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.memoize(spark, "txcore", dir) {
+      buildTransactionsCore(spark, dir)
+    }
+
+  private def buildTransactionsCore(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val supplier = Tables(spark, dir, "supplier")
     val part = Tables(spark, dir, "part")

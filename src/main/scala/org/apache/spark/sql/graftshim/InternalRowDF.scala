@@ -28,4 +28,12 @@ object InternalRowDF {
                       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** The session's `private[sql]` UUID — a genuinely unique session id
+    * (unlike `System.identityHashCode`, which recurs after GC), used to
+    * scope cached artifacts to their building session. */
+  def sessionUUID(spark: SparkSession): Option[String] = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }
