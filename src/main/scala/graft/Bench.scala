@@ -36,7 +36,13 @@ object Bench {
     // against a clean block manager; artifacts a real deployment would
     // keep warm (the memoized view core / IVF index) are owned by
     // SessionCache and survive.
-    def clean(): Unit = graft.util.SessionCache.dropTransientBlocks(spark)
+    def clean(): Unit = {
+      graft.util.SessionCache.dropTransientBlocks(spark)
+      // a full GC lets ContextCleaner reap dead shuffle files/broadcasts
+      // from earlier passes and empties the old gen, so the next timed
+      // pass never pays a predecessor's collection debt
+      System.gc()
+    }
     // Untimed warm-up: run everything once (codegen, classloading, file
     // listing, broadcast build paths all get hot).
     qs.foreach { case (_, fn) =>
