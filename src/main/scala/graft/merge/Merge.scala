@@ -155,19 +155,34 @@ object Merge {
     * open/footer costs. For every partition holding more than
     * `maxFiles` parquet files, rewrite it to ⌈bytes/targetBytes⌉ files
     * (a coalesce — no shuffle; rows within the partition just
-    * concatenate) and swap via rename. Temp/backup dirs are
-    * dot-prefixed so partition discovery never sees them; a partition
-    * is briefly absent between the two renames — run as the
-    * single-maintainer job, like every rewrite here. Returns the number
-    * of partitions compacted. Idempotent: a partition already at its
-    * target file count — `max(maxFiles, ⌈bytes/targetBytes⌉)` for
-    * partitions bigger than maxFiles·targetBytes — is skipped on
-    * re-run, so large healthy partitions are never re-rewritten. */
+    * concatenate) and swap via rename. Returns the number of partitions
+    * compacted. Idempotent: a partition already at its target file
+    * count — `max(maxFiles, ⌈bytes/targetBytes⌉)` for partitions bigger
+    * than maxFiles·targetBytes — is skipped on re-run, so large healthy
+    * partitions are never re-rewritten.
+    *
+    * Crash contract: every run begins with [[recoverCompaction]], so a
+    * kill at ANY point — including between the displace and publish
+    * renames, where the partition is momentarily absent — is healed by
+    * the next run (the original generation is restored from the
+    * dot-prefixed backup). Temp/backup dirs are dot-prefixed, so
+    * partition discovery never lists them and a crashed run never
+    * double-counts rows.
+    *
+    * Reader contract (single-maintainer, like every rewrite here):
+    * compaction of partition A never touches partition B — concurrent
+    * reads of other partitions are safe (spec-asserted). A reader
+    * listing THE partition being swapped can observe it briefly absent
+    * (rename is atomic per path, but the swap is two renames); run
+    * compaction from the pipeline's own maintenance slot — as
+    * [[graft.streaming.StreamPipeline]] does, between batches — not
+    * concurrently with readers of the same partition. */
   def compactPartitions(spark: SparkSession, basePath: String,
                         maxFiles: Int = 8,
                         targetBytes: Long = 128L << 20): Int = {
     val fs = new Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, basePath)
     val parts = fs.listStatus(new Path(basePath)).toSeq
       .filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("pmonth="))
@@ -198,6 +213,48 @@ object Merge {
       }
     }
     compacted
+  }
+
+  /** Heal a compaction interrupted by a crash. The swap sequence is
+    * `write tmp → delete bak → rename(partition→bak) →
+    * rename(tmp→partition) → delete bak`; each possible crash point
+    * leaves a distinct, recognizable state:
+    *
+    *  - bak present, partition ABSENT — died between the two renames
+    *    (the dangerous window: the month is invisible to readers and,
+    *    unhealed, to every later merge). Restore the original
+    *    generation: rename bak back to the live name.
+    *  - bak present, partition present — died after publish, before the
+    *    backup delete. The compacted generation is live; drop the bak.
+    *  - tmp present (any time) — an incomplete or superseded write;
+    *    delete it. When a bak was just restored this discards a fully
+    *    written compacted generation, deliberately: the original data
+    *    is the safe root, and the next run simply re-compacts.
+    *
+    * Invoked automatically as the first step of [[compactPartitions]];
+    * public so a restarting pipeline can also heal without compacting. */
+  def recoverCompaction(spark: SparkSession, basePath: String): Int = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new Path(basePath)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+    var healed = 0
+    entries.filter(_.startsWith(".compact-bak-")).foreach { name =>
+      val month = name.stripPrefix(".compact-bak-")
+      val live = new Path(basePath, s"pmonth=$month")
+      if (!fs.exists(live)) {
+        if (!fs.rename(new Path(basePath, name), live))
+          throw new java.io.IOException(
+            s"could not restore $name to $live")
+        healed += 1
+      } else {
+        fs.delete(new Path(basePath, name), true)
+      }
+    }
+    entries.filter(_.startsWith(".compact-tmp-")).foreach { name =>
+      fs.delete(new Path(basePath, name), true)
+    }
+    healed
   }
 
   /** Initial load for the partitioned layout. */

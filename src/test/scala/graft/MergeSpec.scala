@@ -162,6 +162,62 @@ class MergeSpec extends SparkSpec {
     assert(files("2020-02").map(f => f.getName -> f.lastModified()).toSeq === febFiles)
   }
 
+  test("compaction recovery heals every crash point, loses no data") {
+    val dir = Files.createTempDirectory("merge-recover").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    val rows = (1 to 10).map(d => (f"2020-01-$d%02d", d))
+    Merge.writePartitioned(df(rows), basePath, "d")
+    def baseRows() = spark.read.parquet(basePath).drop("pmonth")
+      .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toSeq.sorted
+    val want = baseRows()
+    val live = new java.io.File(s"$basePath/pmonth=2020-01")
+    val bak = new java.io.File(s"$basePath/.compact-bak-2020-01")
+    val tmp = new java.io.File(s"$basePath/.compact-tmp-2020-01")
+
+    // crash BETWEEN the renames: partition displaced to bak, tmp written
+    // but unpublished — the month is invisible until recovery runs
+    df(rows).coalesce(1).write.parquet(tmp.getAbsolutePath)
+    assert(live.renameTo(bak))
+    assert(!live.exists())
+    assert(Merge.recoverCompaction(spark, basePath) === 1)
+    assert(live.exists() && !bak.exists() && !tmp.exists())
+    assert(baseRows() === want)
+
+    // crash AFTER publish, before the backup delete: live present,
+    // stale bak + tmp left behind — recovery just cleans them up
+    df(rows).coalesce(1).write.parquet(bak.getAbsolutePath)
+    df(rows).coalesce(1).write.parquet(tmp.getAbsolutePath)
+    assert(Merge.recoverCompaction(spark, basePath) === 0)
+    assert(live.exists() && !bak.exists() && !tmp.exists())
+    assert(baseRows() === want)
+
+    // compactPartitions self-heals: seed the dangerous state again and
+    // call the compactor directly — it must restore, then compact as usual
+    assert(live.renameTo(bak))
+    Merge.compactPartitions(spark, basePath, maxFiles = 4)
+    assert(live.exists() && !bak.exists())
+    assert(baseRows() === want)
+  }
+
+  test("compacting one partition leaves other partitions' files untouched") {
+    // the reader contract: compaction of A never touches B, so readers
+    // of other partitions are safe while a partition is being swapped
+    val dir = Files.createTempDirectory("merge-reader").toFile.getAbsolutePath
+    val basePath = s"$dir/base"
+    val fn = org.apache.spark.sql.functions
+    df((1 to 24).map(d => (f"2020-01-$d%02d", d))).repartition(12)
+      .withColumn("pmonth", fn.date_format(fn.col("d"), "yyyy-MM"))
+      .write.partitionBy("pmonth").parquet(basePath)
+    df(Seq("2020-02-01" -> 1, "2020-02-02" -> 2)).coalesce(1)
+      .withColumn("pmonth", fn.date_format(fn.col("d"), "yyyy-MM"))
+      .write.mode("append").partitionBy("pmonth").parquet(basePath)
+    def feb() = new java.io.File(s"$basePath/pmonth=2020-02").listFiles()
+      .map(f => f.getName -> f.lastModified()).toSeq.sorted
+    val febBefore = feb()
+    assert(Merge.compactPartitions(spark, basePath, maxFiles = 4) === 1)
+    assert(feb() === febBefore)
+  }
+
   test("partitioned merge from persisted staging is retryable and idempotent") {
     val dir = Files.createTempDirectory("merge-part-retry").toFile.getAbsolutePath
     val basePath = s"$dir/base"
