@@ -10,11 +10,13 @@ import graft.Tables
   *
   * The Spark-side plumbing is real: schema (binary + struct), encoder
   * shapes, partition-iterator batching, and the map-only scale profile.
-  * The actual codec call is STUBBED — this container has no image/audio
-  * libraries — behind [[FakeCodec]], a deterministic header parser with
-  * the same signature a real decoder (javax.imageio / ffmpeg binding)
-  * would have. Swap `FakeCodec.decode` for the real library call and
-  * nothing else changes.
+  * The IMAGE modality is fully real — decode, feature extraction, and
+  * resize run through the JDK's `javax.imageio` ([[ImageIoCodec]]),
+  * selected per payload by magic bytes. Audio/video codecs are not in
+  * this container, so those payloads go through [[FakeCodec]], a
+  * deterministic header parser with the same signature a real decoder
+  * (ffmpeg binding) would have; the two-codec dispatch itself is the
+  * proof the seam swap touches nothing outside codec selection.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle). Payload skew is the real hazard at 100 TB — a partition of
@@ -31,11 +33,82 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int, n_bytes: Long,
       feature: Array[Float])
 
-  /** The codec seam. Payload layout (synthesized by [[synthesize]]):
-    * magic "GMM0" | modality byte | width int16 | height int16 |
+  /** REAL image codec — `javax.imageio` ships in the JDK, so the image
+    * modality needs no seam at all: genuine PNG/JPEG/BMP/GIF payloads
+    * decode, feature-extract, and resize through the actual library.
+    * Payloads are routed here by magic bytes ([[isRealImage]]); only
+    * audio/video — whose codecs genuinely are not in this container —
+    * fall back to [[FakeCodec]]'s synthetic header format. */
+  object ImageIoCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** PNG / JPEG / BMP / GIF magic — the formats the JDK reader
+      * guarantees (ImageIO.getReaderFormatNames). */
+    def isRealImage(payload: Array[Byte]): Boolean =
+      payload.length >= 8 && {
+        val p = payload
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      }
+
+    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "unreadable image payload")
+      ("image", img.getWidth, img.getHeight, 1)
+    }
+
+    /** 8 deterministic floats: mean luminance of a 2×4 grid of cells —
+      * the classic cheap perceptual descriptor (a near-dup of an image
+      * keeps nearly the same cell means through resize/re-encode). */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "unreadable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Double](8)
+      val cnt = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+          val cell = math.min(1, y * 2 / h) * 4 + math.min(3, x * 4 / w)
+          out(cell) += lum; cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      out.indices.map(i =>
+        if (cnt(i) == 0) 0f else (out(i) / cnt(i) / 255.0).toFloat).toArray
+    }
+
+    /** Real resize: decode → Graphics2D rescale → re-encode PNG. */
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "unreadable image payload")
+      val scaled = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(img, 0, 0, width, height, null)
+      finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(scaled, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** The audio/video codec seam (and the synthetic-corpus image path —
+    * driver testdata carries no real media, see [[synthesize]]). Payload
+    * layout: magic "GMM0" | modality byte | width int16 | height int16 |
     * n_frames int16 | body bytes. A real implementation replaces the
-    * body handling with the actual media library; the signature — bytes
-    * in, typed meta + feature vector out — is the contract. */
+    * body handling with the actual media library (ffmpeg binding); the
+    * signature — bytes in, typed meta + feature vector out — is the
+    * contract, and [[ImageIoCodec]] proves the swap: real image payloads
+    * take the real path with zero changes outside the dispatch. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
       require(payload.length >= 11 &&
@@ -87,39 +160,51 @@ object Multimodal {
   def repartitionByPayloadSize(df: DataFrame, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, length(col("payload")))
 
-  /** Decode + feature-extract, batched per partition iterator. */
+  /** Decode + feature-extract, batched per partition iterator. Magic
+    * bytes pick the codec per payload: real images (PNG/JPEG/BMP/GIF)
+    * take the JDK ImageIO path; GMM0 synthetic payloads (and thereby
+    * the audio/video seam) take [[FakeCodec]]. */
   def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition (≈ per-arrow-batch) setup would init the codec once
       rows.map { r =>
-        val (fmt, w, h, frames) = FakeCodec.decode(r.payload)
-        MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,
-          r.payload.length.toLong, FakeCodec.features(r.payload))
+        if (ImageIoCodec.isRealImage(r.payload)) {
+          val (fmt, w, h, frames) = ImageIoCodec.decode(r.payload)
+          MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,
+            r.payload.length.toLong, ImageIoCodec.features(r.payload))
+        } else {
+          val (fmt, w, h, frames) = FakeCodec.decode(r.payload)
+          MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,
+            r.payload.length.toLong, FakeCodec.features(r.payload))
+        }
       }
     }
   }
 
   /** Resize stage: re-encode every image payload to the target
     * dimensions, leaving other modalities untouched — the standard
-    * normalization step before batch feature extraction. The pixel
-    * transform is the codec seam again (a real implementation calls the
-    * imaging library between decode and re-encode); the Spark shape —
-    * mapPartitions over the payload column, metadata updated in the
-    * same pass, non-image rows passed through untouched — is the real
-    * contract. Map-only, embarrassingly parallel; run it AFTER
-    * [[repartitionByPayloadSize]] so a partition of 4K images can't
-    * straggle. */
+    * normalization step before batch feature extraction. Real image
+    * payloads are genuinely rescaled and re-encoded through ImageIO
+    * ([[ImageIoCodec.resize]]); GMM0 synthetic payloads patch the
+    * header (their "pixels" are fake by construction). The Spark
+    * shape — mapPartitions over the payload column, metadata updated
+    * in the same pass, non-image rows passed through untouched — is
+    * identical on both paths. Map-only, embarrassingly parallel; run
+    * it AFTER [[repartitionByPayloadSize]] so a partition of 4K images
+    * can't straggle. */
   def resize(media: Dataset[MediaRow], width: Short, height: Short): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup would init the codec once
       rows.map { r =>
         if (r.modality != "image") r
+        else if (ImageIoCodec.isRealImage(r.payload))
+          MediaRow(r.doc_id, r.modality,
+            ImageIoCodec.resize(r.payload, width, height))
         else {
           val bb = java.nio.ByteBuffer.wrap(r.payload.clone())
-          // header layout per [[synthesize]]: w/h live at offsets 5/7;
-          // a real codec re-encodes the body too — seam, not semantics
+          // header layout per [[synthesize]]: w/h live at offsets 5/7
           bb.putShort(5, width).putShort(7, height)
           MediaRow(r.doc_id, r.modality, bb.array())
         }
