@@ -352,25 +352,31 @@ object TextOps {
     * and the oracle's unprefiltered form agrees whenever it holds. */
   val groupCapN = 20
 
-  def qGroupCap(spark: SparkSession, dir: String): DataFrame = {
+  /** The reusable operator: cap `docs` (doc_id, lang, source) to at most
+    * `n` rows per (lang, source) via the coin-quantile prefilter + exact
+    * window described above. ExtSpec property-checks it equal to the
+    * unprefiltered window across generated skewed corpora. */
+  def groupCap(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"))
     val coin = md5(col("doc_id").cast("string").cast("binary"))
     // coin as a uniform fraction in [0, 1): first 8 hex digits / 2^32
     val coinFrac = conv(substring(coin, 1, 8), 16, 10)
       .cast("double") / 4294967296.0
     val sizes = docs.groupBy("lang", "source")
       .agg(count(lit(1)).as("gn"))
-    val keepFrac = least(lit(1.0), lit(4.0 * groupCapN) / col("gn"))
+    val keepFrac = least(lit(1.0), lit(4.0 * n) / col("gn"))
     val pre = docs.join(broadcast(sizes), Seq("lang", "source"))
       .filter(coinFrac < keepFrac)
       .drop("gn")
     val w = Window.partitionBy("lang", "source").orderBy(coin, col("doc_id"))
     pre.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= groupCapN)
+      .filter(col("rk") <= n)
   }
+
+  def qGroupCap(spark: SparkSession, dir: String): DataFrame =
+    groupCap(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source")), groupCapN)
 
   val qGroupCapSql: String =
     s"""SELECT doc_id, lang, source, rk FROM (

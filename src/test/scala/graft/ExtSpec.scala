@@ -171,6 +171,46 @@ class ExtSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("property: group-cap prefilter output equals the unprefiltered window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // skewed corpora: a few (lang, source) cells whose sizes span four
+    // orders of magnitude — tiny groups take the keepFrac=1 branch,
+    // huge ones exercise the 4N/gn quantile prefilter for real
+    val sizesGen = Gen.chooseNum(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(
+        Gen.chooseNum(0, 10), Gen.chooseNum(50, 120),
+        Gen.chooseNum(800, 1500), Gen.const(4000))))
+    forAllSamples(sizesGen, 8) { sizes =>
+      var nextId = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (gn, g) =>
+        (0 until gn).map { _ =>
+          nextId += 1
+          (nextId, s"lang$g", s"src$g")
+        }
+      }
+      if (rows.nonEmpty) {
+        val docs = rows.toDF("doc_id", "lang", "source").repartition(7)
+        val capped = TextOps.groupCap(docs, TextOps.groupCapN)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+          .toSet
+        // the unprefiltered exact form — same coin, same order, no
+        // quantile cut: what a single-partition-tolerant engine computes
+        val coin = md5(col("doc_id").cast("string").cast("binary"))
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(coin, col("doc_id"))
+        val exact = docs
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter(col("rk") <= TextOps.groupCapN)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+          .toSet
+        assert(capped === exact)
+      }
+    }
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
