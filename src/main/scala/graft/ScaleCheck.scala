@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation harness for the dedup/LSH family: every 100 TB claim
+  * in those operators rests on caps (docfreq cap, LSH bucket cap, simhash
+  * block cap, decontamination fan-out bound) keeping candidate work
+  * LINEAR in corpus size. This main tests that empirically instead of
+  * arguing it: it builds a `factor`× documents corpus by
+  * duplicate-and-perturb, times the family at both scales, and prints
+  * per-query ratios — near-linear (≲ factor, log-factor slack) is the
+  * pass; anything approaching factor² means a cap failed.
+  *
+  * Corpus construction: copy `i` of each doc rotates a 10-letter
+  * alphabet by `i` in `translate`, so
+  *  - the 10 copies of one document are NOT near-duplicates of each
+  *    other (every rotation rewrites most shingles/trigrams) — pair
+  *    output stays linear by design, the timing measures candidate
+  *    generation rather than a quadratic output artifact;
+  *  - each PLANTED near-dup pair inside the source corpus stays a
+  *    near-dup inside every copy (both members get the same rotation),
+  *    so duplicate density per copy is unchanged;
+  *  - length, whitespace and ids (doc_id·factor+i) stay
+  *    collision-free and deterministic.
+  *
+  * Usage: `runMain graft.ScaleCheck [srcDir] [bigDir] [factor]`
+  * (defaults /root/testdata/sf0.1, /tmp/sfbig, 10). Results go to
+  * stdout as one JSON line; DESIGN.md records the round's run.
+  */
+object ScaleCheck {
+
+  private val alphabet = "aeiounrstl" // 10 letters -> 10 distinct rotations
+
+  def scaleDocuments(spark: SparkSession, srcDir: String, outDir: String,
+                     factor: Int): Unit = {
+    require(factor <= alphabet.length,
+      s"at most ${alphabet.length} distinct rotations available")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val copies = (0 until factor).map { i =>
+      val rot = alphabet.drop(i) + alphabet.take(i)
+      docs.select(
+        (col("doc_id") * factor + i).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), alphabet, rot)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val bigDir = args.lift(1).getOrElse("/tmp/sfbig")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists())
+      scaleDocuments(spark, srcDir, bigDir, factor)
+
+    val family: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q_dedup_exact" -> (ext.Dedup.qDedupExact _),
+      "q_dedup_jaccard" -> (ext.Dedup.qDedupJaccard _),
+      "q_dedup_minhash" -> (ext.Dedup.qDedupMinhash _),
+      "q_dedup_simhash" -> (ext.Dedup.qDedupSimhash _),
+      "q_dedup_embed" -> (ext.Dedup.qDedupEmbed _),
+      "q_decontaminate" -> (ext.Dedup.qDecontaminate _))
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      // warm-up + min-of-2, transient blocks dropped between passes —
+      // same methodology as Bench
+      val times = (0 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(fn(spark, dir))
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.util.SessionCache.dropTransientBlocks(spark)
+        System.gc()
+        t
+      }
+      times.drop(1).min
+    }
+
+    val rows = family.map { case (name, fn) =>
+      val small = time(fn, srcDir)
+      val big = time(fn, bigDir)
+      // output cardinality at both scales: linear (~factor×) growth
+      // confirms the perturbed corpus kept duplicate density constant
+      // rather than inflating pairs quadratically
+      val smallRows = fn(spark, srcDir).count()
+      val bigRows = fn(spark, bigDir).count()
+      graft.util.SessionCache.dropTransientBlocks(spark)
+      (name, small, big, big / small, smallRows, bigRows)
+    }
+    val qjson = rows.map { case (n, s, b, r, sr, br) =>
+      f"""\"$n\":{\"small_sec\":$s%.3f,\"big_sec\":$b%.3f,\"ratio\":$r%.2f,\"small_rows\":$sr,\"big_rows\":$br}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","factor":$factor,"src":"$srcDir","big":"$bigDir","queries":$qjson}""")
+    spark.stop()
+  }
+}
