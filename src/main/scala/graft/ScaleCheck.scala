@@ -50,6 +50,48 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** Scale the FACT tables `factor`× while copying the dimensions
+    * byte-equivalent — the realistic growth shape (a warehouse's facts
+    * grow, its dims don't), and the one the view plans' broadcast
+    * strategy banks on. Keys are remapped as `key·factor + i` so joins
+    * stay consistent within each copy and never match across copies:
+    *  - lineitem/orders: l_orderkey ↔ o_orderkey remapped in lockstep;
+    *    part/supp/cust keys untouched (dims constant);
+    *  - events: user_id and event_id remapped — per-user event density
+    *    is unchanged, so sessions/windows scale in COUNT, not size.
+    * events.ts is kept as the raw nanos long (read with nanosAsLong, no
+    * conversion) so the scaled table round-trips through the same
+    * Tables loader path as the driver testdata. */
+  def scaleFacts(spark: SparkSession, srcDir: String, outDir: String,
+                 factor: Int): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    def copies(src: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => remap(src, i)).reduce(_ unionByName _)
+
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    copies(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") * factor + i)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    copies(li) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") * factor + i)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    copies(ev) { (df, i) =>
+      df.withColumn("user_id", col("user_id") * factor + i)
+        .withColumn("event_id", col("event_id") * factor + i)
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   private def materialize(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
@@ -68,14 +110,23 @@ object ScaleCheck {
 
     if (!new java.io.File(s"$bigDir/documents.parquet").exists())
       scaleDocuments(spark, srcDir, bigDir, factor)
+    if (!new java.io.File(s"$bigDir/lineitem.parquet").exists())
+      scaleFacts(spark, srcDir, bigDir, factor)
 
+    // two families: the capped dedup/LSH candidate generators, and the
+    // relational/window operators whose scale story is partitioning
+    // (RowNumbering, fact-fact join, one-exchange sessionization,
+    // union+window as-of, bucketed range join, natural-key TF-IDF)
     val family: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_dedup_exact" -> (ext.Dedup.qDedupExact _),
       "q_dedup_jaccard" -> (ext.Dedup.qDedupJaccard _),
       "q_dedup_minhash" -> (ext.Dedup.qDedupMinhash _),
       "q_dedup_simhash" -> (ext.Dedup.qDedupSimhash _),
       "q_dedup_embed" -> (ext.Dedup.qDedupEmbed _),
-      "q_decontaminate" -> (ext.Dedup.qDecontaminate _))
+      "q_decontaminate" -> (ext.Dedup.qDecontaminate _)) ++
+      Seq("q_view_transactions", "q_view_auto_optiom", "q_view_retention",
+        "q_sessionize", "q_events_window", "q_asof_join", "q_range_join",
+        "q_tfidf").map(n => n -> SparkEntry.queries(n))
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       // warm-up + min-of-2, transient blocks dropped between passes —
