@@ -50,6 +50,9 @@ object SparkEntry {
     "q_dedup_simhash" -> (graft.ext.Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (graft.ext.Dedup.qDedupEmbed _),
     "q_decontaminate" -> (graft.ext.Dedup.qDecontaminate _),
+    "q_contam_frac" -> (graft.ext.Dedup.qContamFrac _),
+    "q_pack" -> (graft.ext.TextOps.qPack _),
+    "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
@@ -102,6 +105,9 @@ object SparkEntry {
     "q_dedup_minhash" -> graft.ext.Dedup.qDedupMinhashSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
     "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
+    "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
+    "q_pack" -> graft.ext.TextOps.qPackSql,
+    "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,

@@ -453,6 +453,60 @@ object Dedup {
       |WHERE NOT tr.eval AND ev.eval
       |GROUP BY tr.doc_id""".stripMargin
 
+  /** Contamination FRACTION per eval document — the graded companion to
+    * [[qDecontaminate]]'s binary flag: for every eval-side document,
+    * the share of its distinct shingles that appear anywhere in the
+    * train side. The number an eval-suite curator actually thresholds
+    * on ("drop eval docs >30% contained in train"), and the per-doc
+    * evidence behind a decontamination pass.
+    *
+    * Scale shape — deliberately different from decontaminate's
+    * train×eval pair join: the train side collapses to its DISTINCT
+    * shingle set first, so the probe is a left join of |eval shingles|
+    * rows against a set keyed by shingle — per-shingle fan-out is
+    * exactly 1, no docfreq cap needed, no quadratic path at any corpus
+    * size. Counts are longs; the one fraction is a single IEEE divide —
+    * bit-identical cross-engine. */
+  def qContamFrac(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isEval = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1).isin("0", "1")
+    val grams = docs.select(col("doc_id"), isEval.as("eval"),
+      explode(shingles3Hashed(col("text"))).as("g"))
+    val trainSet = grams.filter(!col("eval")).select("g").distinct()
+    grams.filter(col("eval"))
+      .join(trainSet.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_shingles")).as("contam_frac"))
+  }
+
+  /** Oracle over STRING shingles (the hashed Spark route agrees because
+    * shingle distinctness survives XXH64 collision-free on this corpus —
+    * same contract as the decontaminate oracle). */
+  val qContamFracSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS eval,
+      |    unnest(list_distinct(
+      |    CASE WHEN len(t) >= 3
+      |         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |               for i in range(1, len(t) - 1)]
+      |         ELSE [array_to_string(t, ' ')] END)) AS g
+      |  FROM toks),
+      |train_set AS (SELECT DISTINCT g FROM grams WHERE NOT eval)
+      |SELECT e.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(COUNT(t.g) AS BIGINT) AS n_contaminated,
+      |  CAST(COUNT(t.g) AS DOUBLE) / COUNT(*) AS contam_frac
+      |FROM grams e LEFT JOIN train_set t ON e.g = t.g
+      |WHERE e.eval
+      |GROUP BY e.doc_id""".stripMargin
+
   /** Hot-block guard for the SimHash (blk, v) equi-join, mirroring the
     * MinHash `maxBucket`: a 16-bit block value shared by more than this
     * many docs is uninformative (the self-join on it is O(size²)), so

@@ -290,6 +290,106 @@ object TextOps {
       |     LATERAL unnest(generate_series(0, (len(t)-1)//$chunkStride))
       |       AS u(i)""".stripMargin
 
+  /** Pack context size in tokens for [[qPack]]. */
+  val packContext = 64
+
+  /** Sequence packing — the stage after chunking in a training-data
+    * pipeline: concatenate all chunks in a deterministic global order
+    * (doc_id, chunk_id) and split the token stream into
+    * [[packContext]]-token training sequences; each chunk is assigned
+    * the pack holding its STARTING token offset (GPT-style
+    * concat-and-split; a chunk may straddle its pack's end — packing
+    * layout, not chunk truncation).
+    *
+    * The global running token total is the scale problem here: `SUM OVER
+    * (ORDER BY …)` plans a single-partition window. This runs through
+    * [[graft.operators.PrefixSum]] instead — range-sort + per-partition
+    * sums + offset map, the RowNumbering shape generalized — and the
+    * driver hash-checks it against DuckDB's genuine window, which is
+    * precisely the single-partition-tolerant formulation the operator
+    * replaces. Integer arithmetic end to end (long token counts,
+    * integer division) → bit-identical across engines. */
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = qChunk(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    val withCum = graft.operators.PrefixSum.withRunningTotal(
+      chunks, Seq(col("doc_id"), col("chunk_id")),
+      "n_chunk_tokens", "cum_tokens")
+    withCum.select(
+      col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+      col("cum_tokens"),
+      expr(s"(cum_tokens - n_chunk_tokens) div $packContext")
+        .as("pack_id"))
+  }
+
+  val qPackSql: String =
+    s"""WITH chunks AS (
+      |${qChunkSql.linesIterator.map("  " + _).mkString("\n")}
+      |),
+      |cum AS (
+      |  SELECT doc_id, chunk_id, n_chunk_tokens,
+      |    CAST(SUM(n_chunk_tokens) OVER (
+      |      ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM chunks)
+      |SELECT doc_id, chunk_id, n_chunk_tokens, cum_tokens,
+      |  CAST((cum_tokens - n_chunk_tokens) // $packContext AS BIGINT)
+      |    AS pack_id
+      |FROM cum""".stripMargin
+
+  /** Passage length (tokens) for [[qPassageDedup]] — non-overlapping,
+    * unlike the chunking stride, so a passage duplicated across
+    * documents is counted once per occurrence, never against itself. */
+  val passageLen = 24
+
+  /** Passage-level exact dedup — sub-document deduplication: the corpus
+    * repeats PASSAGES (boilerplate headers, license blocks, quoted
+    * replies) far more often than whole documents, and document-level
+    * dedup never sees them. Segment every document into non-overlapping
+    * [[passageLen]]-token passages, hash each (md5 — portable), and
+    * report every hash occurring more than once with its occurrence and
+    * document counts.
+    *
+    * Scale shape: segmentation is map-only (sequence + slice
+    * in-expression, explode the only amplification); the groupBy
+    * shuffles (hash, doc_id) pairs — 32 hex chars + a long, never
+    * passage text; output is bounded by the duplicated subset. The md5
+    * is the portability choice (same bytes in any engine), mirroring
+    * the hash-sample/group-cap coin. */
+  def qPassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    val lastP = floor((size(t) - lit(1)).cast("double") / passageLen)
+      .cast("bigint")
+    val passages = docs
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0L), lastP)).as("p"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("t"),
+          (col("p") * passageLen + 1).cast("int"),
+          lit(passageLen))).cast("binary")).as("ph"))
+    passages.groupBy("ph")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+  }
+
+  val qPassageDedupSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |p AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(
+      |      t[i*$passageLen+1 : i*$passageLen+$passageLen], ' ')) AS ph
+      |  FROM toks,
+      |       LATERAL unnest(generate_series(0, (len(t)-1)//$passageLen))
+      |         AS u(i))
+      |SELECT ph, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM p GROUP BY ph HAVING COUNT(*) > 1""".stripMargin
+
   /** Within-document repetition ratio — the Gopher-style quality rule
     * that catches boilerplate and generation loops: the fraction of word
     * 2-grams that are repeats of an earlier 2-gram in the same document

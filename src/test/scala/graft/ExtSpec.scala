@@ -211,6 +211,70 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pack: chunks partition into context-sized packs in stream order") {
+    val out = TextOps.qPack(spark, dir)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(out.nonEmpty)
+    var prevCum = 0L
+    var prevPack = 0L
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_chunk_tokens")
+      val cum = r.getAs[Long]("cum_tokens")
+      val pack = r.getAs[Long]("pack_id")
+      assert(cum === prevCum + n) // the running total IS a prefix sum
+      assert(pack === (cum - n) / TextOps.packContext) // start-offset bin
+      assert(pack >= prevPack) // packs fill in order, never backwards
+      prevCum = cum; prevPack = pack
+    }
+    // every pack id up to the last is inhabited (concat-and-split
+    // leaves no empty packs)
+    val packs = out.map(_.getAs[Long]("pack_id")).distinct.sorted
+    assert(packs.toSeq === (packs.head to packs.last))
+  }
+
+  test("passage dedup: reported hashes recompute to real multi-occurrence passages") {
+    import org.apache.spark.sql.functions._
+    val reported = TextOps.qPassageDedup(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs"))).toMap
+    assert(reported.nonEmpty)
+    // brute recount over the collected corpus
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+    val occ = scala.collection.mutable.Map[String, List[Long]]()
+    docs.foreach { r =>
+      val t = r.getString(1).split(" ")
+      t.grouped(TextOps.passageLen).foreach { p =>
+        val ph = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        occ(ph) = r.getLong(0) :: occ.getOrElse(ph, Nil)
+      }
+    }
+    val expect = occ.filter(_._2.size > 1)
+      .map { case (ph, ds) => ph -> (ds.size.toLong, ds.distinct.size.toLong) }
+    assert(reported === expect)
+  }
+
+  test("contamination fraction: bounds, exactness, agreement with the flag join") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Dedup.qContamFrac(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val c = r.getAs[Long]("n_contaminated")
+      val f = r.getAs[Double]("contam_frac")
+      assert(n > 0 && c >= 0 && c <= n)
+      assert(f === c.toDouble / n)
+    }
+    // the synthetic corpus shares vocabulary heavily: some eval doc must
+    // show partial (not just 0/1) contamination for the operator to be
+    // a meaningful graded signal on this data
+    assert(rows.exists { r =>
+      val f = r.getAs[Double]("contam_frac"); f > 0.0 && f < 1.0
+    })
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
