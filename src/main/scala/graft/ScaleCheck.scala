@@ -108,10 +108,15 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$bigDir/documents.parquet").exists())
+    // a marker written only after FULL generation: an interrupted or
+    // partial previous run (some tables written, some not, or a write
+    // killed mid-job) must regenerate, not be silently trusted
+    val marker = new java.io.File(s"$bigDir/_SCALED_OK_$factor")
+    if (!marker.exists()) {
       scaleDocuments(spark, srcDir, bigDir, factor)
-    if (!new java.io.File(s"$bigDir/lineitem.parquet").exists())
       scaleFacts(spark, srcDir, bigDir, factor)
+      marker.createNewFile()
+    }
 
     // two families: the capped dedup/LSH candidate generators, and the
     // relational/window operators whose scale story is partitioning

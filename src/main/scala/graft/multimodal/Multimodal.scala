@@ -54,18 +54,27 @@ object Multimodal {
         (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
       }
 
-    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+    /** Decode once; [[decode]]/[[featuresOf]] both consume the result —
+      * decompression dominates this map-only stage, so one read per
+      * payload, never two. */
+    def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       require(img != null, "unreadable image payload")
+      img
+    }
+
+    def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+      val img = read(payload)
       ("image", img.getWidth, img.getHeight, 1)
     }
+
+    def features(payload: Array[Byte]): Array[Float] =
+      featuresOf(read(payload))
 
     /** 8 deterministic floats: mean luminance of a 2×4 grid of cells —
       * the classic cheap perceptual descriptor (a near-dup of an image
       * keeps nearly the same cell means through resize/re-encode). */
-    def features(payload: Array[Byte]): Array[Float] = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "unreadable image payload")
+    def featuresOf(img: java.awt.image.BufferedImage): Array[Float] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Double](8)
       val cnt = new Array[Long](8)
@@ -88,8 +97,7 @@ object Multimodal {
 
     /** Real resize: decode → Graphics2D rescale → re-encode PNG. */
     def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "unreadable image payload")
+      val img = read(payload)
       val scaled = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = scaled.createGraphics()
@@ -170,9 +178,10 @@ object Multimodal {
       // per-partition (≈ per-arrow-batch) setup would init the codec once
       rows.map { r =>
         if (ImageIoCodec.isRealImage(r.payload)) {
-          val (fmt, w, h, frames) = ImageIoCodec.decode(r.payload)
-          MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,
-            r.payload.length.toLong, ImageIoCodec.features(r.payload))
+          val img = ImageIoCodec.read(r.payload) // decode ONCE per row
+          MediaMeta(r.doc_id, r.modality, "image",
+            img.getWidth, img.getHeight, 1,
+            r.payload.length.toLong, ImageIoCodec.featuresOf(img))
         } else {
           val (fmt, w, h, frames) = FakeCodec.decode(r.payload)
           MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,

@@ -29,10 +29,17 @@ import org.apache.spark.storage.StorageLevel
   * corpus's total tokens). `sortCols` must be a total order for
   * deterministic output (same contract as RowNumbering).
   *
-  * The sorted RDD is persisted serialized THEN localCheckpoint'ed —
-  * the sum job doubles as materialization, downstream executions read
-  * cached partitions, and serialized blocks stay invisible to the GC
-  * (see RowNumbering's narrative; same reasoning verbatim).
+  * The sorted RDD is persisted serialized THEN localCheckpoint'ed:
+  * the per-partition sums job is eager (it executes the sort pipeline
+  * at DataFrame-construction time), and without the checkpoint the
+  * `LogicalRDD`-backed result would re-run the whole upstream pipeline
+  * on every downstream execution (measured in round 3 as a ≥2×
+  * re-execution of the transactions view per invocation). Rows are
+  * `copy()`ed BEFORE caching because the scan iterator reuses its
+  * UnsafeRow buffer; storage is MEMORY_AND_DISK_SER because serialized
+  * blocks are byte arrays the garbage collector skips, where
+  * deserialized caching holds every row live (measured as old-gen GC
+  * thrash once several checkpoint generations coexist in one JVM).
   */
 object PrefixSum {
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
@@ -40,9 +47,11 @@ object PrefixSum {
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // null values count as 0 (SUM's null semantics over non-null acc)
     val getV: InternalRow => Long = sorted.schema(vIdx).dataType match {
-      case LongType => _.getLong(vIdx)
-      case IntegerType => _.getInt(vIdx).toLong
+      case LongType => r => if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+      case IntegerType =>
+        r => if (r.isNullAt(vIdx)) 0L else r.getInt(vIdx).toLong
       case dt => throw new IllegalArgumentException(
         s"running total needs an integral value column, got $dt")
     }

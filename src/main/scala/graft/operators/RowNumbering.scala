@@ -1,76 +1,27 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-import org.apache.spark.sql.graftshim.InternalRowDF
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.functions.lit
 
 /** W1 — global ROW_NUMBER (reference `settings.yaml:94`:
   * `ROW_NUMBER() OVER (ORDER BY EntryDateTime ASC) as Id`).
   *
   * A plain unpartitioned `Window.orderBy` collapses the whole table into
   * ONE partition — correct at test scale, dead at 100 TB. The scalable
-  * shape used here:
+  * shape — range-partitioned sort + per-partition counts job + Tungsten
+  * offset append — is [[PrefixSum]] with a constant value of 1: the
+  * inclusive running total of 1s IS the row number, so this delegates
+  * rather than duplicating the checkpoint/copy/serialized-storage
+  * scaffold (see PrefixSum's scaladoc for the full cost and caching
+  * narrative; it applies here verbatim).
   *
-  *   1. `orderBy(keys)` — a range-partitioned sort (Spark samples key
-  *      ranges, shuffles once, sorts each partition; every partition
-  *      holds a contiguous key range).
-  *   2. `zipWithIndex` over the plan's `RDD[InternalRow]` — one
-  *      lightweight count-per-partition job (reusing the sort's shuffle
-  *      files), then each partition gets a cumulative offset and each row
-  *      offset+localIndex. No data moves; ids are globally contiguous and
-  *      ordered exactly as the sort.
-  *
-  * Cost at scale: one shuffle (the sort you were doing anyway) plus one
-  * counting pass — vs. the single-partition window's "one executor sorts
-  * 100 TB". The id is appended IN TUNGSTEN FORMAT: a `JoinedRow` over the
-  * sorted UnsafeRow plus a 1-field id row, handed back to Catalyst via
-  * `internalCreateDataFrame`. The earlier external form (`df.rdd` +
-  * `Row.fromSeq`) deserialized and re-encoded every field of every row —
-  * measured as the dominant cost of both view pipelines at sf0.1.
-  * (`r.copy()` is required: the scan iterator reuses its UnsafeRow
-  * buffer, and the rows outlive the `it.map` step inside downstream
-  * operator buffers.)
-  *
-  * `sortCols` MUST be a total order (include a unique tiebreak) or ids of
-  * tied rows are nondeterministic across runs/engines.
-  *
-  * The sorted RDD is `localCheckpoint()`ed before `zipWithIndex`:
-  * zipWithIndex's partition-count job is EAGER (it executes the sort
-  * pipeline at DataFrame-construction time), and without the checkpoint
-  * the `LogicalRDD`-backed result re-runs the whole upstream pipeline
-  * again on every downstream execution — measured as a ≥2× re-execution
-  * of the transactions view per invocation (round-3 bench regression).
-  * With it, the count job doubles as the materialization pass and every
-  * later execution reads the cached partitions — the materialize-once
-  * semantics a warehouse gives a row-numbered view anyway. Rows are
-  * `copy()`ed BEFORE caching because the scan iterator reuses its
-  * UnsafeRow buffer. Storage is MEMORY_AND_DISK_SER, not deserialized:
-  * serialized blocks are a handful of byte arrays the garbage collector
-  * skips over, where deserialized caching holds every row as a live
-  * object — measured as old-gen GC thrash (3× slowdown) once several
-  * checkpoint generations coexist in one JVM.
+  * `sortCols` MUST be a total order (include a unique tiebreak) or ids
+  * of tied rows are nondeterministic across runs/engines.
   */
 object RowNumbering {
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
-                          idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
-    val outSchema = StructType(
-      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val base = InternalRowDF.toInternalRdd(sorted)
-      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      .localCheckpoint()
-    val withIds = base.zipWithIndex()
-      .mapPartitions { it =>
-        it.map { case (r, i) =>
-          val id = new GenericInternalRow(Array[Any](i + 1L))
-          new JoinedRow(r, id): InternalRow
-        }
-      }
-    InternalRowDF.fromInternalRdd(spark, withIds, outSchema)
-  }
+                          idCol: String): DataFrame =
+    PrefixSum.withRunningTotal(
+        df.withColumn("__rn_one", lit(1L)), sortCols, "__rn_one", idCol)
+      .drop("__rn_one")
 }

@@ -1,6 +1,8 @@
 package graft.util
 
+import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.rdd.RDD
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
@@ -16,14 +18,25 @@ import org.apache.spark.sql.SparkSession
   * values recur after GC and could serve a new session an artifact
   * backed by a dead context's blocks.
   *
-  * Eviction: a listener registered once per SparkContext clears every
-  * entry when that context ends, so stopped-session artifacts don't
-  * accumulate across session lifetimes in long-lived JVMs (test suites,
-  * notebook drivers).
+  * Eviction, three routes so stopped/discarded sessions don't leak
+  * their checkpoint blocks across a long-lived JVM:
+  *  - every `memoize` call first sweeps entries whose building session
+  *    has been garbage collected (weak reference cleared) or whose
+  *    context has stopped, unpersisting the blocks the entry owned —
+  *    so a driver that loops `newSession()` per unit of work reclaims
+  *    generation N's artifacts when it builds generation N+1's;
+  *  - a listener registered once per SparkContext clears everything at
+  *    context end;
+  *  - [[clear]] for tests/maintenance.
   */
 object SessionCache {
 
-  private val entries = new ConcurrentHashMap[String, AnyRef]()
+  private final case class Entry(value: AnyRef,
+                                 session: WeakReference[SparkSession],
+                                 ownedIds: Set[Int],
+                                 ownedRdds: Seq[RDD[_]])
+
+  private val entries = new ConcurrentHashMap[String, Entry]()
   private val hookedContexts = ConcurrentHashMap.newKeySet[String]()
   private val ownedRdds = ConcurrentHashMap.newKeySet[Int]()
 
@@ -34,10 +47,27 @@ object SessionCache {
     org.apache.spark.sql.graftshim.InternalRowDF.sessionUUID(spark)
       .getOrElse(s"idhash-${System.identityHashCode(spark)}")
 
+  private def evict(key: String, e: Entry): Unit = {
+    entries.remove(key, e)
+    e.ownedIds.foreach(ownedRdds.remove(_))
+    // safe even on localCheckpointed RDDs: a dead session's artifact is
+    // never re-executed, so truncated lineage is irrelevant
+    e.ownedRdds.foreach(r => try r.unpersist(blocking = false) catch {
+      case _: Throwable => () // context already down: blocks are gone
+    })
+  }
+
+  private def sweepDeadSessions(): Unit =
+    entries.forEach { (key, e) =>
+      val s = e.session.get()
+      if (s == null || s.sparkContext.isStopped) evict(key, e)
+    }
+
   /** Build-once-per-(session, scope, dir) memoization. `build` runs at
     * most once per key (ConcurrentHashMap.computeIfAbsent contract). */
   def memoize[T <: AnyRef](spark: SparkSession, scope: String, dir: String)
                           (build: => T): T = {
+    sweepDeadSessions()
     val ctxId = spark.sparkContext.applicationId
     if (hookedContexts.add(ctxId)) {
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -54,13 +84,15 @@ object SessionCache {
         // back the memoized artifact and must survive any sweep-level
         // cleanup ([[dropTransientBlocks]]) that evicts per-invocation
         // checkpoint garbage between queries.
-        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val before = spark.sparkContext.getPersistentRDDs
         val built = build
-        (spark.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(ownedRdds.add(_))
-        built
+        val created =
+          spark.sparkContext.getPersistentRDDs -- before.keySet
+        created.keys.foreach(ownedRdds.add(_))
+        Entry(built, new WeakReference(spark),
+          created.keySet.toSet, created.values.toSeq)
       })
-      .asInstanceOf[T]
+      .value.asInstanceOf[T]
   }
 
   /** Unpersist every persistent RDD NOT owned by a memoized artifact.
@@ -75,18 +107,19 @@ object SessionCache {
     * regressions that vanished in isolation. Safe by construction: an
     * unowned checkpointed RDD is never re-executed (the next invocation
     * builds a new one), so dropping its blocks can't trigger a
-    * recompute-after-checkpoint failure. */
+    * recompute-after-checkpoint failure. Removal BLOCKS so callers that
+    * follow with System.gc() (Bench, ScaleCheck — both untimed there)
+    * truly measure the next pass against a clean block manager. */
   def dropTransientBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!ownedRdds.contains(id)) rdd.unpersist(blocking = false)
+      if (!ownedRdds.contains(id)) rdd.unpersist(blocking = true)
     }
 
   /** Test/maintenance hook: drop everything (e.g. between suites that
-    * rewrite the data a cached artifact was built from). Formerly-owned
-    * blocks become transient and fall to the next
-    * [[dropTransientBlocks]] pass. */
+    * rewrite the data a cached artifact was built from), unpersisting
+    * what the entries owned. */
   def clear(): Unit = {
-    entries.clear()
+    entries.forEach((k, e) => evict(k, e))
     ownedRdds.clear()
   }
 }
