@@ -390,6 +390,104 @@ object TextOps {
       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM p GROUP BY ph HAVING COUNT(*) > 1""".stripMargin
 
+  /** The END-TO-END curation pipeline — the stages above composed the
+    * way a training-data run actually chains them, in ONE lazy plan:
+    *
+    *   quality gates → PII scrub → exact dedup (min-doc_id
+    *   representative) → chunk → pack
+    *
+    * This is the "switch your pipeline to this library" artifact: each
+    * stage is the same operator the standalone queries expose, fused by
+    * Catalyst into scan-speed map stages wherever possible (gates +
+    * scrub + chunking are one codegen'd stage; the dedup groupBy and
+    * the pack prefix-sum sort are the only exchanges). Every stage
+    * stays deterministic — gates are pure predicates, the dedup
+    * survivor is the group's min doc_id (never first-seen), packing
+    * order is (doc_id, chunk_id) — so the WHOLE pipeline output
+    * hash-matches the oracle's CTE chain, not just each stage alone. */
+  def qCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t0 = split(col("text"), " ")
+    val gated = docs.filter(
+      length(col("text")) >= 100 &&
+        (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+          length(col("text"))) <= 0.3 &&
+        (size(filter(t0, x => x.isInCollection(stopwords))).cast("double") /
+          size(t0)) >= 0.01)
+    val scrubbed = gated.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+        piiPhoneRe, "<PHONE>").as("scrubbed"))
+    // exact dedup: representative = min doc_id per normalized key; the
+    // join back on the unique doc_id is the deterministic survivor
+    // select (dropDuplicates' survivor depends on partitioning)
+    val reps = scrubbed
+      .groupBy(substring(col("scrubbed"), 1, 40).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = scrubbed.join(reps, "doc_id")
+    val t = split(col("scrubbed"), " ")
+    val lastChunk = floor((size(t) - lit(1)).cast("double") / chunkStride)
+      .cast("bigint")
+    val chunks = kept
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * chunkStride + 1).cast("int"),
+          lit(chunkWindow))).as("chunk_text"),
+        size(slice(col("t"),
+          (col("chunk_id") * chunkStride + 1).cast("int"),
+          lit(chunkWindow))).cast("bigint").as("n_chunk_tokens"))
+    graft.operators.PrefixSum.withRunningTotal(
+        chunks, Seq(col("doc_id"), col("chunk_id")),
+        "n_chunk_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
+  }
+
+  val qCurateSql: String =
+    s"""WITH gated AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= 100
+      |    AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |        / length(text) <= 0.3
+      |    AND CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) >= 0.01),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text,
+      |      '$piiEmailRe', '<EMAIL>', 'g'),
+      |      '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed
+      |  FROM gated),
+      |reps AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM scrub
+      |  GROUP BY substr(scrubbed, 1, 40)),
+      |kept AS (SELECT s.* FROM scrub s JOIN reps USING (doc_id)),
+      |toks AS (SELECT doc_id, string_split(scrubbed, ' ') AS t FROM kept),
+      |chunks AS (
+      |  SELECT doc_id, i AS chunk_id,
+      |    array_to_string(
+      |      t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow], ' ')
+      |      AS chunk_text,
+      |    CAST(len(t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow])
+      |      AS BIGINT) AS n_chunk_tokens
+      |  FROM toks,
+      |       LATERAL unnest(generate_series(0, (len(t)-1)//$chunkStride))
+      |         AS u(i)),
+      |cum AS (
+      |  SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
+      |    CAST(SUM(n_chunk_tokens) OVER (
+      |      ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM chunks)
+      |SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens, cum_tokens,
+      |  CAST((cum_tokens - n_chunk_tokens) // $packContext AS BIGINT)
+      |    AS pack_id
+      |FROM cum""".stripMargin
+
   /** Within-document repetition ratio — the Gopher-style quality rule
     * that catches boilerplate and generation loops: the fraction of word
     * 2-grams that are repeats of an earlier 2-gram in the same document

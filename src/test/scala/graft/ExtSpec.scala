@@ -275,6 +275,34 @@ class ExtSpec extends SparkSpec {
     })
   }
 
+  test("curation e2e: stage invariants hold through the composed pipeline") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.qCurate(spark, dir).collect()
+    assert(out.nonEmpty)
+    val keptDocs = out.map(_.getAs[Long]("doc_id")).distinct.toSet
+    // survivors are exactly a subset of the quality-gate passers
+    val quality = TextOps.qQualityFilter(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDocs.subsetOf(quality))
+    // dedup: no two surviving docs share a 40-char scrubbed prefix, and
+    // each survivor is its group's MIN doc_id among quality passers
+    val prefixes = Tables(spark, dir, "documents")
+      .filter(col("doc_id").isInCollection(keptDocs))
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(prefixes.map(_._2).distinct.length === prefixes.length)
+    // packing: same invariants as q_pack, over the curated stream
+    var prevCum = 0L
+    out.sortBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+      .foreach { r =>
+        val n = r.getAs[Long]("n_chunk_tokens")
+        val cum = r.getAs[Long]("cum_tokens")
+        assert(cum === prevCum + n)
+        assert(r.getAs[Long]("pack_id") === (cum - n) / TextOps.packContext)
+        prevCum = cum
+      }
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
