@@ -404,8 +404,19 @@ object TextOps {
     * stays deterministic — gates are pure predicates, the dedup
     * survivor is the group's min doc_id (never first-seen), packing
     * order is (doc_id, chunk_id) — so the WHOLE pipeline output
-    * hash-matches the oracle's CTE chain, not just each stage alone. */
-  def qCurate(spark: SparkSession, dir: String): DataFrame = {
+    * hash-matches the oracle's CTE chain, not just each stage alone.
+    *
+    * [[curateChunks]] is the pipeline up to (and including) chunking —
+    * exposed separately because the prefix-sum step executes it eagerly
+    * at construction, so THAT is the plan to audit with `.explain`. */
+  def qCurate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixSum.withRunningTotal(
+        curateChunks(spark, dir), Seq(col("doc_id"), col("chunk_id")),
+        "n_chunk_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
+
+  def curateChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val t0 = split(col("text"), " ")
     val gated = docs.filter(
@@ -429,7 +440,7 @@ object TextOps {
     val t = split(col("scrubbed"), " ")
     val lastChunk = floor((size(t) - lit(1)).cast("double") / chunkStride)
       .cast("bigint")
-    val chunks = kept
+    kept
       .select(col("doc_id"), t.as("t"),
         explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
@@ -439,11 +450,6 @@ object TextOps {
         size(slice(col("t"),
           (col("chunk_id") * chunkStride + 1).cast("int"),
           lit(chunkWindow))).cast("bigint").as("n_chunk_tokens"))
-    graft.operators.PrefixSum.withRunningTotal(
-        chunks, Seq(col("doc_id"), col("chunk_id")),
-        "n_chunk_tokens", "cum_tokens")
-      .withColumn("pack_id",
-        expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
   }
 
   val qCurateSql: String =
