@@ -416,27 +416,40 @@ object TextOps {
       .withColumn("pack_id",
         expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
 
-  def curateChunks(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  /** The map-only front of the pipeline — quality gates + PII scrub on
+    * any (doc_id, text) frame, batch OR streaming (pure narrow
+    * projections work identically under Structured Streaming; see
+    * [[graft.streaming.CurationStream]]). */
+  def gateAndScrub(docs: DataFrame): DataFrame = {
     val t0 = split(col("text"), " ")
-    val gated = docs.filter(
-      length(col("text")) >= 100 &&
-        (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-          length(col("text"))) <= 0.3 &&
-        (size(filter(t0, x => x.isInCollection(stopwords))).cast("double") /
-          size(t0)) >= 0.01)
-    val scrubbed = gated.select(col("doc_id"),
-      regexp_replace(
-        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
-        piiPhoneRe, "<PHONE>").as("scrubbed"))
-    // exact dedup: representative = min doc_id per normalized key; the
-    // join back on the unique doc_id is the deterministic survivor
-    // select (dropDuplicates' survivor depends on partitioning)
+    docs.filter(
+        length(col("text")) >= 100 &&
+          (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+            length(col("text"))) <= 0.3 &&
+          (size(filter(t0, x => x.isInCollection(stopwords))).cast("double") /
+            size(t0)) >= 0.01)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+          piiPhoneRe, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Exact dedup with the DETERMINISTIC survivor rule: representative =
+    * min doc_id per normalized key; the join back on the unique doc_id
+    * selects it (dropDuplicates' survivor depends on partitioning).
+    * min is commutative/associative, so the result is independent of
+    * how rows are batched — the property the streaming ingest path's
+    * convergence proof rests on. */
+  def dedupScrubbed(scrubbed: DataFrame): DataFrame = {
     val reps = scrubbed
       .groupBy(substring(col("scrubbed"), 1, 40).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val kept = scrubbed.join(reps, "doc_id")
+    scrubbed.join(reps, "doc_id")
+  }
+
+  def curateChunks(spark: SparkSession, dir: String): DataFrame = {
+    val kept = dedupScrubbed(gateAndScrub(Tables(spark, dir, "documents")))
     val t = split(col("scrubbed"), " ")
     val lastChunk = floor((size(t) - lit(1)).cast("double") / chunkStride)
       .cast("bigint")

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.ext.TextOps
+import graft.merge.Merge
+
+/** Streaming ingest for the curation family — documents arrive as files
+  * (the at-least-once reality of every corpus drop), get gated and
+  * scrubbed IN the stream (the same map-only expressions as the batch
+  * pipeline — narrow projections run identically under Structured
+  * Streaming), and are merged per micro-batch into a deduplicated
+  * curated store.
+  *
+  * The dedup CANNOT be a stream-local operator: the batch semantics
+  * keep the min-doc_id representative per key across the WHOLE corpus,
+  * while any within-stream dedup is first-seen-wins and depends on
+  * arrival order. So the store merge recomputes min per key over
+  * (store ∪ batch) in `foreachBatch` — min is commutative/associative,
+  * which gives the convergence contract CurationStreamSpec proves:
+  * whatever the file slicing, arrival order, or redelivery, the final
+  * store equals the batch pipeline's dedup output exactly.
+  *
+  * Scale shape: each merge is O(store ∪ batch) here (atomic sibling-dir
+  * rewrite, same publish mechanics as [[graft.merge.Merge]]); at 100 TB
+  * the store lives partitioned/bucketed BY KEY so the merge touches
+  * only the key partitions the batch delivers — the
+  * `updateTablePartitioned` pattern with the dedup key in place of the
+  * month. Checkpointed source offsets + an idempotent, order-independent
+  * merge ⇒ effectively-once, the same contract as the reference
+  * pipeline's merge stage.
+  */
+object CurationStream {
+
+  /** One micro-batch into the store: union, re-pick each key's min
+    * doc_id, atomically republish. Idempotent (re-delivered rows change
+    * nothing) and order-independent (min over any batching converges to
+    * the corpus-wide min). */
+  def mergeCuratedBatch(spark: SparkSession, batch: DataFrame,
+                        storePath: String): Unit = {
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unioned =
+      if (fs.exists(new Path(storePath)))
+        spark.read.parquet(storePath).unionByName(batch)
+      else batch
+    // distinct() first: a redelivered row is byte-identical to its
+    // store copy (scrub is deterministic), and dedupScrubbed's
+    // survivor-join assumes unique doc_ids — without this, redelivery
+    // would duplicate every surviving row. localCheckpoint cuts the
+    // self-read lineage before the overwrite (same hazard note as
+    // Merge.updateTablePartitioned).
+    Merge.overwriteAtomic(
+      TextOps.dedupScrubbed(unioned.distinct().localCheckpoint()),
+      storePath)
+  }
+
+  /** Wire the stream: files under `uploadDir` (same schema as the
+    * documents table) → gate+scrub → per-batch dedup merge. */
+  def runCurationStream(spark: SparkSession, uploadDir: String,
+                        storePath: String, checkpointDir: String,
+                        schema: StructType): StreamingQuery = {
+    val docs = spark.readStream.schema(schema).parquet(uploadDir)
+    TextOps.gateAndScrub(docs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeCuratedBatch(spark, batch, storePath)
+      }
+      .start()
+  }
+}
