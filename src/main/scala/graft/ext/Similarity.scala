@@ -133,12 +133,22 @@ object Similarity {
     * aggregation-order-dependent → rows-only check; the spec
     * cross-validates every returned cosine against the brute path. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val nprobe = 4
     val idx = graft.util.SessionCache.memoize(spark, "ivf", dir) {
       buildIvfIndex(spark, dir)
     }
     val qv = idx.cells.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
+    ivfQuery(idx, qv)
+  }
+
+  /** The serving path, index-source-agnostic (freshly built, memoized,
+    * or [[loadIvfIndex]]-ed): pick the `nprobe` cells whose centroids
+    * are nearest the query (driver-side over k vectors — O(k·d), never
+    * corpus-sized), then exact top-k inside them. Over a PERSISTED
+    * index the cell filter is partition pruning — the scan reads only
+    * ~nprobe/k of the index FILES, not just of its rows. */
+  def ivfQuery(idx: IvfIndex, qv: Array[Float], k: Int = 10,
+               nprobe: Int = 4): DataFrame = {
     val probed = idx.centroids.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
@@ -150,7 +160,30 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         dot(col("embedding"), qcol).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
+  }
+
+  /** Persist the index the way a real deployment serves it: the cell
+    * table PARTITIONED BY cell — so a query's cell-membership filter
+    * becomes partition pruning at the scan (`PartitionFilters` in the
+    * plan; only the probed cells' files are opened) — plus the k×d
+    * centroid matrix as a one-row-per-centroid table. */
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+    val spark = idx.cells.sparkSession
+    import spark.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(spark.read.parquet(s"$path/cells"), centroids)
   }
 
   /** Exact distinct counts (oracle-checked)… */

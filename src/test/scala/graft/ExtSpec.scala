@@ -303,6 +303,29 @@ class ExtSpec extends SparkSpec {
       }
   }
 
+  test("ivf index: persisted round-trip serves identical results with partition pruning") {
+    import org.apache.spark.sql.functions._
+    val built = graft.ext.Similarity.buildIvfIndex(spark, dir)
+    val qv = built.cells.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-idx")
+      .toFile.getAbsolutePath
+    graft.ext.Similarity.saveIvfIndex(built, tmp)
+    val loaded = graft.ext.Similarity.loadIvfIndex(spark, tmp)
+    // centroids survive byte-identical -> same probe set
+    assert(loaded.centroids.map(_.toSeq).toSeq ===
+      built.centroids.map(_.toSeq).toSeq)
+    val fromBuilt = graft.ext.Similarity.ivfQuery(built, qv)
+      .collect().map(_.toSeq).toSeq
+    val servedQuery = graft.ext.Similarity.ivfQuery(loaded, qv)
+    assert(servedQuery.collect().map(_.toSeq).toSeq === fromBuilt)
+    // the cell filter reaches the scan as PARTITION pruning: only the
+    // probed cells' files are read
+    val plan = servedQuery.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"expected partition pruning on cell in:\n$plan")
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
