@@ -131,7 +131,11 @@ object ScaleCheck {
       "q_decontaminate" -> (ext.Dedup.qDecontaminate _)) ++
       Seq("q_view_transactions", "q_view_auto_optiom", "q_view_retention",
         "q_sessionize", "q_events_window", "q_asof_join", "q_range_join",
-        "q_tfidf").map(n => n -> SparkEntry.queries(n))
+        "q_tfidf",
+        // round-5 curation family: pack exercises the distributed
+        // prefix sum, curate_e2e the whole composed pipeline
+        "q_pack", "q_passage_dedup", "q_contam_frac", "q_curate_e2e")
+        .map(n => n -> SparkEntry.queries(n))
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       // warm-up + min-of-2, transient blocks dropped between passes —
