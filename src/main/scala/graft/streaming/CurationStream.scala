@@ -57,18 +57,72 @@ object CurationStream {
       storePath)
   }
 
+  /** Number of hash buckets for the partitioned store layout. At 100 TB
+    * this is sized so one bucket ≈ a few GB (e.g. 2¹⁴ buckets); 64 keeps
+    * the test corpus honest (every batch touches a strict subset). */
+  val storeBuckets = 64
+
+  private def bucketOf = org.apache.spark.sql.functions.pmod(
+    org.apache.spark.sql.functions.xxhash64(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("scrubbed"), 1, 40)),
+    org.apache.spark.sql.functions.lit(storeBuckets.toLong))
+
+  /** The O(delivered-buckets) merge — [[mergeCuratedBatch]]'s 100 TB
+    * form, the `updateTablePartitioned` pattern with the dedup key's
+    * hash bucket as the partition: the store lives as
+    * `bucket=<pmod(xxhash64(key40), N)>` partitions, a batch's rows
+    * hash to a set of buckets, and the merge reads, re-deduplicates,
+    * and dynamically overwrites ONLY those partitions — every other
+    * bucket's files stay byte-identical (spec-asserted). Work per batch
+    * is O(batch + touched buckets), independent of store size. Same
+    * convergence contract: min per key over store∪batch, idempotent
+    * under redelivery, order-independent. */
+  def mergeCuratedBatchPartitioned(spark: SparkSession, batch: DataFrame,
+                                   storePath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withBucket = batch.withColumn("bucket", bucketOf)
+    val touched = withBucket.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet // bounded by storeBuckets
+    if (touched.isEmpty) return // fully-gated batch: nothing to merge
+    val existing =
+      if (fs.exists(new Path(storePath)))
+        Some(spark.read.parquet(storePath)
+          .filter(col("bucket").isInCollection(touched)))
+      else None
+    val unioned = existing.fold(withBucket)(withBucket.unionByName(_))
+    val merged = TextOps.dedupScrubbed(
+        unioned.drop("bucket").distinct().localCheckpoint())
+      .withColumn("bucket", bucketOf)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(storePath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Wire the stream: files under `uploadDir` (same schema as the
     * documents table) → gate+scrub → per-batch dedup merge. */
   def runCurationStream(spark: SparkSession, uploadDir: String,
                         storePath: String, checkpointDir: String,
-                        schema: StructType): StreamingQuery = {
+                        schema: StructType,
+                        partitionedStore: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(schema).parquet(uploadDir)
     TextOps.gateAndScrub(docs).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeCuratedBatch(spark, batch, storePath)
+        if (partitionedStore)
+          mergeCuratedBatchPartitioned(spark, batch, storePath)
+        else mergeCuratedBatch(spark, batch, storePath)
       }
       .start()
   }

@@ -14,6 +14,52 @@ class CurationStreamSpec extends SparkSpec {
     spark.read.parquet(path).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
 
+  test("partitioned store: converges identically, untouched buckets byte-stable") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("curation-part").toFile.getAbsolutePath
+    val store = s"$tmp/store"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val scrubbedAll = graft.ext.TextOps.gateAndScrub(docs)
+
+    // batch 1: most of the corpus
+    CurationStream.mergeCuratedBatchPartitioned(
+      spark, scrubbedAll.filter(col("doc_id") % 7 =!= 0), store)
+    // snapshot per-bucket file listings
+    def bucketFiles() = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSeq.sorted)
+      .toMap
+    val before = bucketFiles()
+
+    // batch 2: the rest — touches only ITS keys' buckets
+    val batch2 = scrubbedAll.filter(col("doc_id") % 7 === 0)
+    val touched2 = batch2
+      .select(pmod(xxhash64(substring(col("scrubbed"), 1, 40)),
+        lit(CurationStream.storeBuckets.toLong)).as("b"))
+      .distinct().collect().map(r => s"bucket=${r.getLong(0)}").toSet
+    CurationStream.mergeCuratedBatchPartitioned(spark, batch2, store)
+    assert(touched2.size < CurationStream.storeBuckets) // test is meaningful
+    val after = bucketFiles()
+    before.keys.filterNot(touched2).foreach { b =>
+      assert(after(b) === before(b), s"untouched $b was rewritten")
+    }
+
+    // final store == the batch pipeline's dedup output
+    val got = spark.read.parquet(store).select("doc_id", "scrubbed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    val want = graft.ext.TextOps.dedupScrubbed(scrubbedAll)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(got === want)
+
+    // redelivery of batch 2 changes nothing
+    CurationStream.mergeCuratedBatchPartitioned(spark, batch2, store)
+    val again = spark.read.parquet(store).select("doc_id", "scrubbed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(again === want)
+  }
+
   test("stream-fed store equals the batch gate+scrub+dedup output") {
     val tmp = Files.createTempDirectory("curation-stream").toFile.getAbsolutePath
     val upload = s"$tmp/upload"
