@@ -338,6 +338,20 @@ object TextOps {
       |    AS pack_id
       |FROM cum""".stripMargin
 
+  /** The last meter of the pipeline: write packed sequences as training
+    * SHARD files. `repartitionByRange(pack_id)` gives each shard a
+    * contiguous pack range (a pack's chunks never straddle shard
+    * files — the property a sequential trainer needs), and the
+    * within-shard sort puts chunks in stream order. One range exchange,
+    * then parallel writes; shard count = write parallelism, sized to
+    * the trainer's reader fleet, independent of corpus layout. */
+  def writeTrainingShards(packed: DataFrame, path: String,
+                          shards: Int): Unit =
+    packed
+      .repartitionByRange(shards, col("pack_id"))
+      .sortWithinPartitions(col("pack_id"), col("doc_id"), col("chunk_id"))
+      .write.mode("overwrite").parquet(path)
+
   /** Passage length (tokens) for [[qPassageDedup]] — non-overlapping,
     * unlike the chunking stride, so a passage duplicated across
     * documents is counted once per occurrence, never against itself. */

@@ -232,6 +232,34 @@ class ExtSpec extends SparkSpec {
     assert(packs.toSeq === (packs.head to packs.last))
   }
 
+  test("training shards: packs never straddle files, chunks in stream order") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("shards")
+      .toFile.getAbsolutePath
+    TextOps.writeTrainingShards(TextOps.qPack(spark, dir), tmp, shards = 4)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 4)
+    // each pack lives entirely in ONE file, and within a file chunks
+    // appear in (pack_id, doc_id, chunk_id) order
+    val perFile = files.map { f =>
+      f -> spark.read.parquet(f)
+        .select("pack_id", "doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    perFile.foreach { case (_, rows) => assert(rows === rows.sorted) }
+    val packToFiles = perFile.flatMap { case (f, rows) =>
+      rows.map(_._1 -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(packToFiles.values.forall(_ === 1))
+    // nothing lost: shard union == the pack table
+    val all = perFile.flatMap(_._2).sorted
+    val want = TextOps.qPack(spark, dir)
+      .select("pack_id", "doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(all === want)
+  }
+
   test("passage dedup: reported hashes recompute to real multi-occurrence passages") {
     import org.apache.spark.sql.functions._
     val reported = TextOps.qPassageDedup(spark, dir).collect()
