@@ -260,35 +260,44 @@ object TextOps {
     * by at least one chunk). Map-only: sequence + slice build the
     * chunk list in-expression and the explode is the only row
     * amplification — no shuffle at any corpus size. */
-  def qChunk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val t = split(col("text"), " ")
+  /** The chunk grid over any (doc_id, text-like) frame — the ONE
+    * definition of chunking, shared by [[qChunk]] (raw text),
+    * [[curateChunks]] (scrubbed text), and the specs; its SQL twin is
+    * [[chunkSelectSql]]. */
+  def chunkTokens(df: DataFrame, textCol: Column): DataFrame = {
+    val t = split(textCol, " ")
     val lastChunk = floor((size(t) - lit(1)).cast("double") / chunkStride)
       .cast("bigint")
-    val chunks = docs.select(col("doc_id"), t.as("t"),
-      explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
-    chunks.select(
-      col("doc_id"), col("chunk_id"),
-      concat_ws(" ", slice(col("t"),
-        (col("chunk_id") * chunkStride + 1).cast("int"),
-        lit(chunkWindow))).as("chunk_text"),
-      size(slice(col("t"),
-        (col("chunk_id") * chunkStride + 1).cast("int"),
-        lit(chunkWindow))).cast("bigint").as("n_chunk_tokens"))
+    df.select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * chunkStride + 1).cast("int"),
+          lit(chunkWindow))).as("chunk_text"),
+        size(slice(col("t"),
+          (col("chunk_id") * chunkStride + 1).cast("int"),
+          lit(chunkWindow))).cast("bigint").as("n_chunk_tokens"))
   }
 
-  val qChunkSql: String =
-    s"""WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |)
-      |SELECT doc_id, i AS chunk_id,
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables(spark, dir, "documents"), col("text"))
+
+  /** SQL twin of [[chunkTokens]], parameterized by source relation and
+    * text column so the standalone and composed oracles stay one
+    * definition. */
+  def chunkSelectSql(relation: String, textCol: String): String =
+    s"""SELECT doc_id, i AS chunk_id,
       |  array_to_string(t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow],
       |    ' ') AS chunk_text,
       |  CAST(len(t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow])
       |    AS BIGINT) AS n_chunk_tokens
-      |FROM toks,
+      |FROM (SELECT doc_id, string_split($textCol, ' ') AS t
+      |      FROM $relation) AS toks,
       |     LATERAL unnest(generate_series(0, (len(t)-1)//$chunkStride))
       |       AS u(i)""".stripMargin
+
+  val qChunkSql: String = chunkSelectSql("documents", "text")
 
   /** Pack context size in tokens for [[qPack]]. */
   val packContext = 64
@@ -322,21 +331,28 @@ object TextOps {
         .as("pack_id"))
   }
 
-  val qPackSql: String =
-    s"""WITH chunks AS (
-      |${qChunkSql.linesIterator.map("  " + _).mkString("\n")}
-      |),
-      |cum AS (
-      |  SELECT doc_id, chunk_id, n_chunk_tokens,
+  /** SQL twin of the PrefixSum + pack-assignment step: appended after a
+    * `chunks` CTE; `extra` carries additional chunk columns through
+    * (", chunk_text" in the composed pipeline). One definition shared
+    * by [[qPackSql]] and [[qCurateSql]]. */
+  def packAfterChunksSql(extra: String = ""): String =
+    s"""cum AS (
+      |  SELECT doc_id, chunk_id$extra, n_chunk_tokens,
       |    CAST(SUM(n_chunk_tokens) OVER (
       |      ORDER BY doc_id, chunk_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      AS cum_tokens
       |  FROM chunks)
-      |SELECT doc_id, chunk_id, n_chunk_tokens, cum_tokens,
+      |SELECT doc_id, chunk_id$extra, n_chunk_tokens, cum_tokens,
       |  CAST((cum_tokens - n_chunk_tokens) // $packContext AS BIGINT)
       |    AS pack_id
       |FROM cum""".stripMargin
+
+  val qPackSql: String =
+    s"""WITH chunks AS (
+      |${qChunkSql.linesIterator.map("  " + _).mkString("\n")}
+      |),
+      |${packAfterChunksSql()}""".stripMargin
 
   /** The last meter of the pipeline: write packed sequences as training
     * SHARD files. `repartitionByRange(pack_id)` gives each shard a
@@ -462,22 +478,10 @@ object TextOps {
     scrubbed.join(reps, "doc_id")
   }
 
-  def curateChunks(spark: SparkSession, dir: String): DataFrame = {
-    val kept = dedupScrubbed(gateAndScrub(Tables(spark, dir, "documents")))
-    val t = split(col("scrubbed"), " ")
-    val lastChunk = floor((size(t) - lit(1)).cast("double") / chunkStride)
-      .cast("bigint")
-    kept
-      .select(col("doc_id"), t.as("t"),
-        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        concat_ws(" ", slice(col("t"),
-          (col("chunk_id") * chunkStride + 1).cast("int"),
-          lit(chunkWindow))).as("chunk_text"),
-        size(slice(col("t"),
-          (col("chunk_id") * chunkStride + 1).cast("int"),
-          lit(chunkWindow))).cast("bigint").as("n_chunk_tokens"))
-  }
+  def curateChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(
+      dedupScrubbed(gateAndScrub(Tables(spark, dir, "documents"))),
+      col("scrubbed"))
 
   val qCurateSql: String =
     s"""WITH gated AS (
@@ -498,28 +502,11 @@ object TextOps {
       |  SELECT MIN(doc_id) AS doc_id FROM scrub
       |  GROUP BY substr(scrubbed, 1, 40)),
       |kept AS (SELECT s.* FROM scrub s JOIN reps USING (doc_id)),
-      |toks AS (SELECT doc_id, string_split(scrubbed, ' ') AS t FROM kept),
       |chunks AS (
-      |  SELECT doc_id, i AS chunk_id,
-      |    array_to_string(
-      |      t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow], ' ')
-      |      AS chunk_text,
-      |    CAST(len(t[i*$chunkStride+1 : i*$chunkStride+$chunkWindow])
-      |      AS BIGINT) AS n_chunk_tokens
-      |  FROM toks,
-      |       LATERAL unnest(generate_series(0, (len(t)-1)//$chunkStride))
-      |         AS u(i)),
-      |cum AS (
-      |  SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
-      |    CAST(SUM(n_chunk_tokens) OVER (
-      |      ORDER BY doc_id, chunk_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-      |      AS cum_tokens
-      |  FROM chunks)
-      |SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens, cum_tokens,
-      |  CAST((cum_tokens - n_chunk_tokens) // $packContext AS BIGINT)
-      |    AS pack_id
-      |FROM cum""".stripMargin
+      |${chunkSelectSql("kept", "scrubbed").linesIterator
+           .map("  " + _).mkString("\n")}
+      |),
+      |${packAfterChunksSql(", chunk_text")}""".stripMargin
 
   /** Within-document repetition ratio — the Gopher-style quality rule
     * that catches boilerplate and generation loops: the fraction of word

@@ -133,15 +133,12 @@ object Merge {
           .localCheckpoint()
         val outMonths = out.select("pmonth").distinct()
           .collect().map(_.getString(0)).toSet
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try out.write.mode("overwrite").partitionBy("pmonth").parquet(basePath)
-        finally prev match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        // per-WRITE option, not the session conf: toggling the session
+        // setting would race any concurrent partitioned overwrite on
+        // the same SparkSession (and clobber a caller's own setting)
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pmonth").parquet(basePath)
         overlapMonths.filterNot(outMonths).foreach { m =>
           fs.delete(new Path(basePath, s"pmonth=$m"), true)
         }

@@ -23,14 +23,15 @@ import graft.merge.Merge
   * whatever the file slicing, arrival order, or redelivery, the final
   * store equals the batch pipeline's dedup output exactly.
   *
-  * Scale shape: each merge is O(store ∪ batch) here (atomic sibling-dir
-  * rewrite, same publish mechanics as [[graft.merge.Merge]]); at 100 TB
-  * the store lives partitioned/bucketed BY KEY so the merge touches
-  * only the key partitions the batch delivers — the
-  * `updateTablePartitioned` pattern with the dedup key in place of the
-  * month. Checkpointed source offsets + an idempotent, order-independent
-  * merge ⇒ effectively-once, the same contract as the reference
-  * pipeline's merge stage.
+  * Scale shape: [[mergeCuratedBatch]] is the O(store ∪ batch) simple
+  * form (atomic sibling-dir rewrite, `.bak` rollback);
+  * [[mergeCuratedBatchPartitioned]] is the 100 TB form — the store
+  * partitioned by the dedup key's hash bucket, each merge touching only
+  * delivered buckets, published by the same recoverable two-rename swap
+  * as [[graft.merge.Merge.compactPartitions]]. Checkpointed source
+  * offsets + an idempotent, order-independent, crash-recoverable merge
+  * ⇒ effectively-once, the same contract as the reference pipeline's
+  * merge stage. Single-maintainer, like every rewrite in this engine.
   */
 object CurationStream {
 
@@ -51,10 +52,12 @@ object CurationStream {
     // survivor-join assumes unique doc_ids — without this, redelivery
     // would duplicate every surviving row. localCheckpoint cuts the
     // self-read lineage before the overwrite (same hazard note as
-    // Merge.updateTablePartitioned).
-    Merge.overwriteAtomic(
-      TextOps.dedupScrubbed(unioned.distinct().localCheckpoint()),
-      storePath)
+    // Merge.updateTablePartitioned); unpersisted after the publish so
+    // a long stream never accumulates store-sized cached generations
+    // (the round-4 GC lesson).
+    val ck = unioned.distinct().localCheckpoint()
+    try Merge.overwriteAtomic(TextOps.dedupScrubbed(ck), storePath)
+    finally ck.unpersist(blocking = false)
   }
 
   /** Number of hash buckets for the partitioned store layout. At 100 TB
@@ -62,59 +65,118 @@ object CurationStream {
     * the test corpus honest (every batch touches a strict subset). */
   val storeBuckets = 64
 
-  private def bucketOf = org.apache.spark.sql.functions.pmod(
+  /** Bucket of the dedup key — exposed (package-private) so specs
+    * derive the touched set from the SAME expression the merge uses. */
+  private[graft] def bucketOf = org.apache.spark.sql.functions.pmod(
     org.apache.spark.sql.functions.xxhash64(
       org.apache.spark.sql.functions.substring(
         org.apache.spark.sql.functions.col("scrubbed"), 1, 40)),
     org.apache.spark.sql.functions.lit(storeBuckets.toLong))
+
+  /** Heal a partitioned-store merge interrupted by a crash — same state
+    * machine as [[graft.merge.Merge.recoverCompaction]]: a
+    * `.merge-bak-<b>` whose `bucket=<b>` is missing means the swap died
+    * between its two renames (restore the backup); one whose live dir
+    * exists is post-publish debris (delete); a leftover staging dir is
+    * an incomplete write (delete). Runs automatically at the start of
+    * every [[mergeCuratedBatchPartitioned]]. */
+  def recoverStore(spark: SparkSession, storePath: String): Int = {
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(storePath))) return 0
+    var healed = 0
+    fs.listStatus(new Path(storePath)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(".merge-bak-"))
+      .foreach { name =>
+        val live = new Path(storePath,
+          s"bucket=${name.stripPrefix(".merge-bak-")}")
+        if (!fs.exists(live)) {
+          if (!fs.rename(new Path(storePath, name), live))
+            throw new java.io.IOException(s"could not restore $name")
+          healed += 1
+        } else fs.delete(new Path(storePath, name), true)
+      }
+    fs.delete(new Path(storePath + ".merge-tmp"), true)
+    healed
+  }
 
   /** The O(delivered-buckets) merge — [[mergeCuratedBatch]]'s 100 TB
     * form, the `updateTablePartitioned` pattern with the dedup key's
     * hash bucket as the partition: the store lives as
     * `bucket=<pmod(xxhash64(key40), N)>` partitions, a batch's rows
     * hash to a set of buckets, and the merge reads, re-deduplicates,
-    * and dynamically overwrites ONLY those partitions — every other
-    * bucket's files stay byte-identical (spec-asserted). Work per batch
-    * is O(batch + touched buckets), independent of store size. Same
-    * convergence contract: min per key over store∪batch, idempotent
-    * under redelivery, order-independent. */
+    * and republishes ONLY those partitions — every other bucket's files
+    * stay byte-identical (spec-asserted). Work per batch is
+    * O(batch + touched buckets), independent of store size; correct
+    * because a dedup group's key hashes to exactly one bucket.
+    *
+    * Publish is NOT Spark's dynamic partition overwrite (whose
+    * delete-then-rename commit can lose a bucket's prior survivors on a
+    * crash, and whose session-conf toggle would race concurrent
+    * writers): the merged generation is staged to a sibling dir, then
+    * each touched bucket is swapped in by the same recoverable
+    * two-rename sequence as compaction — [[recoverStore]] heals every
+    * crash point on the next merge. Same convergence contract as the
+    * simple form: min per key over store∪batch, idempotent under
+    * redelivery, order-independent. */
   def mergeCuratedBatchPartitioned(spark: SparkSession, batch: DataFrame,
                                    storePath: String): Unit = {
     import org.apache.spark.sql.functions._
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val withBucket = batch.withColumn("bucket", bucketOf)
-    val touched = withBucket.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSet // bounded by storeBuckets
-    if (touched.isEmpty) return // fully-gated batch: nothing to merge
-    val existing =
-      if (fs.exists(new Path(storePath)))
-        Some(spark.read.parquet(storePath)
-          .filter(col("bucket").isInCollection(touched)))
-      else None
-    val unioned = existing.fold(withBucket)(withBucket.unionByName(_))
-    val merged = TextOps.dedupScrubbed(
-        unioned.drop("bucket").distinct().localCheckpoint())
-      .withColumn("bucket", bucketOf)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("bucket")
-      .parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    recoverStore(spark, storePath)
+    // checkpoint the gated/scrubbed/bucketed batch ONCE: both the
+    // touched-set collect and the merge union read it from cache
+    // instead of re-reading + re-gating the source files
+    val withBucket = batch.withColumn("bucket", bucketOf).localCheckpoint()
+    try {
+      val touched = withBucket.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet // bounded by storeBuckets
+      if (touched.isEmpty) return // fully-gated batch: nothing to merge
+      val existing =
+        if (fs.exists(new Path(storePath)))
+          Some(spark.read.parquet(storePath)
+            .filter(col("bucket").isInCollection(touched)))
+        else None
+      val unioned = existing.fold(withBucket)(withBucket.unionByName(_))
+      val merged = TextOps.dedupScrubbed(unioned.drop("bucket").distinct())
+        .withColumn("bucket", bucketOf)
+      // stage the new generation OUTSIDE the store dir (partition
+      // discovery never sees it), then swap touched buckets in
+      val tmp = new Path(storePath + ".merge-tmp")
+      fs.delete(tmp, true)
+      merged.write.partitionBy("bucket").parquet(tmp.toString)
+      touched.foreach { b =>
+        val live = new Path(storePath, s"bucket=$b")
+        val bak = new Path(storePath, s".merge-bak-$b")
+        val staged = new Path(tmp, s"bucket=$b")
+        // staged always exists: a touched bucket holds at least the
+        // winners of the batch keys that made it touched
+        fs.delete(bak, true)
+        val displaced = fs.exists(live)
+        if (displaced && !fs.rename(live, bak))
+          throw new java.io.IOException(s"could not displace $live")
+        if (!fs.rename(staged, live)) {
+          if (displaced) fs.rename(bak, live) // roll back
+          throw new java.io.IOException(s"could not publish $staged")
+        }
+        if (displaced) fs.delete(bak, true)
+      }
+      fs.delete(tmp, true)
+    } finally withBucket.unpersist(blocking = false)
   }
 
   /** Wire the stream: files under `uploadDir` (same schema as the
-    * documents table) → gate+scrub → per-batch dedup merge. */
+    * documents table) → gate+scrub → per-batch dedup merge. One file
+    * per micro-batch (as in [[StreamPipeline]]) so convergence across
+    * batches is genuinely exercised, not collapsed into one merge. */
   def runCurationStream(spark: SparkSession, uploadDir: String,
                         storePath: String, checkpointDir: String,
                         schema: StructType,
                         partitionedStore: Boolean = false): StreamingQuery = {
-    val docs = spark.readStream.schema(schema).parquet(uploadDir)
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(uploadDir)
     TextOps.gateAndScrub(docs).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

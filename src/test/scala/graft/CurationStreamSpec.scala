@@ -33,11 +33,10 @@ class CurationStreamSpec extends SparkSpec {
       .toMap
     val before = bucketFiles()
 
-    // batch 2: the rest — touches only ITS keys' buckets
+    // batch 2: the rest — touches only ITS keys' buckets (derived from
+    // the SAME expression the merge uses)
     val batch2 = scrubbedAll.filter(col("doc_id") % 7 === 0)
-    val touched2 = batch2
-      .select(pmod(xxhash64(substring(col("scrubbed"), 1, 40)),
-        lit(CurationStream.storeBuckets.toLong)).as("b"))
+    val touched2 = batch2.select(CurationStream.bucketOf.as("b"))
       .distinct().collect().map(r => s"bucket=${r.getLong(0)}").toSet
     CurationStream.mergeCuratedBatchPartitioned(spark, batch2, store)
     assert(touched2.size < CurationStream.storeBuckets) // test is meaningful
@@ -93,17 +92,10 @@ class CurationStreamSpec extends SparkSpec {
     assert(storeRows(store) === batch)
 
     // chunks derived from the streamed store equal the batch pipeline's
-    val fromStore = spark.read.parquet(store)
-    val t = split(col("scrubbed"), " ")
-    val lastChunk = floor((size(t) - lit(1)).cast("double") /
-      TextOps.chunkStride).cast("bigint")
-    val streamedChunks = fromStore
-      .select(col("doc_id"), t.as("t"),
-        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        concat_ws(" ", slice(col("t"),
-          (col("chunk_id") * TextOps.chunkStride + 1).cast("int"),
-          lit(TextOps.chunkWindow))).as("chunk_text"))
+    // (same chunkTokens operator both sides)
+    val streamedChunks = TextOps.chunkTokens(
+        spark.read.parquet(store), col("scrubbed"))
+      .select("doc_id", "chunk_id", "chunk_text")
       .collect().map(_.toSeq).toSet
     val batchChunks = TextOps.curateChunks(spark, dir)
       .select("doc_id", "chunk_id", "chunk_text")

@@ -312,13 +312,17 @@ class ExtSpec extends SparkSpec {
     val quality = TextOps.qQualityFilter(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptDocs.subsetOf(quality))
-    // dedup: no two surviving docs share a 40-char scrubbed prefix, and
-    // each survivor is its group's MIN doc_id among quality passers
-    val prefixes = Tables(spark, dir, "documents")
-      .filter(col("doc_id").isInCollection(keptDocs))
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+    // dedup: survivors are EXACTLY each group's min doc_id over the
+    // gate-passing corpus, keyed on the SCRUBBED prefix (the pipeline's
+    // real key — equal to raw text here only because the corpus plants
+    // no PII)
+    val gateScrubbed = TextOps.gateAndScrub(
+        Tables(spark, dir, "documents"))
+      .select(col("doc_id"), substring(col("scrubbed"), 1, 40).as("p"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
-    assert(prefixes.map(_._2).distinct.length === prefixes.length)
+    val wantSurvivors = gateScrubbed.groupBy(_._2)
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    assert(keptDocs === wantSurvivors)
     // packing: same invariants as q_pack, over the curated stream
     var prevCum = 0L
     out.sortBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
