@@ -54,6 +54,7 @@ object SparkEntry {
     "q_pack" -> (graft.ext.TextOps.qPack _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
+    "q_stratified_sample" -> (graft.ext.TextOps.qStratifiedSample _),
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_pack" -> graft.ext.TextOps.qPackSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,
+    "q_stratified_sample" -> graft.ext.TextOps.qStratifiedSampleSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,

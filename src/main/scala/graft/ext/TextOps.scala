@@ -299,6 +299,33 @@ object TextOps {
 
   val qChunkSql: String = chunkSelectSql("documents", "text")
 
+  /** Deterministic STRATIFIED sampling — the mixture-shaping partner of
+    * the hash split and the group cap: each stratum (here: language)
+    * keeps its own fraction of documents, selected by the same md5
+    * doc-id coin as [[qHashSample]] / [[groupCap]] — reproducible
+    * across runs, engines, and partitionings, never `rand()` or
+    * `df.sample` (both partition-layout-dependent). Down-weights the
+    * dominant stratum (en → 35%) while keeping the tail at 70% — the
+    * standard rebalancing move before training-mix assembly. Map-only
+    * predicate: runs at scan speed at any corpus size, and composes
+    * with [[groupCap]] (hard cap) when a stratum needs an absolute
+    * ceiling rather than a fraction. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val coinFrac = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val keepFrac = when(col("lang") === "en", 0.35).otherwise(0.70)
+    docs.filter(coinFrac < keepFrac)
+  }
+
+  val qStratifiedSampleSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) / 4294967296.0
+      |      < CASE WHEN lang = 'en' THEN 0.35 ELSE 0.70 END""".stripMargin
+
   /** Pack context size in tokens for [[qPack]]. */
   val packContext = 64
 

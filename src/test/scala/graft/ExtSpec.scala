@@ -358,6 +358,28 @@ class ExtSpec extends SparkSpec {
       s"expected partition pruning on cell in:\n$plan")
   }
 
+  test("stratified sample: per-stratum rates near targets, deterministic") {
+    import org.apache.spark.sql.functions._
+    val total = Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.qStratifiedSample(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      val target = if (lang == "en") 0.35 else 0.70
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      // binomial tolerance at these stratum sizes (~60-220 docs)
+      assert(math.abs(rate - target) < 0.2, s"$lang rate $rate vs $target")
+    }
+    // deterministic: same doc set on re-evaluation
+    val a = TextOps.qStratifiedSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.qStratifiedSample(spark, dir).repartition(7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
