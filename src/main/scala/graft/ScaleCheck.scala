@@ -64,10 +64,14 @@ object ScaleCheck {
     * Tables loader path as the driver testdata. */
   def scaleFacts(spark: SparkSession, srcDir: String, outDir: String,
                  factor: Int): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    }
+    // dims AND embeddings copied unscaled (embeddings play a constant
+    // index corpus), so the scaled dir is a COMPLETE table set — the
+    // full Bench surface runs against it unchanged
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
     def copies(src: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(src, i)).reduce(_ unionByName _)
 
