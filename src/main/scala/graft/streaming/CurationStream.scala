@@ -166,6 +166,94 @@ object CurationStream {
     } finally withBucket.unpersist(blocking = false)
   }
 
+  /** Incremental sequence packing — the streaming tail of the curation
+    * pipeline: pack each micro-batch's chunks into the SAME global
+    * token stream the offline `qPack` builds, continuing where the
+    * previous batch stopped. Semantics are append-order packing (the
+    * stream packs what arrives, in (doc_id, chunk_id) order WITHIN each
+    * batch, batches in commit order) — the standard online form; the
+    * batch `qPack` over a finalized corpus remains the canonical
+    * offline layout.
+    *
+    * Effectively-once without a transaction log, on plain parquet:
+    *  - each batch writes to its own `batch=<id>` dir with
+    *    mode=overwrite — a replayed batch overwrites its own output,
+    *    never appends twice;
+    *  - the running token offset is NOT mutable state: it is the sum of
+    *    per-batch token totals read from `_tokens-<n>` marker files of
+    *    STRICTLY EARLIER batch dirs (a metadata-only listing,
+    *    O(#batches)) — a replay of batch b sees exactly the offsets it
+    *    saw the first time, so its pack ids are reproduced bit-for-bit;
+    *  - the marker is written after the data; a crash between them
+    *    leaves a dir the replay overwrites before re-marking —
+    *    convergent either way.
+    */
+  def appendPackedBatch(spark: SparkSession, chunkBatch: DataFrame,
+                        packedPath: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(packedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(packedPath)
+    val priorTokens =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .filter { d =>
+          val n = d.getPath.getName
+          n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toLong < batchId
+        }
+        .flatMap(d => fs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
+          .find(_.startsWith("_tokens-"))
+          .map(_.stripPrefix("_tokens-").toLong))
+        .sum
+    val packed = graft.operators.PrefixSum.withRunningTotal(
+        chunkBatch, Seq(col("doc_id"), col("chunk_id")),
+        "n_chunk_tokens", "cum_in_batch")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("n_chunk_tokens"),
+        (col("cum_in_batch") + priorTokens).as("cum_tokens"))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_chunk_tokens) div ${TextOps.packContext}"))
+    val dir = new Path(packedPath, s"batch=$batchId")
+    try {
+      packed.write.mode("overwrite").parquet(dir.toString)
+      val total = packed.agg(max(col("cum_tokens"))).head()
+      val batchTokens =
+        (if (total.isNullAt(0)) priorTokens else total.getLong(0)) -
+          priorTokens
+      // re-mark: drop any stale marker from a previous attempt first
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_tokens-"))
+        .foreach(n => fs.delete(new Path(dir, n), false))
+      fs.create(new Path(dir, s"_tokens-$batchTokens"), true).close()
+    } finally
+      // the PrefixSum checkpoint behind `packed` is per-batch garbage
+      graft.util.SessionCache.dropTransientBlocks(spark)
+  }
+
+  /** Wire the packing stream: gate+scrub+chunk run IN the stream (all
+    * map-only), each micro-batch appends to the packed store via
+    * [[appendPackedBatch]]. Composable beside [[runCurationStream]] on
+    * the same upload dir (separate checkpoint). */
+  def runPackingStream(spark: SparkSession, uploadDir: String,
+                       packedPath: String, checkpointDir: String,
+                       schema: StructType): StreamingQuery = {
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(uploadDir)
+    val chunks = TextOps.chunkTokens(
+      TextOps.gateAndScrub(docs),
+      org.apache.spark.sql.functions.col("scrubbed"))
+    chunks.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendPackedBatch(spark, batch, packedPath, id)
+      }
+      .start()
+  }
+
   /** Wire the stream: files under `uploadDir` (same schema as the
     * documents table) → gate+scrub → per-batch dedup merge. One file
     * per micro-batch (as in [[StreamPipeline]]) so convergence across

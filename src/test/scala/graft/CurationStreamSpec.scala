@@ -59,6 +59,57 @@ class CurationStreamSpec extends SparkSpec {
     assert(again === want)
   }
 
+  test("incremental packing: one continuous token stream across batches, idempotent replay") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("pack-stream").toFile.getAbsolutePath
+    val upload = s"$tmp/upload"
+    val packed = s"$tmp/packed"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$upload/a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$upload/b")
+
+    CurationStream.runPackingStream(
+      spark, s"$upload/*", packed, s"$tmp/ckpt", docs.schema)
+      .awaitTermination()
+
+    val out = spark.read.parquet(packed)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "cum_tokens",
+        "pack_id")
+      .collect().sortBy(_.getAs[Long]("cum_tokens"))
+    assert(out.nonEmpty)
+    // ONE continuous stream: cum is a gapless prefix sum across batch
+    // boundaries, and pack ids are the start-offset bins of it
+    var prev = 0L
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_chunk_tokens")
+      val cum = r.getAs[Long]("cum_tokens")
+      assert(cum === prev + n, "token stream has a gap or overlap")
+      assert(r.getAs[Long]("pack_id") === (cum - n) / TextOps.packContext)
+      prev = cum
+    }
+    // every gate-passing doc's chunks are present exactly once
+    val gatedDocs = TextOps.gateAndScrub(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedDocs = out.map(_.getAs[Long]("doc_id"))
+    assert(packedDocs.toSet === gatedDocs)
+    assert(packedDocs.length ===
+      TextOps.chunkTokens(TextOps.gateAndScrub(docs), col("scrubbed"))
+        .count())
+
+    // replaying a batch reproduces its output bit-for-bit (the offset
+    // comes from earlier batches' markers, not mutable state)
+    val batch0 = TextOps.chunkTokens(TextOps.gateAndScrub(
+      spark.read.parquet(s"$upload/a")), col("scrubbed"))
+    val before = spark.read.parquet(s"$packed/batch=0")
+      .collect().map(_.toSeq).toSet
+    CurationStream.appendPackedBatch(spark, batch0, packed, 0L)
+    val after = spark.read.parquet(s"$packed/batch=0")
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+  }
+
   test("stream-fed store equals the batch gate+scrub+dedup output") {
     val tmp = Files.createTempDirectory("curation-stream").toFile.getAbsolutePath
     val upload = s"$tmp/upload"
