@@ -120,28 +120,32 @@ object Merge {
           .map(_.stripPrefix("pmonth="))
           .filter(_ >= cutMonth)
         val base = spark.read.parquet(basePath)
-        // localCheckpoint materializes the surviving overlap rows BEFORE
+        // the checkpoint materializes the surviving overlap rows BEFORE
         // the write starts: it is what keeps this off Spark's
         // "cannot overwrite a path being read from" hazard, and it is
-        // bounded by the overlap window — O(overlap), never O(table)
-        val keepInOverlap = base
-          .filter(col("pmonth") >= cutMonth && col(dateCol) < lit(cut))
-          .drop("pmonth")
-          .localCheckpoint()
-        val out = keepInOverlap.unionByName(staging)
-          .withColumn("pmonth", pmonth)
-          .localCheckpoint()
-        val outMonths = out.select("pmonth").distinct()
-          .collect().map(_.getString(0)).toSet
-        // per-WRITE option, not the session conf: toggling the session
-        // setting would race any concurrent partitioned overwrite on
-        // the same SparkSession (and clobber a caller's own setting)
-        out.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("pmonth").parquet(basePath)
-        overlapMonths.filterNot(outMonths).foreach { m =>
-          fs.delete(new Path(basePath, s"pmonth=$m"), true)
-        }
+        // bounded by the overlap window — O(overlap), never O(table).
+        // Tracked + released: a streamed pipeline calls this per
+        // micro-batch, and un-releasable Dataset.localCheckpoint blocks
+        // would accumulate for the life of the stream.
+        val (out, release) = graft.util.Checkpoints.checkpointTracked(
+          base
+            .filter(col("pmonth") >= cutMonth && col(dateCol) < lit(cut))
+            .drop("pmonth")
+            .unionByName(staging)
+            .withColumn("pmonth", pmonth))
+        try {
+          val outMonths = out.select("pmonth").distinct()
+            .collect().map(_.getString(0)).toSet
+          // per-WRITE option, not the session conf: toggling the session
+          // setting would race any concurrent partitioned overwrite on
+          // the same SparkSession (and clobber a caller's own setting)
+          out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pmonth").parquet(basePath)
+          overlapMonths.filterNot(outMonths).foreach { m =>
+            fs.delete(new Path(basePath, s"pmonth=$m"), true)
+          }
+        } finally release()
       case None => ()
     }
 

@@ -43,7 +43,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object PrefixSum {
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
-                       valueCol: String, outCol: String): DataFrame = {
+                       valueCol: String, outCol: String): DataFrame =
+    withRunningTotalTracked(df, sortCols, valueCol, outCol)._1
+
+  /** As [[withRunningTotal]], but also returns the checkpointed RDD
+    * backing the result so callers that know the result's lifetime
+    * (e.g. a streaming micro-batch) can unpersist EXACTLY their own
+    * blocks when done — a global transient-block sweep is not safe
+    * under concurrent queries. */
+  def withRunningTotalTracked(
+      df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      outCol: String): (DataFrame, org.apache.spark.rdd.RDD[InternalRow]) = {
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
@@ -73,6 +83,6 @@ object PrefixSum {
         new JoinedRow(r, v): InternalRow
       }
     }
-    InternalRowDF.fromInternalRdd(spark, withTotals, outSchema)
+    (InternalRowDF.fromInternalRdd(spark, withTotals, outSchema), base)
   }
 }

@@ -50,14 +50,15 @@ object CurationStream {
     // distinct() first: a redelivered row is byte-identical to its
     // store copy (scrub is deterministic), and dedupScrubbed's
     // survivor-join assumes unique doc_ids — without this, redelivery
-    // would duplicate every surviving row. localCheckpoint cuts the
-    // self-read lineage before the overwrite (same hazard note as
-    // Merge.updateTablePartitioned); unpersisted after the publish so
-    // a long stream never accumulates store-sized cached generations
-    // (the round-4 GC lesson).
-    val ck = unioned.distinct().localCheckpoint()
+    // would duplicate every surviving row. The tracked checkpoint cuts
+    // the self-read lineage before the overwrite (same hazard note as
+    // Merge.updateTablePartitioned) and is RELEASED after the publish,
+    // so a long stream never accumulates store-sized cached
+    // generations (the round-4 GC lesson).
+    val (ck, release) =
+      graft.util.Checkpoints.checkpointTracked(unioned.distinct())
     try Merge.overwriteAtomic(TextOps.dedupScrubbed(ck), storePath)
-    finally ck.unpersist(blocking = false)
+    finally release()
   }
 
   /** Number of hash buckets for the partitioned store layout. At 100 TB
@@ -128,7 +129,8 @@ object CurationStream {
     // checkpoint the gated/scrubbed/bucketed batch ONCE: both the
     // touched-set collect and the merge union read it from cache
     // instead of re-reading + re-gating the source files
-    val withBucket = batch.withColumn("bucket", bucketOf).localCheckpoint()
+    val (withBucket, release) = graft.util.Checkpoints.checkpointTracked(
+      batch.withColumn("bucket", bucketOf))
     try {
       val touched = withBucket.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSet // bounded by storeBuckets
@@ -163,7 +165,7 @@ object CurationStream {
         if (displaced) fs.delete(bak, true)
       }
       fs.delete(tmp, true)
-    } finally withBucket.unpersist(blocking = false)
+    } finally release()
   }
 
   /** Incremental sequence packing — the streaming tail of the curation
@@ -206,9 +208,14 @@ object CurationStream {
           .find(_.startsWith("_tokens-"))
           .map(_.stripPrefix("_tokens-").toLong))
         .sum
-    val packed = graft.operators.PrefixSum.withRunningTotal(
-        chunkBatch, Seq(col("doc_id"), col("chunk_id")),
-        "n_chunk_tokens", "cum_in_batch")
+    // tracked form: we unpersist EXACTLY this batch's checkpoint when
+    // done — a global transient-block sweep here could unpersist a
+    // CONCURRENT stream's in-flight checkpoint (foreachBatch callbacks
+    // of different queries run on different threads)
+    val (cum, ckRdd) = graft.operators.PrefixSum.withRunningTotalTracked(
+      chunkBatch, Seq(col("doc_id"), col("chunk_id")),
+      "n_chunk_tokens", "cum_in_batch")
+    val packed = cum
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         col("n_chunk_tokens"),
         (col("cum_in_batch") + priorTokens).as("cum_tokens"))
@@ -228,7 +235,7 @@ object CurationStream {
       fs.create(new Path(dir, s"_tokens-$batchTokens"), true).close()
     } finally
       // the PrefixSum checkpoint behind `packed` is per-batch garbage
-      graft.util.SessionCache.dropTransientBlocks(spark)
+      ckRdd.unpersist(blocking = false)
   }
 
   /** Wire the packing stream: gate+scrub+chunk run IN the stream (all
