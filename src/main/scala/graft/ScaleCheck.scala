@@ -112,11 +112,14 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // a marker written only after FULL generation: an interrupted or
-    // partial previous run (some tables written, some not, or a write
-    // killed mid-job) must regenerate, not be silently trusted
+    // a marker written only after FULL generation — AND a table-set
+    // completeness check, so a dir generated by an older harness
+    // version (or an interrupted run) regenerates instead of being
+    // silently trusted with tables missing
     val marker = new java.io.File(s"$bigDir/_SCALED_OK_$factor")
-    if (!marker.exists()) {
+    val complete = Tables.names.forall(t =>
+      new java.io.File(s"$bigDir/$t.parquet").exists())
+    if (!marker.exists() || !complete) {
       scaleDocuments(spark, srcDir, bigDir, factor)
       scaleFacts(spark, srcDir, bigDir, factor)
       marker.createNewFile()

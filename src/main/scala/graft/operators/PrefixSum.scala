@@ -42,18 +42,23 @@ import org.apache.spark.storage.StorageLevel
   * thrash once several checkpoint generations coexist in one JVM).
   */
 object PrefixSum {
+  /** Tracked result: the checkpointed RDD backing `df` (so callers
+    * that know the result's lifetime, e.g. a streaming micro-batch,
+    * can unpersist EXACTLY their own blocks when done — a global
+    * transient-block sweep is not safe under concurrent queries) and
+    * the grand total, free from the per-partition sums the driver
+    * already collected. */
+  final case class Tracked(df: DataFrame,
+                           checkpoint: org.apache.spark.rdd.RDD[InternalRow],
+                           total: Long)
+
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
                        valueCol: String, outCol: String): DataFrame =
-    withRunningTotalTracked(df, sortCols, valueCol, outCol)._1
+    withRunningTotalTracked(df, sortCols, valueCol, outCol).df
 
-  /** As [[withRunningTotal]], but also returns the checkpointed RDD
-    * backing the result so callers that know the result's lifetime
-    * (e.g. a streaming micro-batch) can unpersist EXACTLY their own
-    * blocks when done — a global transient-block sweep is not safe
-    * under concurrent queries. */
   def withRunningTotalTracked(
       df: DataFrame, sortCols: Seq[Column], valueCol: String,
-      outCol: String): (DataFrame, org.apache.spark.rdd.RDD[InternalRow]) = {
+      outCol: String): Tracked = {
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
@@ -67,10 +72,7 @@ object PrefixSum {
     }
     val outSchema = StructType(
       sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    val base = InternalRowDF.toInternalRdd(sorted)
-      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      .localCheckpoint()
+    val base = graft.util.Checkpoints.checkpointInternalRdd(sorted)
     val partSums = base
       .mapPartitions(it => Iterator.single(it.map(getV).sum))
       .collect()
@@ -83,6 +85,7 @@ object PrefixSum {
         new JoinedRow(r, v): InternalRow
       }
     }
-    (InternalRowDF.fromInternalRdd(spark, withTotals, outSchema), base)
+    Tracked(InternalRowDF.fromInternalRdd(spark, withTotals, outSchema),
+      base, offsets.last)
   }
 }

@@ -196,26 +196,43 @@ object CurationStream {
     val fs = new Path(packedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(packedPath)
-    val priorTokens =
-      if (!fs.exists(root)) 0L
+    val priorDirs =
+      if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.filter(_.isDirectory)
-        .filter { d =>
-          val n = d.getPath.getName
-          n.startsWith("batch=") &&
-            n.stripPrefix("batch=").toLong < batchId
-        }
-        .flatMap(d => fs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
-          .find(_.startsWith("_tokens-"))
-          .map(_.stripPrefix("_tokens-").toLong))
-        .sum
+        .map(_.getPath).filter(_.getName.startsWith("batch="))
+        .map(p => p -> p.getName.stripPrefix("batch=").toLong)
+    // fail LOUD on out-of-contract store state rather than silently
+    // packing against wrong offsets: a dir from a LATER batch means
+    // the packed store belongs to a different checkpoint lineage
+    // (stream reset without clearing packedPath), and an earlier dir
+    // without its token marker is a half-written generation this
+    // replay is not the replay of
+    priorDirs.filter(_._2 > batchId).foreach { case (p, _) =>
+      throw new IllegalStateException(
+        s"$p is from a later batch than $batchId: the packed store " +
+          "belongs to a different stream lineage — clear it (or use a " +
+          "fresh path) when resetting the checkpoint")
+    }
+    val priorTokens = priorDirs.filter(_._2 < batchId).map { case (p, _) =>
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_tokens-")) match {
+        case Seq(one) => one.stripPrefix("_tokens-").toLong
+        case other => throw new IllegalStateException(
+          s"$p has ${other.size} token markers (expected exactly 1): " +
+            "half-written batch generation — re-run the stream from " +
+            "its checkpoint so the owning batch replays, or clear the " +
+            "store")
+      }
+    }.sum
     // tracked form: we unpersist EXACTLY this batch's checkpoint when
     // done — a global transient-block sweep here could unpersist a
     // CONCURRENT stream's in-flight checkpoint (foreachBatch callbacks
-    // of different queries run on different threads)
-    val (cum, ckRdd) = graft.operators.PrefixSum.withRunningTotalTracked(
+    // of different queries run on different threads) — and the batch
+    // token total comes with it, already on the driver
+    val tracked = graft.operators.PrefixSum.withRunningTotalTracked(
       chunkBatch, Seq(col("doc_id"), col("chunk_id")),
       "n_chunk_tokens", "cum_in_batch")
-    val packed = cum
+    val packed = tracked.df
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         col("n_chunk_tokens"),
         (col("cum_in_batch") + priorTokens).as("cum_tokens"))
@@ -223,19 +240,13 @@ object CurationStream {
         expr(s"(cum_tokens - n_chunk_tokens) div ${TextOps.packContext}"))
     val dir = new Path(packedPath, s"batch=$batchId")
     try {
+      // overwrite truncates the whole batch dir first, so a replay
+      // leaves no stale data OR marker behind before re-marking
       packed.write.mode("overwrite").parquet(dir.toString)
-      val total = packed.agg(max(col("cum_tokens"))).head()
-      val batchTokens =
-        (if (total.isNullAt(0)) priorTokens else total.getLong(0)) -
-          priorTokens
-      // re-mark: drop any stale marker from a previous attempt first
-      fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("_tokens-"))
-        .foreach(n => fs.delete(new Path(dir, n), false))
-      fs.create(new Path(dir, s"_tokens-$batchTokens"), true).close()
+      fs.create(new Path(dir, s"_tokens-${tracked.total}"), true).close()
     } finally
       // the PrefixSum checkpoint behind `packed` is per-batch garbage
-      ckRdd.unpersist(blocking = false)
+      tracked.checkpoint.unpersist(blocking = false)
   }
 
   /** Wire the packing stream: gate+scrub+chunk run IN the stream (all

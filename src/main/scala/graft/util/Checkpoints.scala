@@ -21,12 +21,23 @@ import org.apache.spark.storage.StorageLevel
   * data is fully materialized before the caller's next step, which is
   * what makes read-then-overwrite-the-same-path sequences safe. */
 object Checkpoints {
-  def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
-    val spark = df.sparkSession
-    val rdd = InternalRowDF.toInternalRdd(df)
+
+  /** The one definition of the round-4 caching recipe (copy because
+    * the scan iterator reuses its UnsafeRow buffer; serialized so the
+    * GC skips the blocks; localCheckpoint to truncate lineage). Lazy —
+    * the caller's first action materializes it. Shared with
+    * [[graft.operators.PrefixSum]]. */
+  private[graft] def checkpointInternalRdd(
+      df: DataFrame): org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    InternalRowDF.toInternalRdd(df)
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
       .localCheckpoint()
+
+  def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val rdd = checkpointInternalRdd(df)
     rdd.count() // materialize NOW (checkpoint happens on first action)
     (InternalRowDF.fromInternalRdd(spark, rdd, df.schema),
       () => rdd.unpersist(blocking = false))

@@ -98,16 +98,30 @@ class CurationStreamSpec extends SparkSpec {
       TextOps.chunkTokens(TextOps.gateAndScrub(docs), col("scrubbed"))
         .count())
 
-    // replaying a batch reproduces its output bit-for-bit (the offset
-    // comes from earlier batches' markers, not mutable state)
-    val batch0 = TextOps.chunkTokens(TextOps.gateAndScrub(
-      spark.read.parquet(s"$upload/a")), col("scrubbed"))
-    val before = spark.read.parquet(s"$packed/batch=0")
+    // replaying the LAST batch reproduces its output bit-for-bit (the
+    // offset comes from earlier batches' markers, not mutable state —
+    // and in a real stream only the latest uncommitted batch ever
+    // replays). The file source does not guarantee which upload file
+    // became which batch, so derive the input from what batch 1
+    // actually contains.
+    val before = spark.read.parquet(s"$packed/batch=1")
       .collect().map(_.toSeq).toSet
-    CurationStream.appendPackedBatch(spark, batch0, packed, 0L)
-    val after = spark.read.parquet(s"$packed/batch=0")
+    val parity = spark.read.parquet(s"$packed/batch=1")
+      .select("doc_id").head().getLong(0) % 2
+    val batch1 = TextOps.chunkTokens(TextOps.gateAndScrub(
+      docs.filter(col("doc_id") % 2 === parity)), col("scrubbed"))
+    CurationStream.appendPackedBatch(spark, batch1, packed, 1L)
+    val after = spark.read.parquet(s"$packed/batch=1")
       .collect().map(_.toSeq).toSet
     assert(after === before)
+
+    // fail-loud contract: packing with a batch id EARLIER than existing
+    // dirs means the store belongs to a different stream lineage
+    // (checkpoint reset without clearing the store) — refused, never
+    // silently mis-offset
+    intercept[IllegalStateException] {
+      CurationStream.appendPackedBatch(spark, batch1, packed, 0L)
+    }
   }
 
   test("stream-fed store equals the batch gate+scrub+dedup output") {
