@@ -380,6 +380,48 @@ class ExtSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("embedding pair-mining: planted near-dups found, cosines exact, never all-pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant near-dups: for every 10th real embedding, add a slightly
+    // perturbed copy (renormalized) — cosine with its source ≈ 0.9995
+    val base = Tables(spark, dir, "embeddings")
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    def perturb(v: Array[Float], seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val p = v.map(x => x + 0.02f * rnd.nextFloat())
+      val n = math.sqrt(p.map(x => x.toDouble * x).sum)
+      p.map(x => (x / n).toFloat)
+    }
+    val planted = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 100000L, perturb(v, id.toInt)) }
+    val corpus = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+
+    val pairs = graft.ext.Similarity
+      .embedNearDup(corpus, minCos = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    val byId = (base ++ planted).toMap
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // every reported cosine is exact and above threshold
+    pairs.foreach { case (a, b, c) =>
+      assert(math.abs(c - cos(byId(a), byId(b))) < 1e-9)
+      assert(c >= 0.99)
+    }
+    // recall: most planted (source, copy) pairs are recovered — the
+    // 8-plane single-band envelope is ~0.92+ at this cosine
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recovered = planted.count { case (pid, _) =>
+      found.contains((pid - 100000L, pid))
+    }
+    assert(recovered >= planted.length * 7 / 10,
+      s"recovered $recovered of ${planted.length} planted pairs")
+    // and nothing else qualifies (the real corpus is near-orthogonal)
+    pairs.foreach { case (a, b, _) => assert(b - a === 100000L) }
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)
