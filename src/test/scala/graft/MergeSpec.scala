@@ -218,6 +218,38 @@ class MergeSpec extends SparkSpec {
     assert(feb() === febBefore)
   }
 
+  test("property: partitioned merge over random batch sequences equals folded merge()") {
+    // the disk-layout variant must be indistinguishable from the
+    // in-memory semantics under ANY batch shape: random dates spanning
+    // months, random overlap, empty batches, batches that wipe whole
+    // months — the shapes that exercise dynamic overwrite, stale-month
+    // deletion, and cutoff-month row splitting together
+    val day = Gen.chooseNum(1, 28)
+    val month = Gen.chooseNum(1, 4)
+    val row = Gen.zip(month, day, Gen.chooseNum(0, 99))
+      .map { case (m, d, v) => (f"2021-$m%02d-$d%02d", v) }
+    val batches = Gen.listOfN(3, Gen.listOfN(8, row))
+    val initial = Gen.nonEmptyListOf(row).map(_.take(12))
+    forAllSamples(Gen.zip(initial, batches), 10) { case (init, bs) =>
+      val dir = Files.createTempDirectory("merge-prop").toFile.getAbsolutePath
+      val basePath = s"$dir/base"
+      Merge.writePartitioned(df(init), basePath, "d")
+      var expected = df(init)
+      bs.foreach { b =>
+        Merge.updateTablePartitioned(spark, basePath, df(b), "d")
+        expected = Merge.merge(expected, df(b), "d")
+          .localCheckpoint() // fold eagerly; keeps plans small
+      }
+      val got = spark.read.parquet(basePath).drop("pmonth")
+        .collect().map(r => r.getDate(0).toString -> r.getInt(1))
+        .toSeq.sorted
+      val want = expected
+        .collect().map(r => r.getDate(0).toString -> r.getInt(1))
+        .toSeq.sorted
+      assert(got === want)
+    }
+  }
+
   test("partitioned merge from persisted staging is retryable and idempotent") {
     val dir = Files.createTempDirectory("merge-part-retry").toFile.getAbsolutePath
     val basePath = s"$dir/base"
