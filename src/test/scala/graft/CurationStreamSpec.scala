@@ -14,6 +14,45 @@ class CurationStreamSpec extends SparkSpec {
     spark.read.parquet(path).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
 
+  test("curation and packing streams run CONCURRENTLY on one session, both correct") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("curation-conc").toFile.getAbsolutePath
+    val upload = s"$tmp/upload"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$upload/a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$upload/b")
+
+    // both streams over the same uploads, concurrently — the shape the
+    // targeted (non-global) checkpoint release exists for: neither
+    // stream's cleanup may touch the other's in-flight blocks
+    val q1 = CurationStream.runCurationStream(
+      spark, s"$upload/*", s"$tmp/store", s"$tmp/ck1", docs.schema)
+    val q2 = CurationStream.runPackingStream(
+      spark, s"$upload/*", s"$tmp/packed", s"$tmp/ck2", docs.schema)
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    val store = storeRows(s"$tmp/store")
+    val want = TextOps.dedupScrubbed(TextOps.gateAndScrub(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(store === want)
+
+    val packed = spark.read.parquet(s"$tmp/packed")
+      .select("n_chunk_tokens", "cum_tokens")
+      .collect().sortBy(_.getAs[Long]("cum_tokens"))
+    var prev = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") ===
+        prev + r.getAs[Long]("n_chunk_tokens"))
+      prev = r.getAs[Long]("cum_tokens")
+    }
+    assert(packed.length ===
+      TextOps.chunkTokens(TextOps.gateAndScrub(docs), col("scrubbed"))
+        .count())
+  }
+
   test("partitioned store: converges identically, untouched buckets byte-stable") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("curation-part").toFile.getAbsolutePath
