@@ -68,16 +68,20 @@ object Similarity {
       .otherwise(0L)
   }
 
+  /** `planes`-bit sign-LSH bucket id — shared by the ANN query path
+    * (8 planes → 256 buckets) and embedding pair-mining (where `planes`
+    * is sized to the corpus: expected bucket size n/2^planes must stay
+    * well under the hot-bucket bound). */
+  private def signBucket(v: Column, planes: Int): Column =
+    (0 until planes).map(p => shiftleft(planeBit(v, p), p)).reduce(_ + _)
+
   /** LSH-bucketed ANN: 8 signed projections → 256 buckets; scan only the
     * query's bucket. Spark-only (seeded hashes) — rows-only check; the
     * query vector always matches its own bucket, so rows >= 1. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val bucket = (0 until 8)
-      .map(p => shiftleft(planeBit(col("embedding"), p), p))
-      .reduce(_ + _)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      bucket.as("bucket"))
+      signBucket(col("embedding"), 8).as("bucket"))
     val q = bucketed.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
     bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
@@ -89,17 +93,27 @@ object Similarity {
 
   /** Pair-mining near-dup over the REAL embedding column — the
     * embedding-space twin of the n-gram dedup family: bucket all
-    * vectors by [[planeBit]] sign-LSH (map-only, no stored model),
+    * vectors by [[signBucket]] sign-LSH (map-only, no stored model),
     * generate candidate pairs ONLY within a bucket (equi-join on the
     * bucket id — never all-pairs), verify with exact cosine ≥ `minCos`.
-    * Hot buckets are capped like every LSH route here (a degenerate
-    * bucket holding half the corpus would be O(size²)).
     *
-    * Recall envelope, stated honestly: a pair at cosine c lands in the
-    * same 8-plane bucket with probability (1 − acos(c)/π)⁸ — ≈ 0.92 at
-    * c = 0.99, ≈ 0.75 at c = 0.97 — the single-band cost/recall dial;
-    * multi-band repetition (the MinHash pattern) is the recall lever
-    * when a production corpus needs it.
+    * SIZE `planes` TO THE CORPUS: expected bucket size is n/2^planes,
+    * and buckets larger than `maxBucket` are DROPPED outright (their
+    * pairs are lost, not sampled — the standard LSH skew guard trading
+    * a degenerate bucket's recall for bounded O(bucket²) cost). With
+    * the 8-plane default that means ~51k vectors is the ceiling before
+    * average buckets hit the bound — at 100 TB you want
+    * planes ≈ log₂(n / (maxBucket/4)).
+    *
+    * Recall envelope (single band): a pair at cosine c shares the
+    * bucket with probability (1 − acos(c)/π)^planes — at 8 planes
+    * ≈ 0.92 at c = 0.9995, ≈ 0.69 at c = 0.99, ≈ 0.52 at c = 0.97.
+    * Single-band mining is for the tight-duplicate regime; multi-band
+    * repetition (the MinHash pattern) is the recall lever below that.
+    *
+    * Plan note: the bucket fold re-executes once per self-join side —
+    * for repeated mining over one corpus, persist the bucketed input
+    * upstream (or run through an index table) rather than per call.
     *
     * NOT a driver query: the testdata embeddings are mutually
     * near-orthogonal by construction (measured max pair cosine 0.513 at
@@ -108,15 +122,17 @@ object Similarity {
     * near-dups, recomputes every reported cosine, and cross-checks
     * recall against brute force. */
   def embedNearDup(emb: DataFrame, minCos: Double,
-                   maxBucket: Int = 200): DataFrame = {
-    val bucket = (0 until 8)
-      .map(p => shiftleft(planeBit(col("embedding"), p), p))
-      .reduce(_ + _)
-    val bucketed = emb
-      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-    val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+                   maxBucket: Int = 200, planes: Int = 8): DataFrame = {
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), planes).as("bucket"))
+    // window count over bucket (one exchange) instead of a separate
+    // sizes aggregate + join branch — halves the bucket-fold re-runs
     val capped = bucketed
-      .join(broadcast(sizes.filter(col("bn") <= maxBucket)), "bucket")
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
     capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

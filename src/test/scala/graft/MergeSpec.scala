@@ -228,17 +228,27 @@ class MergeSpec extends SparkSpec {
     val month = Gen.chooseNum(1, 4)
     val row = Gen.zip(month, day, Gen.chooseNum(0, 99))
       .map { case (m, d, v) => (f"2021-$m%02d-$d%02d", v) }
-    val batches = Gen.listOfN(3, Gen.listOfN(8, row))
+    // batch sizes 0..8: size-0 batches exercise the None-cutoff no-op
+    // path of the partitioned merge, not just the overwrite machinery
+    val batches = Gen.listOfN(3,
+      Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, row)))
     val initial = Gen.nonEmptyListOf(row).map(_.take(12))
     forAllSamples(Gen.zip(initial, batches), 10) { case (init, bs) =>
       val dir = Files.createTempDirectory("merge-prop").toFile.getAbsolutePath
       val basePath = s"$dir/base"
       Merge.writePartitioned(df(init), basePath, "d")
       var expected = df(init)
+      val releases = scala.collection.mutable.Buffer[() => Unit]()
       bs.foreach { b =>
         Merge.updateTablePartitioned(spark, basePath, df(b), "d")
-        expected = Merge.merge(expected, df(b), "d")
-          .localCheckpoint() // fold eagerly; keeps plans small
+        // fold eagerly (keeps plans small) via the RELEASABLE
+        // checkpoint — raw Dataset.localCheckpoint blocks can't be
+        // freed and would accumulate across the shared test JVM
+        val (ck, rel) =
+          graft.util.Checkpoints.checkpointTracked(
+            Merge.merge(expected, df(b), "d"))
+        expected = ck
+        releases += rel
       }
       val got = spark.read.parquet(basePath).drop("pmonth")
         .collect().map(r => r.getDate(0).toString -> r.getInt(1))
@@ -246,6 +256,7 @@ class MergeSpec extends SparkSpec {
       val want = expected
         .collect().map(r => r.getDate(0).toString -> r.getInt(1))
         .toSeq.sorted
+      releases.foreach(_())
       assert(got === want)
     }
   }
