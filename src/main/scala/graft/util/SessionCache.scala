@@ -1,6 +1,5 @@
 package graft.util
 
-import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.rdd.RDD
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
@@ -20,11 +19,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Eviction, three routes so stopped/discarded sessions don't leak
   * their checkpoint blocks across a long-lived JVM:
-  *  - every `memoize` call first sweeps entries whose building session
-  *    has been garbage collected (weak reference cleared) or whose
-  *    context has stopped, unpersisting the blocks the entry owned —
-  *    so a driver that loops `newSession()` per unit of work reclaims
-  *    generation N's artifacts when it builds generation N+1's;
+  *  - [[evictSession]] — a driver that cycles `newSession()` per unit
+  *    of work calls it when retiring a session, unpersisting exactly
+  *    that session's memo blocks. This is deliberately EXPLICIT, not
+  *    GC-triggered: a cached DataFrame strongly references its
+  *    building session, so a weak-reference sweep could never fire
+  *    (the cache itself would keep every session reachable — verified
+  *    by SessionCacheSpec);
   *  - a listener registered once per SparkContext clears everything at
   *    context end;
   *  - [[clear]] for tests/maintenance.
@@ -32,7 +33,7 @@ import org.apache.spark.sql.SparkSession
 object SessionCache {
 
   private final case class Entry(value: AnyRef,
-                                 session: WeakReference[SparkSession],
+                                 sessionKey: String,
                                  ownedIds: Set[Int],
                                  ownedRdds: Seq[RDD[_]])
 
@@ -57,17 +58,18 @@ object SessionCache {
     })
   }
 
-  private def sweepDeadSessions(): Unit =
-    entries.forEach { (key, e) =>
-      val s = e.session.get()
-      if (s == null || s.sparkContext.isStopped) evict(key, e)
-    }
+  /** Retire one session's artifacts: remove its entries and unpersist
+    * the blocks they own. Call when discarding a session in a
+    * long-lived JVM. */
+  def evictSession(spark: SparkSession): Unit = {
+    val sk = sessionKey(spark)
+    entries.forEach { (key, e) => if (e.sessionKey == sk) evict(key, e) }
+  }
 
   /** Build-once-per-(session, scope, dir) memoization. `build` runs at
     * most once per key (ConcurrentHashMap.computeIfAbsent contract). */
   def memoize[T <: AnyRef](spark: SparkSession, scope: String, dir: String)
                           (build: => T): T = {
-    sweepDeadSessions()
     val ctxId = spark.sparkContext.applicationId
     if (hookedContexts.add(ctxId)) {
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -89,7 +91,7 @@ object SessionCache {
         val created =
           spark.sparkContext.getPersistentRDDs -- before.keySet
         created.keys.foreach(ownedRdds.add(_))
-        Entry(built, new WeakReference(spark),
+        Entry(built, sessionKey(spark),
           created.keySet.toSet, created.values.toSeq)
       })
       .value.asInstanceOf[T]

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.util.SessionCache
+
+/** Session-scoped memoization: ownership protects memo blocks from the
+  * transient sweep, and artifacts of discarded sessions are reclaimed
+  * on a later memoize. */
+class SessionCacheSpec extends SparkSpec {
+
+  test("memo blocks survive the transient sweep; unowned blocks do not") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val memo = SessionCache.memoize(spark, "spec-owned", "x") {
+      spark.range(100).toDF("n").localCheckpoint()
+    }
+    val owned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(owned.nonEmpty)
+    // an unowned (plain) checkpoint alongside it
+    val loose = spark.range(50).toDF("n").localCheckpoint()
+    assert(loose.count() === 50)
+    val withLoose = spark.sparkContext.getPersistentRDDs.keySet
+    assert((withLoose -- before -- owned).nonEmpty)
+
+    SessionCache.dropTransientBlocks(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    owned.foreach(id => assert(after.contains(id), "memo block dropped"))
+    assert((after -- before -- owned).isEmpty, "loose block survived")
+    assert(memo.count() === 100) // memoized artifact still serves
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+  }
+
+  test("evictSession releases exactly the retired session's memo blocks") {
+    // NOTE eviction is explicit by design: a cached DataFrame strongly
+    // references its building session, so a GC/weak-reference sweep
+    // could never fire — the cache itself would keep every session
+    // reachable. (An earlier weak-ref design was dead code for exactly
+    // that reason.)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val child = spark.newSession()
+    SessionCache.memoize(child, "spec-dead", "y") {
+      child.range(100).toDF("n").localCheckpoint()
+    }
+    val childOwned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(childOwned.nonEmpty)
+    // a surviving session's memo, which must NOT be touched
+    val keep = SessionCache.memoize(spark, "spec-live", "y") {
+      spark.range(70).toDF("n").localCheckpoint()
+    }
+    val liveOwned =
+      spark.sparkContext.getPersistentRDDs.keySet -- before -- childOwned
+
+    SessionCache.evictSession(child)
+    val now = spark.sparkContext.getPersistentRDDs.keySet
+    childOwned.foreach(id =>
+      assert(!now.contains(id), "retired session's block survived"))
+    liveOwned.foreach(id =>
+      assert(now.contains(id), "surviving session's block was dropped"))
+    assert(keep.count() === 70)
+    // re-memoizing under the retired session's key rebuilds, not serves
+    // a dead artifact
+    val rebuilt = SessionCache.memoize(child, "spec-dead", "y") {
+      child.range(30).toDF("n").localCheckpoint()
+    }
+    assert(rebuilt.count() === 30)
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+  }
+}
