@@ -74,6 +74,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","queries":$qjson,"passes":$pjson,"sf":"$sfDir"}""")
+    // The driver captures the TAIL of stdout; the full line above leads with
+    // the total and ends with the long `passes` blob, so a tail capture can
+    // truncate away the total and the first queries (observed: BENCH_r04/r05
+    // both "parsed": null). Emit a second, short summary line LAST — total +
+    // per-query mins only, no passes — so any tail capture contains a
+    // complete parseable artifact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

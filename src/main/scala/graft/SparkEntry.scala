@@ -105,6 +105,7 @@ object SparkEntry {
     "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,
     "q_dedup_jaccard" -> graft.ext.Dedup.qDedupJaccardSql,
     "q_dedup_minhash" -> graft.ext.Dedup.qDedupMinhashSql,
+    "q_dedup_simhash" -> graft.ext.Dedup.qDedupSimhashSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
     "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
     "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
@@ -126,10 +127,11 @@ object SparkEntry {
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql
-    // q_dedup_simhash / q_ann_lsh / q_ann_ivf / q_approx_distinct:
-    // seeded-hash / sketch / trained-model internals aren't portable
-    // SQL — driver records the weaker rows-only check. (q_dedup_minhash's
-    // OUTPUT pair set IS oracle-checked above, via the rare-shingle
-    // candidate route.)
+    // q_ann_lsh / q_ann_ivf / q_approx_distinct: seeded-hash / sketch /
+    // trained-model internals aren't portable SQL — driver records the
+    // weaker rows-only check (see q_ann_*_cosines below for the
+    // value-verified companions). (q_dedup_minhash's OUTPUT pair set IS
+    // oracle-checked above via the rare-shingle candidate route, and
+    // q_dedup_simhash is a FULL md5-Horner SQL replay.)
   )
 }

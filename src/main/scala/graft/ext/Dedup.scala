@@ -520,16 +520,25 @@ object Dedup {
     * bounded join cost, the standard LSH skew guard. */
   val simhashMaxBlockBucket = 100
 
-  /** SimHash near-dup detection (Spark-only, rows-only check): 64-bit
-    * signature via the native [[org.apache.spark.sql.graftshim.Simhash64]]
-    * expression over the doc's shingle hashes — genuinely MAP-ONLY (the
-    * signed-bit fold happens inside the expression; building signatures
-    * shuffles nothing). Pairs are found by the block trick: split the 64
-    * bits into 4 × 16-bit blocks; any pair within Hamming distance 3 must
-    * share at least one exact block, so candidate generation is an
-    * equi-join on (block_idx, block_value) — capped by
+  /** SimHash near-dup detection, HASH-CHECKED against a full SQL replay:
+    * 60-bit signature via the native
+    * [[org.apache.spark.sql.graftshim.Simhash64]] expression over
+    * MD5-derived shingle hashes
+    * ([[org.apache.spark.sql.graftshim.Shingles3Md5]]) — genuinely
+    * MAP-ONLY (the signed-bit fold happens inside the expression;
+    * building signatures shuffles nothing). Pairs are found by the block
+    * trick: split the 64 bits into 4 × 16-bit blocks; any pair within
+    * Hamming distance 3 must share at least one exact block, so candidate
+    * generation is an equi-join on (block_idx, block_value) — capped by
     * [[simhashMaxBlockBucket]] against hot blocks — verified with
-    * bit_count(xor) <= 3. */
+    * bit_count(xor) <= 3.
+    *
+    * The shingle hash is md5-derived (not seeded XXH64) PRECISELY so the
+    * whole operator is an integer fold the oracle replays in SQL
+    * ([[qDedupSimhashSql]], the q_winnow technique): hex-parse Horner for
+    * the hash, 60 signed bit sums for the signature, the same block
+    * join, cap, and Hamming verify. Bit quality is md5's, so signature
+    * discrimination is unchanged vs the XXH64 variant. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // 3-gram shingles, not unigrams: the synthetic corpus has a 31-word
@@ -538,7 +547,8 @@ object Dedup {
     // the signature discriminative (only genuine near-dups survive).
     val signed = docs.select(col("doc_id"),
       org.apache.spark.sql.graftshim.Simhash64.simhash64(
-        shingles3Hashed(col("text"))).as("simhash"))
+        org.apache.spark.sql.graftshim.Shingles3Md5.shingles3Md5(
+          col("text"))).as("simhash"))
     val blocks = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
@@ -558,5 +568,55 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  /** Full SQL replay of [[qDedupSimhash]] — the whole operator, not an
+    * output-equivalence proxy: 3-gram shingles (identical construction
+    * to the Jaccard oracle), md5 → 15-hex-digit Horner parse (= the
+    * engine's [[org.apache.spark.sql.graftshim.Shingles3Md5]]), 60
+    * signed bit sums with the strict `> 0` tie rule (= `Simhash64`'s
+    * fold; bits 60–63 stay 0 on both sides), the 4 × 16-bit block
+    * equi-join capped at [[simhashMaxBlockBucket]], and the
+    * `bit_count(xor) <= 3` Hamming verify. Purely integer arithmetic
+    * end-to-end, so the hash comparison is exact. */
+  val qDedupSimhashSql: String = {
+    def hexdig(j: Int): String = {
+      val a = s"ascii(substr(m, $j, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    val horner = (2 to 15).foldLeft(s"CAST(${hexdig(1)} AS BIGINT)") {
+      (acc, j) => s"($acc * 16 + ${hexdig(j)})"
+    }
+    val bitSum = (0 until 60).map { b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) >= 3
+      |         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |               for i in range(1, len(t) - 1)]
+      |         ELSE [array_to_string(t, ' ')] END)) AS g
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, $horner AS h
+      |  FROM (SELECT doc_id, md5(g) AS m FROM grams)),
+      |sig AS (
+      |  SELECT doc_id, $bitSum AS simhash FROM hashed GROUP BY doc_id),
+      |blocks AS (
+      |  SELECT doc_id, simhash, blk, (simhash >> (16 * blk)) & 65535 AS v
+      |  FROM sig, (VALUES (0), (1), (2), (3)) AS bb(blk)),
+      |small AS (
+      |  SELECT doc_id, simhash, blk, v FROM (
+      |    SELECT blocks.*, COUNT(*) OVER (PARTITION BY blk, v) AS cnt
+      |    FROM blocks)
+      |  WHERE cnt <= $simhashMaxBlockBucket),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM small a JOIN small b
+      |    ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 }

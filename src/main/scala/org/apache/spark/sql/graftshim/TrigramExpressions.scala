@@ -234,6 +234,75 @@ object Shingles3Hashed {
     ExpressionUtils.column(Shingles3Hashed(ExpressionUtils.expression(c)))
 }
 
+/** Distinct word-3-gram shingles hashed to a 60-bit MD5-derived integer,
+  * as one native expression: `shingles3_md5(text)` → array<bigint>,
+  * each value = the first 15 hex digits of md5(shingle) parsed base-16
+  * (equivalently: the big-endian first 8 digest bytes, shifted right 4).
+  *
+  * Exists for ORACLE PARITY on the SimHash path: the seeded XXH64 of
+  * [[Shingles3Hashed]] is not computable in portable SQL, but `md5` is a
+  * standard function in every engine, and a 15-hex-digit parse is a
+  * 15-term Horner fold the oracle replays verbatim (the q_winnow
+  * technique — see `Dedup.qDedupSimhashSql`). 60 bits rather than 64 so
+  * the parsed value always fits a signed BIGINT in both engines; the
+  * SimHash fold over these hashes therefore never sets bits 60–63 (the
+  * signed sum over a constant-0 bit is −n), which both engines agree on.
+  * Shingle extraction is byte-for-byte [[Shingles3]] (distinct,
+  * first-occurrence order, whole-text fallback under 3 tokens); MD5 runs
+  * over each shingle's UTF-8 bytes, exactly what SQL `md5(g)` hashes. */
+case class Shingles3Md5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "shingles3_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3Md5.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.Shingles3Md5.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Shingles3Md5 = copy(child = newChild)
+}
+
+object Shingles3Md5 {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val shingles = Shingles3.compute(s)
+    val n = shingles.numElements()
+    val digest = md.get()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val d = digest.digest(shingles.getUTF8String(i).getBytes)
+      val hi = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+      out(i) = hi >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingles3Md5(c: Column): Column =
+    ExpressionUtils.column(Shingles3Md5(ExpressionUtils.expression(c)))
+}
+
 /** Word-bigram repetition ratio as one native expression:
   * `bigram_rep_ratio(text)` → double = 1 − distinct_bigrams/total_bigrams
   * (0.0 for texts under 2 tokens) — semantically the
@@ -331,6 +400,7 @@ object TextExpressionDescriptions {
     unary("trigram_counts", classOf[TrigramCounts], TrigramCounts(_)),
     unary("shingles3", classOf[Shingles3], Shingles3(_)),
     unary("shingles3_hashed", classOf[Shingles3Hashed], Shingles3Hashed(_)),
+    unary("shingles3_md5", classOf[Shingles3Md5], Shingles3Md5(_)),
     unary("pair_combos", classOf[PairCombos], PairCombos(_)),
     unary("minhash16", classOf[MinHash16], MinHash16(_)),
     unary("simhash64", classOf[Simhash64], Simhash64(_)),

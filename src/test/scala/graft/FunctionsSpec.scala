@@ -96,6 +96,35 @@ class FunctionsSpec extends SparkSpec {
     edge.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("shingles3_md5 == transform(shingles3, 15-hex-digit md5 parse)") {
+    // the composed form is the spec: first 15 hex digits of md5(shingle)
+    // parsed base-16 — exactly what the DuckDB oracle's Horner fold
+    // computes (Dedup.qDedupSimhashSql)
+    def composed(c: org.apache.spark.sql.Column) =
+      transform(graft.ext.Dedup.shingles3(c),
+        g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val docs = Tables(spark, dir, "documents")
+    val both = docs.select(
+      org.apache.spark.sql.graftshim.Shingles3Md5
+        .shingles3Md5(col("text")).as("fused"),
+      composed(col("text")).as("comp"))
+    val rows = both.collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // values are 60-bit: top 4 bits clear, so simhash bits 60-63 can
+    // never be set — the property the oracle's 60-term fold relies on
+    rows.foreach(r => r.getSeq[Long](0).foreach(h =>
+      assert((h >>> 60) === 0L)))
+    val edge = Seq("one two", "a  b c d", " lead sp ace", "")
+      .toDF("text")
+      .select(org.apache.spark.sql.graftshim.Shingles3Md5
+        .shingles3Md5(col("text")).as("f"),
+        composed(col("text")).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("strip_excel is SQL-callable and matches btrim semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql("""SELECT strip_excel('="0123"') AS s""").head()
