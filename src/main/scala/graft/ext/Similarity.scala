@@ -59,7 +59,9 @@ object Similarity {
 
   /** Sign of the projection of `v` onto pseudo-random hyperplane `p`
     * (components ±1 derived from xxhash64(dim, plane) — deterministic,
-    * no stored model). */
+    * no stored model). Multi-band callers pass disjoint plane-id ranges
+    * (band b uses ids b·planes … b·planes+planes−1), so every band's
+    * hyperplane set is independent. */
   private def planeBit(v: Column, p: Int): Column = {
     val contrib = transform(sequence(lit(1), lit(64)), i =>
       element_at(v, i).cast("double") *
@@ -68,12 +70,14 @@ object Similarity {
       .otherwise(0L)
   }
 
-  /** `planes`-bit sign-LSH bucket id — shared by the ANN query path
-    * (8 planes → 256 buckets) and embedding pair-mining (where `planes`
-    * is sized to the corpus: expected bucket size n/2^planes must stay
-    * well under the hot-bucket bound). */
-  private def signBucket(v: Column, planes: Int): Column =
-    (0 until planes).map(p => shiftleft(planeBit(v, p), p)).reduce(_ + _)
+  /** `planes`-bit sign-LSH bucket id for one band — shared by the ANN
+    * query path (8 planes → 256 buckets, band 0) and embedding
+    * pair-mining (where `planes` is sized to the corpus: expected
+    * bucket size n/2^planes must stay well under the hot-bucket bound,
+    * and `band` > 0 selects an independent hyperplane set). */
+  private def signBucket(v: Column, planes: Int, band: Int = 0): Column =
+    (0 until planes)
+      .map(p => shiftleft(planeBit(v, band * planes + p), p)).reduce(_ + _)
 
   /** LSH-bucketed ANN: 8 signed projections → 256 buckets; scan only the
     * query's bucket. Spark-only (seeded hashes) — rows-only check; the
@@ -105,40 +109,79 @@ object Similarity {
     * average buckets hit the bound — at 100 TB you want
     * planes ≈ log₂(n / (maxBucket/4)).
     *
-    * Recall envelope (single band): a pair at cosine c shares the
-    * bucket with probability (1 − acos(c)/π)^planes — at 8 planes
-    * ≈ 0.92 at c = 0.9995, ≈ 0.69 at c = 0.99, ≈ 0.52 at c = 0.97.
-    * Single-band mining is for the tight-duplicate regime; multi-band
-    * repetition (the MinHash pattern) is the recall lever below that.
+    * Recall envelope: a pair at cosine c shares one band's bucket with
+    * probability p = (1 − acos(c)/π)^planes — at 8 planes ≈ 0.92 at
+    * c = 0.9995, ≈ 0.69 at c = 0.99, ≈ 0.52 at c = 0.97. With `bands`
+    * independent hyperplane sets (the MinHash banding pattern) the
+    * candidate probability is 1 − (1 − p)^bands: at c = 0.99,
+    * 2 bands ≈ 0.90, 4 bands ≈ 0.99 — the recall lever below the
+    * tight-duplicate regime, at bands× bucketing/join cost. Exact-cosine
+    * verification runs ONCE per distinct candidate pair regardless of
+    * how many bands propose it.
     *
-    * Plan note: the bucket fold re-executes once per self-join side —
-    * for repeated mining over one corpus, persist the bucketed input
-    * upstream (or run through an index table) rather than per call.
+    * Plan note: the per-vector work (bands × planes sign folds) is
+    * computed ONCE into a releasable checkpoint (the PrefixSum Tracked
+    * pattern — ~vec_id + embedding + `bands` longs per row), which both
+    * self-join sides and the verify step read; nothing re-executes per
+    * side. [[embedNearDup]] leaves the blocks to the session sweep; a
+    * caller that knows the result's lifetime (a long-lived JVM cycling
+    * corpora) should use [[embedNearDupTracked]] and `release()` after
+    * consuming the result — see USAGE.md's lifecycle section.
     *
     * NOT a driver query: the testdata embeddings are mutually
     * near-orthogonal by construction (measured max pair cosine 0.513 at
     * sf0.01 — no planted near-dups), so any honest threshold returns
     * zero rows there. ExtSpec runs it over a corpus with planted
     * near-dups, recomputes every reported cosine, and cross-checks
-    * recall against brute force. */
+    * recall against brute force at both 1 and 4 bands. */
   def embedNearDup(emb: DataFrame, minCos: Double,
-                   maxBucket: Int = 200, planes: Int = 8): DataFrame = {
+                   maxBucket: Int = 200, planes: Int = 8,
+                   bands: Int = 1): DataFrame =
+    embedNearDupTracked(emb, minCos, maxBucket, planes, bands).df
+
+  /** [[embedNearDup]] result with its checkpoint lifetime exposed:
+    * `release()` unpersists exactly this call's blocks (safe under
+    * concurrent queries). Call it after the result DataFrame has been
+    * consumed (collected / written), not before. */
+  final case class NearDup(df: DataFrame, release: () => Unit)
+
+  def embedNearDupTracked(emb: DataFrame, minCos: Double,
+                          maxBucket: Int = 200, planes: Int = 8,
+                          bands: Int = 1): NearDup = {
     require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), planes).as("bucket"))
-    // window count over bucket (one exchange) instead of a separate
-    // sizes aggregate + join branch — halves the bucket-fold re-runs
-    val capped = bucketed
+    require(bands >= 1, "bands must be >= 1")
+    // ONE pass computes every band bucket per vector; the checkpoint is
+    // what the join sides and the verify step all read (eager, so the
+    // interpreted sign folds run exactly once per vector)
+    val perVec = emb.select(col("vec_id"), col("embedding"),
+      array((0 until bands).map(b =>
+        signBucket(col("embedding"), planes, b)): _*).as("buckets"))
+    val (vecs, release) = graft.util.Checkpoints.checkpointTracked(perVec)
+    val bucketRows = vecs.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // window count over (band, bucket) — one exchange, cap applied per
+    // band so one hot band can't poison another band's buckets
+    val capped = bucketRows
       .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bn") <= maxBucket)
       .drop("bn")
-    capped.as("a").join(capped.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    val proposed = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        dot(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // a pair colliding in k bands is proposed k times; verify once
+    val pairs = if (bands > 1) proposed.distinct() else proposed
+    val out = pairs
+      .join(vecs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        dot(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= minCos)
+    NearDup(out, release)
   }
 
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer's cell

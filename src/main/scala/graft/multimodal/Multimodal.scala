@@ -11,12 +11,14 @@ import graft.Tables
   * The Spark-side plumbing is real: schema (binary + struct), encoder
   * shapes, partition-iterator batching, and the map-only scale profile.
   * The IMAGE modality is fully real — decode, feature extraction, and
-  * resize run through the JDK's `javax.imageio` ([[ImageIoCodec]]),
-  * selected per payload by magic bytes. Audio/video codecs are not in
-  * this container, so those payloads go through [[FakeCodec]], a
-  * deterministic header parser with the same signature a real decoder
-  * (ffmpeg binding) would have; the two-codec dispatch itself is the
-  * proof the seam swap touches nothing outside codec selection.
+  * resize run through the JDK's `javax.imageio` ([[ImageIoCodec]]) —
+  * and so is AUDIO: WAV/PCM decodes through the JDK's
+  * `javax.sound.sampled` ([[WavCodec]]), both selected per payload by
+  * magic bytes. Only VIDEO codecs are genuinely absent from the JDK, so
+  * video payloads go through [[FakeCodec]], a deterministic header
+  * parser with the same signature a real decoder (ffmpeg binding) would
+  * have; the three-codec dispatch itself is the proof the seam swap
+  * touches nothing outside codec selection.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle). Payload skew is the real hazard at 100 TB — a partition of
@@ -109,7 +111,93 @@ object Multimodal {
     }
   }
 
-  /** The audio/video codec seam (and the synthetic-corpus image path —
+  /** REAL audio codec — WAV/PCM decodes through the JDK's
+    * `javax.sound.sampled` exactly as PNG does through `javax.imageio`,
+    * so the audio modality needs no seam either. Payloads are routed
+    * here by the RIFF/WAVE magic ([[isRealWav]]); after this, only
+    * video — whose codecs genuinely are not in the JDK — falls back to
+    * [[FakeCodec]].
+    *
+    * MediaMeta field mapping for audio (documented contract):
+    * width = channel count, height = sample rate (Hz), n_frames = PCM
+    * frame count (duration = n_frames / height seconds). Feature = 8
+    * deterministic floats: per-segment RMS energy over 8 equal time
+    * slices of the channel-mixed signal, normalized to [0, 1] by full
+    * scale — the cheap temporal-envelope descriptor (a re-encoded or
+    * slightly-trimmed near-dup keeps nearly the same envelope), the
+    * audio analogue of [[ImageIoCodec.featuresOf]]'s grid luminance. */
+  object WavCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    def isRealWav(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E'
+
+    final case class Decoded(channels: Int, sampleRate: Int, nFrames: Int,
+        feature: Array[Float])
+
+    /** Decode once; metadata and the energy feature both come out of the
+      * single pass (same one-read-per-payload rule as the image path).
+      * Supports the PCM encodings the JDK WAV reader produces: signed
+      * 16-bit (either endianness) and unsigned 8-bit. */
+    def read(payload: Array[Byte]): Decoded = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unsupported WAV encoding $enc")
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        require(bytesPerSample == 1 || bytesPerSample == 2,
+          s"unsupported WAV sample width ${fmt.getSampleSizeInBits}")
+        val channels = fmt.getChannels
+        val nFrames = in.getFrameLength.toInt
+        val data = in.readAllBytes()
+        val frameBytes = bytesPerSample * channels
+        // channel-mixed full-scale-normalized amplitude per frame
+        def amp(frame: Int): Double = {
+          var c = 0
+          var sum = 0.0
+          while (c < channels) {
+            val off = frame * frameBytes + c * bytesPerSample
+            val v =
+              if (bytesPerSample == 1)
+                ((data(off) & 0xFF) - 128) / 128.0
+              else {
+                val (lo, hi) =
+                  if (fmt.isBigEndian) (data(off + 1), data(off))
+                  else (data(off), data(off + 1))
+                ((hi << 8) | (lo & 0xFF)) / 32768.0
+              }
+            sum += v
+            c += 1
+          }
+          sum / channels
+        }
+        val sums = new Array[Double](8)
+        val cnts = new Array[Long](8)
+        var f = 0
+        while (f < nFrames) {
+          val seg = math.min(7, f * 8 / math.max(1, nFrames))
+          val a = amp(f)
+          sums(seg) += a * a
+          cnts(seg) += 1
+          f += 1
+        }
+        val feature = sums.indices.map(i =>
+          if (cnts(i) == 0) 0f
+          else math.sqrt(sums(i) / cnts(i)).toFloat).toArray
+        Decoded(channels, fmt.getSampleRate.toInt, nFrames, feature)
+      } finally in.close()
+    }
+  }
+
+  /** The VIDEO codec seam (and the synthetic-corpus image/audio path —
     * driver testdata carries no real media, see [[synthesize]]). Payload
     * layout: magic "GMM0" | modality byte | width int16 | height int16 |
     * n_frames int16 | body bytes. A real implementation replaces the
@@ -170,8 +258,9 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition iterator. Magic
     * bytes pick the codec per payload: real images (PNG/JPEG/BMP/GIF)
-    * take the JDK ImageIO path; GMM0 synthetic payloads (and thereby
-    * the audio/video seam) take [[FakeCodec]]. */
+    * take the JDK ImageIO path; real WAV audio (RIFF/WAVE) takes the
+    * JDK javax.sound.sampled path; GMM0 synthetic payloads (and thereby
+    * the video seam) take [[FakeCodec]]. */
   def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -182,6 +271,11 @@ object Multimodal {
           MediaMeta(r.doc_id, r.modality, "image",
             img.getWidth, img.getHeight, 1,
             r.payload.length.toLong, ImageIoCodec.featuresOf(img))
+        } else if (WavCodec.isRealWav(r.payload)) {
+          val d = WavCodec.read(r.payload) // decode ONCE per row
+          MediaMeta(r.doc_id, r.modality, "audio",
+            d.channels, d.sampleRate, d.nFrames,
+            r.payload.length.toLong, d.feature)
         } else {
           val (fmt, w, h, frames) = FakeCodec.decode(r.payload)
           MediaMeta(r.doc_id, r.modality, fmt, w, h, frames,

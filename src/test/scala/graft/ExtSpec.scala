@@ -427,6 +427,56 @@ class ExtSpec extends SparkSpec {
     pairs.foreach { case (a, b, _) => assert(b - a === 100000L) }
   }
 
+  test("embedding pair-mining multi-band: recall lifted at c~0.99, fold runs once") {
+    import spark.implicits._
+    // 0.02 perturbation → planted cosine ≈ 0.995, where the 8-plane
+    // single-band collision probability is ≈ 0.77 — exactly the regime
+    // the banded envelope 1−(1−p)^bands is for (4 bands ⇒ ≈ 0.997)
+    val base = Tables(spark, dir, "embeddings")
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    def perturb(v: Array[Float], seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val p = v.map(x => x + 0.02f * rnd.nextFloat())
+      val n = math.sqrt(p.map(x => x.toDouble * x).sum)
+      p.map(x => (x / n).toFloat)
+    }
+    val planted = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 100000L, perturb(v, id.toInt)) }
+    val corpus = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val byId = (base ++ planted).toMap
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+
+    def mine(bands: Int): Set[(Long, Long)] = {
+      val tracked = graft.ext.Similarity
+        .embedNearDupTracked(corpus, minCos = 0.99, bands = bands)
+      // the per-vector sign folds live in the eager checkpoint: the
+      // result plan reads it, so no xxhash64 plane fold appears (and
+      // thus nothing re-executes per self-join side)
+      assert(!tracked.df.queryExecution.executedPlan.toString
+        .contains("xxhash64"))
+      val rows = tracked.df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      tracked.release()
+      // exact cosines, zero false positives at this threshold: only
+      // planted (source, copy) pairs can reach 0.99
+      rows.foreach { case (a, b, c) =>
+        assert(math.abs(c - cos(byId(a), byId(b))) < 1e-9)
+        assert(c >= 0.99 && b - a === 100000L)
+      }
+      rows.map(p => (p._1, p._2)).toSet
+    }
+    val plantedAbove = planted.count { case (pid, v) =>
+      cos(byId(pid - 100000L), v) >= 0.99
+    }
+    val one = mine(1)
+    val four = mine(4)
+    assert(four.size >= plantedAbove * 9 / 10,
+      s"4-band recall ${four.size} of $plantedAbove")
+    assert(four.size >= one.size, "banding must not lose pairs")
+  }
+
   test("text stats: ratios in [0,1], token counts positive") {
     val rows = TextOps.qTextStats(spark, dir).collect()
     assert(rows.nonEmpty)

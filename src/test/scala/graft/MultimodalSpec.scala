@@ -116,17 +116,88 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAVs decode and feature-extract through the production path") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import spark.implicits._
+    // synthesize a real RIFF/WAVE payload with AudioSystem.write —
+    // stereo 16-bit little-endian PCM at 8 kHz, 4000 frames of a sine
+    // whose amplitude steps up once per eighth of the duration, so the
+    // 8-segment RMS envelope is a known monotone staircase
+    def wav(frames: Int, rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, rate, 16, channels,
+        2 * channels, rate, false)
+      val data = new Array[Byte](frames * 2 * channels)
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (f <- 0 until frames) {
+        val seg = math.min(7, f * 8 / frames)
+        val a = seg / 8.0 * 0.8
+        val s = (a * math.sin(2 * math.Pi * 440 * f / rate) * 32767).toShort
+        for (_ <- 0 until channels) bb.putShort(s)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val payload = wav(4000, 8000f, 2)
+    assert(Multimodal.WavCodec.isRealWav(payload))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", payload)))
+
+    // decode: REAL format metadata comes back from the REAL library —
+    // width = channels, height = sample rate, n_frames = PCM frames
+    val meta = Multimodal.decode(media).collect()
+    assert(meta.length === 1)
+    val m = meta.head
+    assert(m.fmt === "audio")
+    assert(m.width === 2 && m.height === 8000 && m.n_frames === 4000)
+    assert(m.feature.length === 8)
+    // segment s carries a sine of amplitude 0.8·s/8 → RMS ≈ 0.8·s/(8·√2);
+    // segment 0 is silence
+    assert(m.feature(0) === 0f)
+    for (s <- 1 until 8) {
+      val expected = 0.8 * s / 8.0 / math.sqrt(2.0)
+      assert(math.abs(m.feature(s) - expected) < 0.01,
+        s"segment $s: ${m.feature(s)} vs $expected")
+    }
+    // deterministic across partitionings
+    val again = Multimodal.decode(media.repartition(3)).collect().head
+    assert(again.feature.toSeq === m.feature.toSeq)
+    // resize leaves audio rows untouched
+    val resized = Multimodal.resize(media, 224, 224).collect().head
+    assert(resized.payload sameElements payload)
+  }
+
   test("mixed corpus: GMM0 payloads and real PNGs dispatch per payload in one pass") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(
       100, 50, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    // a minimal real WAV (mono 8-bit 1 kHz, 100 silent frames) so all
+    // THREE codecs dispatch inside one partition pass
+    val wfmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      1000f, 8, 1, 1, 1000f, false)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](100)(128.toByte)),
+        wfmt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
     val fake = Multimodal.synthesize(spark, dir).limit(3).collect()
     val mixed = spark.createDataset(
-      fake.toSeq :+ Multimodal.MediaRow(9999L, "image", bos.toByteArray))
+      fake.toSeq :+ Multimodal.MediaRow(9999L, "image", bos.toByteArray)
+        :+ Multimodal.MediaRow(9998L, "audio", wbos.toByteArray))
     val meta = Multimodal.decode(mixed).collect().map(m => m.doc_id -> m).toMap
     assert(meta(9999L).width === 100 && meta(9999L).height === 50)
+    assert(meta(9998L).fmt === "audio" && meta(9998L).height === 1000 &&
+      meta(9998L).n_frames === 100)
+    assert(meta(9998L).feature.forall(_ === 0f)) // silence has zero energy
     fake.foreach { f =>
       assert(meta(f.doc_id).fmt === f.modality) // GMM0 path unchanged
     }
