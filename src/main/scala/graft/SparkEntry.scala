@@ -24,6 +24,13 @@ object SparkEntry {
     "q_scalar_min" -> (Aggregates.scalarMin _),
     "q_rollup" -> (Aggregates.qRollup _),
     "q_view_transactions" -> (Views.transactions _),
+    // the scalable registered SQL surface: same rows as TRANSACTIONS,
+    // two-level row_number, no single-partition window (the SQL text is
+    // pure ANSI — the oracle runs the IDENTICAL string)
+    "q_view_transactions_scaled" -> ((s: SparkSession, dir: String) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(Views.transactionsScaledSql)
+    }),
     "q_view_retention" -> (Views.retention _),
     "q_view_auto_optiom" -> (Views.autoOptiom _),
     "q_clean_strip" -> (CleanOps.qCleanStrip _),
@@ -82,6 +89,7 @@ object SparkEntry {
     "q_scalar_min" -> Aggregates.scalarMinSql,
     "q_rollup" -> Aggregates.qRollupSql,
     "q_view_transactions" -> Views.transactionsSql,
+    "q_view_transactions_scaled" -> Views.transactionsScaledSql,
     "q_view_retention" -> Views.retentionSql,
     "q_view_auto_optiom" -> Views.autoOptiomSql,
     "q_clean_strip" -> CleanOps.qCleanStripSql,

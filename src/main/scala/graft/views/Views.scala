@@ -138,6 +138,78 @@ object Views {
   val transactionsSql: String =
     transactionsInnerSql + "\nORDER BY EntryDateTime"
 
+  /** The SCALABLE SQL-text formulation of TRANSACTIONS — same rows, same
+    * Id semantics, no single-partition window anywhere in the plan.
+    *
+    * The verbatim [[transactionsSql]] keeps the reference's bare
+    * `ROW_NUMBER() OVER (ORDER BY …)` (single-partition — the one known
+    * scale trap in the registered SQL surface); this variant is the
+    * two-level rewrite a SQL-first user should adopt at scale, and it is
+    * pure ANSI SQL (it runs verbatim on DuckDB — the driver oracle-checks
+    * it):
+    *   1. bucket rows by `date_trunc('month', EntryDateTime)` — a
+    *      monotone function of the LEADING sort key, so bucket order is
+    *      consistent with the total order (ties stay inside one bucket;
+    *      assumes a non-null leading key, which the fact guarantees);
+    *   2. `ROW_NUMBER() PARTITION BY bucket` — a distributed window,
+    *      ~1/84th of the fact per partition at any scale;
+    *   3. per-bucket offsets from a COUNT aggregate self-joined on
+    *      `b.bkt < a.bkt` — O(#buckets²) on an ~84-row table, NO window
+    *      at all (the SQL analogue of [[graft.operators.PrefixSum]]'s
+    *      driver-side per-partition sums);
+    *   4. Id = within-bucket row number + bucket offset.
+    * The MinId/IsNew derivation and final ORDER BY are unchanged.
+    * ViewsSqlSpec proves row equality with the verbatim view and asserts
+    * the plan contains no SinglePartition exchange. */
+  val transactionsScaledSql: String =
+    """WITH projected AS (
+      |  SELECT
+      |    l_shipdate AS EntryDateTime,
+      |    l_orderkey AS PolicyNumber,
+      |    l_linenumber AS LineNumber,
+      |    l_partkey AS VIN_A,
+      |    s_name AS AgencyName,
+      |    COALESCE(p_brand, 'NOBRAND') AS Brand,
+      |    COALESCE(n_name, 'NONE') AS Channel,
+      |    COALESCE(r_name, 'NA_OR_OUT') AS Geo,
+      |    l_extendedprice AS CommTotal
+      |  FROM lineitem
+      |  LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |  LEFT JOIN part ON l_partkey = p_partkey
+      |  LEFT JOIN nation ON s_nationkey = n_nationkey
+      |  LEFT JOIN region ON n_regionkey = r_regionkey
+      |),
+      |bucketed AS (
+      |  SELECT *, date_trunc('month', EntryDateTime) AS bkt FROM projected
+      |),
+      |within AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY bkt
+      |    ORDER BY EntryDateTime, PolicyNumber, LineNumber, VIN_A,
+      |             CommTotal, AgencyName) AS rn
+      |  FROM bucketed
+      |),
+      |sizes AS (
+      |  SELECT bkt, COUNT(*) AS cnt FROM bucketed GROUP BY bkt
+      |),
+      |offsets AS (
+      |  SELECT a.bkt, COALESCE(SUM(b.cnt), 0) AS off
+      |  FROM sizes a LEFT JOIN sizes b ON b.bkt < a.bkt
+      |  GROUP BY a.bkt
+      |),
+      |with_id AS (
+      |  SELECT EntryDateTime, PolicyNumber, LineNumber, VIN_A, AgencyName,
+      |         Brand, Channel, Geo, CommTotal, rn + off AS Id
+      |  FROM within JOIN offsets USING (bkt)
+      |),
+      |with_min AS (
+      |  SELECT *, MIN(Id) OVER (PARTITION BY PolicyNumber) AS MinId
+      |  FROM with_id
+      |)
+      |SELECT *, CASE WHEN Id = MinId THEN 'N' ELSE 'E' END AS IsNew
+      |FROM with_min
+      |ORDER BY EntryDateTime""".stripMargin
+
   /** RETENTION view (settings.yaml:24-63 analog). Fact = orders. The
     * supplier join uses a derived routing key (o_orderkey % 100 + 1) the
     * way the reference joins fact column City to dim key meta_city; keys
@@ -261,12 +333,18 @@ object Views {
     * the reference's semantics verbatim and plans as a single-partition
     * window; the DataFrame builders route the same total order through
     * [[graft.operators.RowNumbering]] (range-sort + per-partition zip) —
-    * the plan you want at 100 TB. Views created here are lazy (Spark temp
-    * views re-evaluate per query), matching BigQuery view semantics. */
+    * the plan you want at 100 TB. A SQL-first user adopting the
+    * registered surface at scale should query TRANSACTIONS_SCALED
+    * ([[transactionsScaledSql]] — same rows, distributed windows only);
+    * TRANSACTIONS stays reference-verbatim. Views created here are lazy
+    * (Spark temp views re-evaluate per query), matching BigQuery view
+    * semantics. */
   def createAll(spark: SparkSession, dir: String): Unit = {
     graft.Tables.registerAll(spark, dir)
     spark.sql(
       s"CREATE OR REPLACE TEMP VIEW TRANSACTIONS AS\n$transactionsSql")
+    spark.sql(
+      s"CREATE OR REPLACE TEMP VIEW TRANSACTIONS_SCALED AS\n$transactionsScaledSql")
     spark.sql(
       s"CREATE OR REPLACE TEMP VIEW RETENTION AS\n$retentionSql")
     // View-on-view: re-reference TRANSACTIONS rather than inlining it.

@@ -24,6 +24,29 @@ class ViewsSqlSpec extends SparkSpec {
     assertSameRows(spark.table("AUTO_OPTIOM"), Views.autoOptiom(spark, dir))
   }
 
+  test("TRANSACTIONS_SCALED: same rows as the verbatim view, distributed plan") {
+    Views.createAll(spark, dir)
+    val verbatim = spark.table("TRANSACTIONS")
+    val scaled = spark.table("TRANSACTIONS_SCALED")
+    assert(scaled.columns.toSeq === verbatim.columns.toSeq)
+    // Id casts to long: the verbatim ROW_NUMBER yields int, the scaled
+    // rn + bigint offset yields long — values identical
+    import org.apache.spark.sql.functions.col
+    def normalized(df: DataFrame) =
+      df.withColumn("Id", col("Id").cast("long"))
+        .withColumn("MinId", col("MinId").cast("long"))
+    assert(normalized(scaled).exceptAll(normalized(verbatim)).isEmpty &&
+      normalized(verbatim).exceptAll(normalized(scaled)).isEmpty)
+    // the verbatim plan carries the known single-partition window; the
+    // scaled plan must not have a SinglePartition exchange ANYWHERE —
+    // its windows are bucket-/key-partitioned and the bucket offsets
+    // come from an aggregate self-join, not a global window
+    assert(verbatim.queryExecution.executedPlan.toString
+      .contains("SinglePartition"))
+    assert(!scaled.queryExecution.executedPlan.toString
+      .contains("SinglePartition"))
+  }
+
   test("S6: views are lazy — re-creation replaces, table() re-evaluates") {
     Views.createAll(spark, dir)
     val n1 = spark.table("TRANSACTIONS").count()
