@@ -73,6 +73,7 @@ object SparkEntry {
     "q_rep_ratio" -> (graft.ext.TextOps.qRepRatio _),
     "q_group_cap" -> (graft.ext.TextOps.qGroupCap _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
+    "q_ann_cosine_by_id" -> (graft.ext.Similarity.qAnnCosineById _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
@@ -132,14 +133,18 @@ object SparkEntry {
     "q_rep_ratio" -> graft.ext.TextOps.qRepRatioSql,
     "q_group_cap" -> graft.ext.TextOps.qGroupCapSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
+    "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql
     // q_ann_lsh / q_ann_ivf / q_approx_distinct: seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
-    // weaker rows-only check (see q_ann_*_cosines below for the
-    // value-verified companions). (q_dedup_minhash's OUTPUT pair set IS
-    // oracle-checked above via the rare-shingle candidate route, and
+    // weaker rows-only MEMBERSHIP check. Returned VALUES are still
+    // oracle-verified: cosine is a pure function of vec_id, and
+    // q_ann_cosine_by_id hash-checks the full (vec_id, cosine) table any
+    // ANN row must come from; ExtSpec recomputes every cosine the
+    // LSH/IVF paths actually return. (q_dedup_minhash's OUTPUT pair set
+    // IS oracle-checked above via the rare-shingle candidate route, and
     // q_dedup_simhash is a FULL md5-Horner SQL replay.)
   )
 }

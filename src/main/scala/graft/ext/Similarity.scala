@@ -57,6 +57,31 @@ object Similarity {
       |ORDER BY cosine DESC, vec_id ASC
       |LIMIT 10""".stripMargin
 
+  /** Every vector's exact cosine against query vec 0, no top-k — the
+    * VALUE oracle for the ANN family. q_ann_lsh / q_ann_ivf membership
+    * is seeded-hash / trained-model specific (rows-only checks), but
+    * cosine is a pure function of vec_id, and this full table is
+    * hash-checked against DuckDB: any (vec_id, cosine) row the ANN
+    * queries can return is a row of this table, so returned values are
+    * oracle-verified even though membership isn't. ExtSpec closes the
+    * loop by recomputing every cosine the LSH/IVF paths actually return.
+    * Same broadcast-1-row + codegen'd [[dot]] plan as [[qAnnBrute]],
+    * minus TakeOrderedAndProject — map-only at any scale. */
+  def qAnnCosineById(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), dot(col("embedding"), col("qv")).as("cosine"))
+  }
+
+  val qAnnCosineByIdSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
+      |FROM embeddings, q""".stripMargin
+
   /** Sign of the projection of `v` onto pseudo-random hyperplane `p`
     * (components ±1 derived from xxhash64(dim, plane) — deterministic,
     * no stored model). Multi-band callers pass disjoint plane-id ranges

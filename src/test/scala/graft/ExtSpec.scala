@@ -34,14 +34,17 @@ class ExtSpec extends SparkSpec {
     assert(cosines === cosines.sorted.reverse)
   }
 
-  test("ann lsh: query's bucket contains the query; cosines match brute") {
+  test("ann lsh: query's bucket contains the query; EVERY cosine value-verified") {
     val lsh = Similarity.qAnnLsh(spark, dir).collect()
     assert(lsh.nonEmpty && lsh.head.getAs[Long]("vec_id") === 0L)
-    val bruteMap = Similarity.qAnnBrute(spark, dir).collect()
+    // the oracle-checked full cosine table (q_ann_cosine_by_id) covers
+    // every id — ALL returned cosines must match it, not just the ones
+    // overlapping the brute top-10
+    val cosMap = Similarity.qAnnCosineById(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
-    lsh.filter(r => bruteMap.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+    lsh.foreach { r =>
       assert(math.abs(r.getAs[Double]("cosine") -
-        bruteMap(r.getAs[Long]("vec_id"))) < 1e-12)
+        cosMap(r.getAs[Long]("vec_id"))) < 1e-12)
     }
   }
 
@@ -517,14 +520,16 @@ class ExtSpec extends SparkSpec {
     assert(jacc.intersect(embedPairs).size >= (jacc.size * 9) / 10)
   }
 
-  test("ann ivf: probed-cell cosines match brute exactly; query finds itself") {
+  test("ann ivf: EVERY returned cosine value-verified; query finds itself") {
     val ivf = Similarity.qAnnIvf(spark, dir).collect()
     assert(ivf.nonEmpty && ivf.head.getAs[Long]("vec_id") === 0L)
-    val bruteMap = Similarity.qAnnBrute(spark, dir).collect()
+    // same closure as the LSH test: all returned cosines must match the
+    // oracle-checked full cosine-by-id table
+    val cosMap = Similarity.qAnnCosineById(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
-    ivf.filter(r => bruteMap.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+    ivf.foreach { r =>
       assert(math.abs(r.getAs[Double]("cosine") -
-        bruteMap(r.getAs[Long]("vec_id"))) < 1e-12)
+        cosMap(r.getAs[Long]("vec_id"))) < 1e-12)
     }
   }
 
