@@ -24,25 +24,47 @@ import org.apache.spark.sql.functions._
   *  - length, whitespace and ids (doc_id·factor+i) stay
   *    collision-free and deterministic.
   *
-  * Usage: `runMain graft.ScaleCheck [srcDir] [bigDir] [factor]`
-  * (defaults /root/testdata/sf0.1, /tmp/sfbig, 10). Results go to
-  * stdout as one JSON line; DESIGN.md records the round's run.
+  * Usage: `runMain graft.ScaleCheck [srcDir] [bigDir] [factor] [queries]`
+  * (defaults /root/testdata/sf0.1, /tmp/sfbig, 10, all; `queries` is a
+  * comma-separated subset filter — the 100× runs target only the
+  * heaviest families rather than paying the full sweep at 100×).
+  * Results go to stdout as one JSON line; DESIGN.md records the
+  * round's run.
   */
 object ScaleCheck {
 
   private val alphabet = "aeiounrstl" // 10 letters -> 10 distinct rotations
 
+  /** Second scaling axis for factors beyond 10: a per-word SUFFIX letter
+    * (one of 9 consonants disjoint from the rotation alphabet, so the
+    * two transforms commute). Copies with different suffixes share ZERO
+    * word-3-gram shingles (every word's last character differs), and
+    * within-copy planted near-dup pairs are preserved exactly — the same
+    * two properties the rotation axis guarantees. Copy k of `factor`
+    * applies rotation k mod 10 and suffix k div 10 (suffix 0 = none), so
+    * any two of up to 100 copies differ in every shingle: different
+    * suffix ⇒ disjoint shingles outright; same suffix, different
+    * rotation ⇒ the rotation rewrites every word (each vocabulary word
+    * contains a vowel, and all vowels are in the rotation alphabet). */
+  private val suffixes = "bcdfghjkm" // disjoint from `alphabet`
+
   def scaleDocuments(spark: SparkSession, srcDir: String, outDir: String,
                      factor: Int): Unit = {
-    require(factor <= alphabet.length,
-      s"at most ${alphabet.length} distinct rotations available")
+    require(factor <= alphabet.length * (suffixes.length + 1),
+      s"at most ${alphabet.length * (suffixes.length + 1)} distinct copies available")
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val copies = (0 until factor).map { i =>
+    val copies = (0 until factor).map { k =>
+      val i = k % alphabet.length
+      val j = k / alphabet.length
       val rot = alphabet.drop(i) + alphabet.take(i)
+      val rotated =
+        if (i == 0) col("text") else translate(col("text"), alphabet, rot)
+      val transformed =
+        if (j == 0) rotated
+        else regexp_replace(rotated, "(\\S+)", "$1" + suffixes(j - 1))
       docs.select(
-        (col("doc_id") * factor + i).as("doc_id"),
-        (if (i == 0) col("text")
-         else translate(col("text"), alphabet, rot)).as("text"),
+        (col("doc_id") * factor + k).as("doc_id"),
+        transformed.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     copies.reduce(_ unionByName _)
@@ -129,7 +151,8 @@ object ScaleCheck {
     // relational/window operators whose scale story is partitioning
     // (RowNumbering, fact-fact join, one-exchange sessionization,
     // union+window as-of, bucketed range join, natural-key TF-IDF)
-    val family: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    val subset = args.lift(3).map(_.split(",").toSet)
+    val family: Seq[(String, (SparkSession, String) => DataFrame)] = (Seq(
       "q_dedup_exact" -> (ext.Dedup.qDedupExact _),
       "q_dedup_jaccard" -> (ext.Dedup.qDedupJaccard _),
       "q_dedup_minhash" -> (ext.Dedup.qDedupMinhash _),
@@ -142,7 +165,8 @@ object ScaleCheck {
         // round-5 curation family: pack exercises the distributed
         // prefix sum, curate_e2e the whole composed pipeline
         "q_pack", "q_passage_dedup", "q_contam_frac", "q_curate_e2e")
-        .map(n => n -> SparkEntry.queries(n))
+        .map(n => n -> SparkEntry.queries(n)))
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       // warm-up + min-of-2, transient blocks dropped between passes —

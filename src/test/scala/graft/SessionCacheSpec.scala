@@ -30,6 +30,24 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.dropTransientBlocks(spark)
   }
 
+  test("USAGE.md lifecycle snippet: cycling a session + evictSession reclaims its blocks") {
+    // the exact shape the user guide prescribes for one-session-per-
+    // tenant JVMs, run against the real memoized view core
+    val dir = "/root/testdata/sf0.001"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tenant = spark.newSession()
+    try {
+      assert(graft.views.Views.transactions(tenant, dir).count() > 0)
+      val owned = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(owned.nonEmpty, "view core should checkpoint")
+    } finally {
+      SessionCache.evictSession(tenant)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "retired session's checkpoint blocks must be unpersisted")
+  }
+
   test("evictSession releases exactly the retired session's memo blocks") {
     // NOTE eviction is explicit by design: a cached DataFrame strongly
     // references its building session, so a GC/weak-reference sweep
