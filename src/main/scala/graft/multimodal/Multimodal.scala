@@ -195,6 +195,34 @@ object Multimodal {
         Decoded(channels, fmt.getSampleRate.toInt, nFrames, feature)
       } finally in.close()
     }
+
+    /** Real resample: decode → JDK sample-rate conversion
+      * (`AudioSystem.getAudioInputStream(targetFormat, in)`) → re-encode
+      * WAV — the audio analogue of [[ImageIoCodec.resize]]'s
+      * decode/rescale/re-encode, and the normalization stage a training
+      * pipeline runs before batch feature extraction (models expect one
+      * rate, e.g. 16 kHz). The converted stream has unknown length, and
+      * the WAVE writer requires one, so the PCM is buffered and
+      * re-wrapped with its exact frame count — per-payload memory is the
+      * payload's own size, the same bound the decode path already has. */
+    def resample(payload: Array[Byte], targetRate: Float): Array[Byte] = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val tgt = new AudioFormat(src.getEncoding, targetRate,
+          src.getSampleSizeInBits, src.getChannels, src.getFrameSize,
+          targetRate, src.isBigEndian)
+        val pcm = AudioSystem.getAudioInputStream(tgt, in).readAllBytes()
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), tgt,
+            (pcm.length / tgt.getFrameSize).toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      } finally in.close()
+    }
   }
 
   /** The VIDEO codec seam (and the synthetic-corpus image/audio path —
@@ -311,6 +339,25 @@ object Multimodal {
           bb.putShort(5, width).putShort(7, height)
           MediaRow(r.doc_id, r.modality, bb.array())
         }
+      }
+    }
+  }
+
+  /** Audio-rate normalization stage: resample every real-WAV payload to
+    * the target rate, leaving other modalities (and the synthetic GMM0
+    * audio seam) untouched — the audio twin of [[resize]], with the
+    * identical Spark shape: mapPartitions over payloads, non-audio rows
+    * passed through, map-only and embarrassingly parallel. Run AFTER
+    * [[repartitionByPayloadSize]] so a partition of hour-long WAVs
+    * can't straggle. */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Float): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality == "audio" && WavCodec.isRealWav(r.payload))
+          MediaRow(r.doc_id, r.modality,
+            WavCodec.resample(r.payload, targetRate))
+        else r
       }
     }
   }

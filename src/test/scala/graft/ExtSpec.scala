@@ -46,6 +46,17 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cosine") -
         cosMap(r.getAs[Long]("vec_id"))) < 1e-12)
     }
+    // multi-probe is a recall dial: widening the radius never loses a
+    // result and never changes a returned cosine; brute-top-10 coverage
+    // is monotone in the radius
+    val brute10 = Similarity.qAnnBrute(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def ids(radius: Int) = Similarity.annLsh(spark, dir, probeRadius = radius)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val (r0, r1, r2) = (ids(0), ids(1), ids(2))
+    assert((brute10 & r0).size <= (brute10 & r1).size)
+    assert((brute10 & r1).size <= (brute10 & r2).size)
+    assert(r1.size >= r0.size)
   }
 
   test("decontaminate: flags exactly the train docs sharing rare shingles with eval") {

@@ -170,6 +170,32 @@ class MultimodalSpec extends SparkSpec {
     // resize leaves audio rows untouched
     val resized = Multimodal.resize(media, 224, 224).collect().head
     assert(resized.payload sameElements payload)
+
+    // resample: payload genuinely re-encoded at the new rate through
+    // the JDK converter, and re-decodes through the same production
+    // path with duration and energy envelope preserved
+    val down = Multimodal.decode(
+      Multimodal.resampleAudio(media, 4000f)).collect().head
+    assert(down.height === 4000)
+    // half the rate → about half the frames (converter may pad an edge
+    // frame), same duration
+    assert(math.abs(down.n_frames - 2000) <= 2)
+    assert(down.width === 2) // channels preserved
+    // the temporal envelope survives resampling: silent first segment,
+    // staircase shape within tolerance of the original
+    assert(down.feature(0) < 0.01f)
+    for (s <- 1 until 8)
+      assert(math.abs(down.feature(s) - m.feature(s)) < 0.03,
+        s"segment $s: ${down.feature(s)} vs ${m.feature(s)}")
+    // non-audio rows pass through untouched
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val ibos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibos)
+    val mixed = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "image", ibos.toByteArray)))
+    assert(Multimodal.resampleAudio(mixed, 4000f).collect()
+      .head.payload sameElements ibos.toByteArray)
   }
 
   test("mixed corpus: GMM0 payloads and real PNGs dispatch per payload in one pass") {
