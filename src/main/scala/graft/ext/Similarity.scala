@@ -315,6 +315,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH IVF serving — the shape a deployment actually runs: answer a
+    * whole DataFrame of queries against the index in ONE distributed
+    * plan, instead of a driver round-trip per query ([[ivfQuery]]'s
+    * probe selection is driver-side; fine for one vector, not for a
+    * query stream). Fully distributed:
+    *   1. probe selection: queries × broadcast k-centroid table
+    *      (nq × k rows — the k=16 multiplier, never corpus-sized),
+    *      squared distance per pair, `row_number PARTITION BY query_id`
+    *      keeps the nprobe nearest cells — a window over nq × k rows
+    *      partitioned by a high-cardinality key;
+    *   2. candidates: equi-join of (query_id, cell, qv) against the
+    *      cell table on `cell` — over a [[saveIvfIndex]]-persisted
+    *      index this is the same partition-pruned scan as the single
+    *      path, now shared by every query probing that cell;
+    *   3. exact cosine via the codegen'd [[dot]], top-k per query via
+    *      `row_number PARTITION BY query_id` — plans with
+    *      WindowGroupLimit (rank pushdown prunes to k per query before
+    *      the final sort).
+    * Output: (query_id, vec_id, cell, cosine), k rows per query.
+    * ExtSpec proves batch results equal the single-query path per id. */
+  def ivfQueryBatch(idx: IvfIndex, queries: DataFrame, k: Int = 10,
+                    nprobe: Int = 4): DataFrame = {
+    val spark = idx.cells.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val centroids = idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val dist2 = aggregate(
+      zip_with(col("centroid"), col("qv"),
+        (c, q) => (c - q.cast("double")) * (c - q.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val probed = queries
+      .select(col("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id").orderBy(dist2.asc, col("cell").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    probed.join(idx.cells, "cell")
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        dot(col("embedding"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Size `planes` to a corpus for [[embedNearDup]], from the documented
+    * envelope: expected bucket size n/2^planes should sit well under
+    * `maxBucket` (a quarter of it here, so skew has 4× headroom before
+    * the cap starts dropping average-sized buckets). */
+  def planesForCorpus(n: Long, maxBucket: Int = 200): Int = {
+    require(n > 0 && maxBucket >= 4)
+    val target = n / (maxBucket / 4.0)
+    math.min(62, math.max(1,
+      math.ceil(math.log(target) / math.log(2.0)).toInt))
+  }
+
   /** Persist the index the way a real deployment serves it: the cell
     * table PARTITIONED BY cell — so a query's cell-membership filter
     * becomes partition pruning at the scan (`PartitionFilters` in the

@@ -544,6 +544,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ann ivf batch: distributed serving equals the single-query path per id") {
+    import org.apache.spark.sql.functions.col
+    val idx = Similarity.buildIvfIndex(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val queries = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfQueryBatch(idx, queries).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(batch.keySet === qids.toSet)
+    qids.foreach { qid =>
+      val qv = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") === qid)
+        .head().getSeq[Float](1).toArray
+      val single = Similarity.ivfQuery(idx, qv).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      val got = batch(qid)
+        .sortBy(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("vec_id")))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      assert(got.toSeq === single.toSeq, s"query $qid")
+    }
+    // the top-k window plans with rank pushdown, not a global sort
+    assert(Similarity.ivfQueryBatch(idx, queries)
+      .queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("embedNearDup planes sizing follows the documented envelope") {
+    // n/2^planes <= maxBucket/4: 51 200 docs at cap 200 -> 2^10 buckets
+    assert(Similarity.planesForCorpus(51200, 200) === 10)
+    assert(Similarity.planesForCorpus(1000, 200) === 5)
+    // tiny corpora never go below 1 plane; huge never above 62
+    assert(Similarity.planesForCorpus(1, 200) === 1)
+    assert(Similarity.planesForCorpus(Long.MaxValue, 4) === 62)
+  }
+
   test("winnow: near-dup docs share fingerprints, position-robust") {
     // the winnowing guarantee: docs overlapping by >= w + k - 1 chars
     // share at least one fingerprint — near-dup pairs must overlap
