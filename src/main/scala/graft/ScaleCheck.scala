@@ -159,7 +159,8 @@ object ScaleCheck {
       "q_dedup_simhash" -> (ext.Dedup.qDedupSimhash _),
       "q_dedup_embed" -> (ext.Dedup.qDedupEmbed _),
       "q_decontaminate" -> (ext.Dedup.qDecontaminate _)) ++
-      Seq("q_view_transactions", "q_view_auto_optiom", "q_view_retention",
+      Seq("q_view_transactions", "q_view_transactions_scaled",
+        "q_view_auto_optiom", "q_view_retention",
         "q_sessionize", "q_events_window", "q_asof_join", "q_range_join",
         "q_tfidf",
         // round-5 curation family: pack exercises the distributed

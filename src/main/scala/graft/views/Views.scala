@@ -156,7 +156,12 @@ object Views {
     *   3. per-bucket offsets from a COUNT aggregate self-joined on
     *      `b.bkt < a.bkt` — O(#buckets²) on an ~84-row table, NO window
     *      at all (the SQL analogue of [[graft.operators.PrefixSum]]'s
-    *      driver-side per-partition sums);
+    *      driver-side per-partition sums). The counts aggregate scans
+    *      RAW lineitem, not the joined projection: the dim joins are
+    *      LEFT joins on unique dim keys (the reference's own
+    *      invariant), hence row-preserving, so per-month counts agree —
+    *      and the second fact scan column-prunes to l_shipdate alone
+    *      instead of re-running the join subtree;
     *   4. Id = within-bucket row number + bucket offset.
     * The MinId/IsNew derivation and final ORDER BY are unchanged.
     * ViewsSqlSpec proves row equality with the verbatim view and asserts
@@ -190,7 +195,8 @@ object Views {
       |  FROM bucketed
       |),
       |sizes AS (
-      |  SELECT bkt, COUNT(*) AS cnt FROM bucketed GROUP BY bkt
+      |  SELECT date_trunc('month', l_shipdate) AS bkt, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1
       |),
       |offsets AS (
       |  SELECT a.bkt, COALESCE(SUM(b.cnt), 0) AS off
