@@ -260,7 +260,21 @@ object Multimodal {
 
   /** Deterministic synthetic payloads derived from the documents table
     * (the driver testdata carries no real media; payload bytes are a
-    * pure function of doc content, so every engine run agrees). */
+    * pure function of doc content, so every engine run agrees).
+    *
+    * AUDIO rows (doc_id % 3 == 1) are REAL WAVs since round 6: mono
+    * 16-bit 8 kHz PCM written by `AudioSystem.write` — a 440 Hz sine
+    * whose amplitude steps once per eighth of the duration, each step
+    * encoding the average of 8 of the doc's leading bytes
+    * ([[wavFromText]]). The driver query therefore exercises the REAL
+    * `javax.sound.sampled` decode path end-to-end, the oracle replays
+    * the container arithmetic (44-byte canonical PCM header + 2 bytes
+    * per frame), and near-dup discrimination is preserved: the energy
+    * envelope IS an 8-dim projection of the doc's bytes, exactly the
+    * role [[FakeCodec.features]] plays for the remaining GMM0
+    * modalities. Image rows keep GMM0 (the corpus plants no real
+    * images; ImageIoCodec is exercised by specs on ImageIO-written
+    * payloads), video keeps GMM0 because no in-JDK codec exists. */
   def synthesize(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -268,15 +282,57 @@ object Multimodal {
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val modality = (id % 3).toByte
-        val w = (64 + (nChars % 512)).toShort
-        val h = (64 + (id % 512)).toShort
-        val frames = (if (modality == 2) 1 + (id % 30) else 1).toShort
-        val body = text.take(64).getBytes("UTF-8")
-        val bb = java.nio.ByteBuffer.allocate(11 + body.length)
-        bb.put("GMM0".getBytes("US-ASCII")).put(modality)
-          .putShort(w).putShort(h).putShort(frames).put(body)
-        MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), bb.array())
+        if (modality == 1) {
+          MediaRow(id, "audio",
+            wavFromText(text, (64 + (nChars % 512)).toInt))
+        } else {
+          val w = (64 + (nChars % 512)).toShort
+          val h = (64 + (id % 512)).toShort
+          val frames = (if (modality == 2) 1 + (id % 30) else 1).toShort
+          val body = text.take(64).getBytes("UTF-8")
+          val bb = java.nio.ByteBuffer.allocate(11 + body.length)
+          bb.put("GMM0".getBytes("US-ASCII")).put(modality)
+            .putShort(w).putShort(h).putShort(frames).put(body)
+          MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), bb.array())
+        }
       }
+  }
+
+  /** Deterministic real-WAV synthesis: mono 16-bit little-endian 8 kHz
+    * PCM, `frames` frames of a 440 Hz sine whose amplitude in time
+    * segment s (of 8) is the normalized average of the doc's bytes
+    * 8s..8s+7 (padded with 'a' past the text) — so the decoded RMS
+    * envelope is a stable 8-dim fingerprint of the doc's prefix.
+    * Container size is exactly 44 + 2·frames bytes (canonical RIFF/fmt/
+    * data PCM header — spec-asserted, and what the oracle replays). */
+  def wavFromText(text: String, frames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val body = text.take(64).getBytes("UTF-8")
+    def byteAt(k: Int): Int =
+      if (k < body.length) body(k) & 0xFF else 'a'.toInt
+    val amps = (0 until 8).map { s =>
+      val avg = (0 until 8).map(k => byteAt(s * 8 + k)).sum / 8.0
+      math.min(1.0, math.max(0.0, (avg - 96.0) / 32.0))
+    }
+    val pcm = new Array[Byte](frames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < frames) {
+      val seg = math.min(7, i * 8 / frames)
+      val s = (amps(seg) * 0.8 *
+        math.sin(2 * math.Pi * 440.0 * i / 8000.0) * 32767).toShort
+      bb.putShort(s)
+      i += 1
+    }
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Range-partition by payload size so one partition never holds all
@@ -430,21 +486,31 @@ object Multimodal {
       .filter(col("cosine") >= 0.99999)
   }
 
-  /** Mirrors [[synthesize]] + [[FakeCodec.decode]] field by field:
-    * width = 64 + n_chars mod 512, height = 64 + doc_id mod 512,
-    * n_frames = 1 + doc_id mod 30 for video else 1,
-    * n_bytes = 11-byte header + UTF-8 bytes of the first 64 chars. */
+  /** Mirrors [[synthesize]] + the codec decodes field by field.
+    * GMM0 rows (image/video): width = 64 + n_chars mod 512, height =
+    * 64 + doc_id mod 512, n_frames = 1 + doc_id mod 30 for video else
+    * 1, n_bytes = 11-byte header + UTF-8 bytes of the first 64 chars.
+    * REAL-WAV rows (audio): width = 1 channel, height = 8000 Hz,
+    * n_frames = 64 + n_chars mod 512, n_bytes = canonical 44-byte PCM
+    * container header + 2 bytes per frame — the oracle replaying the
+    * container arithmetic proves the engine's REAL `javax.sound
+    * .sampled` decode read back exactly what was synthesized. */
   val qMultimodalDecodeSql: String =
     """SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS modality,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS fmt,
-      |  CAST(64 + n_chars % 512 AS INTEGER) AS width,
-      |  CAST(64 + doc_id % 512 AS INTEGER) AS height,
-      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
-      |       AS INTEGER) AS n_frames,
-      |  CAST(11 + octet_length(encode(substr(text, 1, 64))) AS BIGINT)
-      |    AS n_bytes
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+      |       ELSE 64 + n_chars % 512 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+      |       ELSE 64 + doc_id % 512 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + n_chars % 512
+      |            WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30
+      |            ELSE 1 END AS INTEGER) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 3 = 1
+      |            THEN 44 + 2 * (64 + n_chars % 512)
+      |            ELSE 11 + octet_length(encode(substr(text, 1, 64)))
+      |       END AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 }

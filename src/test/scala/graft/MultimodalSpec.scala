@@ -12,11 +12,22 @@ class MultimodalSpec extends SparkSpec {
     meta.foreach { m =>
       assert(Seq("image", "audio", "video").contains(m.fmt))
       assert(m.modality === m.fmt) // synthesized modality survives decode
-      assert(m.width >= 64 && m.height >= 64)
       assert(m.feature.length === 8)
-      assert(m.n_bytes > 11)
-      if (m.fmt != "video") assert(m.n_frames === 1)
+      if (m.fmt == "audio") {
+        // REAL WAV decoded by the REAL library: mono, 8 kHz, container
+        // arithmetic exact (44-byte canonical PCM header + 2 B/frame)
+        assert(m.width === 1 && m.height === 8000)
+        assert(m.n_frames >= 64)
+        assert(m.n_bytes === 44L + 2L * m.n_frames)
+      } else {
+        assert(m.width >= 64 && m.height >= 64)
+        assert(m.n_bytes > 11)
+        if (m.fmt != "video") assert(m.n_frames === 1)
+      }
     }
+    // the audio payloads really are RIFF/WAVE containers
+    val audioRow = media.collect().find(_.modality == "audio").get
+    assert(Multimodal.WavCodec.isRealWav(audioRow.payload))
   }
 
   test("decode is deterministic across partitionings") {
