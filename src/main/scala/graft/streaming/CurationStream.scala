@@ -272,6 +272,188 @@ object CurationStream {
       .start()
   }
 
+  // ───── Incremental near-dup pair view (round 6) ─────
+
+  /** LSH layout for the incremental near-dup view — identical to the
+    * batch operator's ([[graft.ext.Dedup.qDedupMinhash]]): 16 minhashes,
+    * 8 bands × 2 rows, est-prune ≥ 0.4, exact Jaccard ≥ 0.5. */
+  val nearDupBands = 8
+  val nearDupMaxBucket = 100
+  val nearDupMinJaccard = 0.5
+
+  import org.apache.spark.sql.functions._
+
+  /** MinHash signatures + exact-dup key for (doc_id, scrubbed) rows:
+    * (doc_id, key40, m0..m15). Map-only, ~144 B/doc. */
+  private def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        substring(col("scrubbed"), 1, 40).as("key40"),
+        org.apache.spark.sql.graftshim.MinHash16.minhash16(
+          graft.ext.Dedup.shingles3Hashed(col("scrubbed"))).as("sig"))
+      .select(col("doc_id") +: col("key40") +:
+        (0 until 16).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
+
+  private def bandBucketsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(array((0 until nearDupBands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(col(s"m${b * 2}"), col(s"m${b * 2 + 1}"))
+              .as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  /** Maintain the NEAR-DUP PAIR VIEW of the curated store incrementally:
+    * after [[mergeCuratedBatch]]/[[mergeCuratedBatchPartitioned]] has
+    * folded a micro-batch in, bring two derived artifacts up to date —
+    * a signature index (`sigPath`: doc_id, key40, m0..m15 for every
+    * store survivor) and the pair view (`pairsPath`: doc_a, doc_b, jacc
+    * — exact Jaccard ≥ [[nearDupMinJaccard]] pairs among CURRENT
+    * survivors), the streaming twin of the batch
+    * [[graft.ext.Dedup.qDedupMinhash]].
+    *
+    * Per batch, work is bounded by the batch's key groups, never the
+    * corpus: signatures are (re)computed only for the batch keys'
+    * current winners; candidates come from the winners' band buckets
+    * equi-joined against the index (store-side occupancy capped at
+    * [[nearDupMaxBucket]]); exact-Jaccard verification reads shingles
+    * only for candidate ids (semi-join against the curated store,
+    * exactly the batch operator's discipline). DISPLACEMENT is handled:
+    * when a later batch delivers a smaller doc_id for an existing key,
+    * the dethroned survivor's signature rows and pairs are retired in
+    * the same update, so the view always describes the store's current
+    * survivor set. Signature/pair stores republish through the
+    * [[graft.merge.Merge.overwriteAtomic]] two-rename swap; at 100 TB
+    * both would adopt the SAME `bucket=pmod(xxhash64(key40), N)`
+    * partitioned layout and touched-bucket swap as the curated store
+    * itself ([[mergeCuratedBatchPartitioned]] — signature rows are
+    * keyed by key40 too), making the republish O(touched buckets).
+    *
+    * CONVERGENCE (CurationStreamSpec): once every file is delivered —
+    * any slicing, order, or redelivery — the pair view equals the
+    * exact-Jaccard-≥-0.5 pair set over the final curated store,
+    * provided no band bucket's final occupancy exceeds the cap (bucket
+    * occupancy only grows, so a never-hot bucket was never skipped;
+    * for a bucket that DOES run hot the incremental view retains pairs
+    * found while it was cool — a documented superset of the batch
+    * operator, which drops the whole bucket). LSH's own miss envelope
+    * (~1e-5 est-prune per pair) is shared with the batch operator. */
+  def updateNearDupView(spark: SparkSession, batch: DataFrame,
+                        storePath: String, sigPath: String,
+                        pairsPath: String): Unit = {
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(storePath))) return // fully-gated first batch
+    val batchKeys = batch
+      .select(substring(col("scrubbed"), 1, 40).as("key40")).distinct()
+    // current winners of the delivered keys (post-merge store state)
+    val store = spark.read.parquet(storePath)
+    val winners = store
+      .withColumn("key40", substring(col("scrubbed"), 1, 40))
+      .join(batchKeys, "key40")
+    val (winnerSigs, releaseW) = graft.util.Checkpoints.checkpointTracked(
+      signaturesOf(winners.select(col("doc_id"), col("scrubbed"))))
+    try {
+      val oldSigs =
+        if (fs.exists(new Path(sigPath))) Some(spark.read.parquet(sigPath))
+        else None
+      // ids dethroned by this batch: had a delivered key, no longer win
+      val removed = oldSigs.map(
+        _.join(batchKeys, "key40")
+          .join(winnerSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id"))
+      val newSigs = oldSigs.fold(winnerSigs)(
+        _.join(batchKeys, Seq("key40"), "left_anti")
+          .unionByName(winnerSigs))
+      val (sigs, releaseS) =
+        graft.util.Checkpoints.checkpointTracked(newSigs)
+      try {
+        // candidates: winners' buckets vs the full index, store-side
+        // occupancy capped — hot buckets stop proposing, never explode
+        val indexBuckets = bandBucketsOf(sigs)
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "bucket")))
+          .filter(col("cnt") <= nearDupMaxBucket)
+          .drop("cnt")
+        val cand = bandBucketsOf(winnerSigs).as("a")
+          .join(indexBuckets.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .distinct()
+        // stage-1 prune on signatures already in hand
+        val est = (0 until 16).map(j =>
+          when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 16
+        val plausible = cand
+          .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .filter(est >= 0.4)
+          .select(col("doc_a"), col("doc_b"))
+        // stage-2 exact Jaccard, shingles only for candidate ids
+        val candIds = plausible.select(col("doc_a").as("doc_id"))
+          .union(plausible.select(col("doc_b").as("doc_id"))).distinct()
+        val gsets = store.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            graft.ext.Dedup.shingles3(col("scrubbed")).as("gs"))
+        val verified = plausible
+          .join(gsets.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(gsets.as("gb"), col("doc_b") === col("gb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double") /
+              size(array_union(col("ga.gs"), col("gb.gs")))).as("jacc"))
+          .filter(col("jacc") >= nearDupMinJaccard)
+        // pair view: retire dethroned ids, fold in this batch's finds
+        val oldPairs =
+          if (fs.exists(new Path(pairsPath)))
+            Some(spark.read.parquet(pairsPath))
+          else None
+        val kept = (oldPairs, removed) match {
+          case (Some(p), Some(r)) =>
+            p.join(r.withColumnRenamed("doc_id", "doc_a"),
+                Seq("doc_a"), "left_anti")
+              .join(r.withColumnRenamed("doc_id", "doc_b"),
+                Seq("doc_b"), "left_anti")
+          case (Some(p), None) => p
+          case (None, _) => verified.limit(0)
+        }
+        val newPairs = kept.unionByName(verified)
+          .groupBy("doc_a", "doc_b").agg(min(col("jacc")).as("jacc"))
+        Merge.overwriteAtomic(newPairs, pairsPath)
+        Merge.overwriteAtomic(sigs, sigPath)
+      } finally releaseS()
+    } finally releaseW()
+  }
+
+  /** Wire the near-dup view stream: gate+scrub → curated-store merge →
+    * [[updateNearDupView]], all in one foreachBatch — the pair view
+    * trails the store by zero batches. */
+  def runNearDupStream(spark: SparkSession, uploadDir: String,
+                       storePath: String, sigPath: String,
+                       pairsPath: String, checkpointDir: String,
+                       schema: StructType,
+                       partitionedStore: Boolean = false): StreamingQuery = {
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(uploadDir)
+    TextOps.gateAndScrub(docs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (ck, release) = graft.util.Checkpoints.checkpointTracked(batch)
+        try {
+          if (partitionedStore)
+            mergeCuratedBatchPartitioned(spark, ck, storePath)
+          else mergeCuratedBatch(spark, ck, storePath)
+          updateNearDupView(spark, ck, storePath, sigPath, pairsPath)
+        } finally release()
+      }
+      .start()
+  }
+
   /** Wire the stream: files under `uploadDir` (same schema as the
     * documents table) → gate+scrub → per-batch dedup merge. One file
     * per micro-batch (as in [[StreamPipeline]]) so convergence across

@@ -163,6 +163,86 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("near-dup pair view converges under slicing, redelivery and displacement") {
+    import spark.implicits._
+    // controlled corpus: 12 long base docs over a 20-word vocabulary
+    // (gates pass: >100 chars, no punct, 'the' every 10th word), a
+    // near-dup partner for every 3rd base (different FIRST word →
+    // different exact-dup key, ~all shingles shared → jacc ≈ 0.95),
+    // and a DISPLACER: doc_id 5 carries base 103's exact text, so once
+    // delivered it dethrones 103 as that key's min-id survivor
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango")
+    def text(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 120).map(i =>
+        if (i % 10 == 5) "the" else vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val bases = (0 until 12).map(i => (100L + i, text(i)))
+    val partners = bases.zipWithIndex.collect {
+      case ((id, t), i) if i % 3 == 0 =>
+        (1000L + id, "zulu " + t.split(" ", 2)(1))
+    }
+    val displacer = (5L, bases(3)._2) // same text as 103, smaller id
+    val all = bases ++ partners :+ displacer
+
+    def run(slices: Seq[Seq[(Long, String)]], tag: String)
+        : (Set[(Long, Long)], Set[Long]) = {
+      val tmp = Files.createTempDirectory(s"neardup-$tag")
+        .toFile.getAbsolutePath
+      val upload = s"$tmp/upload"
+      slices.zipWithIndex.foreach { case (docs, i) =>
+        docs.toDF("doc_id", "text").coalesce(1)
+          .write.parquet(s"$upload/f$i")
+      }
+      val schema = slices.head.toDF("doc_id", "text").schema
+      val q = CurationStream.runNearDupStream(spark, s"$upload/*",
+        s"$tmp/store", s"$tmp/sigs", s"$tmp/pairs", s"$tmp/ck", schema)
+      q.awaitTermination()
+      val pairs = spark.read.parquet(s"$tmp/pairs")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sigIds = spark.read.parquet(s"$tmp/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val storeIds = spark.read.parquet(s"$tmp/store")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds === storeIds,
+        "signature index must cover exactly the store's survivors")
+      (pairs, storeIds)
+    }
+
+    // slicing A: evens, odds, displacer last (dethrones an already-
+    // indexed, already-paired survivor). slicing B: everything in one
+    // file, then a REDELIVERY of four docs alongside the displacer.
+    val rest = all.filterNot(_._1 == 5L)
+    val (pa, sa) = run(Seq(rest.filter(_._1 % 2 == 0),
+      rest.filter(_._1 % 2 == 1), Seq(displacer)), "a")
+    val (pb, sb) = run(Seq(rest, rest.take(4) :+ displacer), "b")
+
+    // independent reference: brute-force exact Jaccard >= 0.5 over the
+    // final batch-curated corpus (plain Scala, no LSH, no engine code)
+    val batchStore = TextOps.dedupScrubbed(
+        TextOps.gateAndScrub(all.toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val ref = (for {
+      (a, ta) <- batchStore; (b, tb) <- batchStore if a < b
+      j = sh(ta).intersect(sh(tb)).size.toDouble /
+        sh(ta).union(sh(tb)).size if j >= 0.5
+    } yield (a, b)).toSet
+    assert(ref.nonEmpty)
+    assert(sa === batchStore.map(_._1).toSet && sb === sa)
+    assert(pa === ref, "slicing A must converge to the exact pair set")
+    assert(pb === ref, "slicing B must converge to the exact pair set")
+    // the dethroned survivor is fully retired; its successor took over
+    assert(!sa.contains(103L))
+    assert(pa.forall(p => p._1 != 103L && p._2 != 103L))
+    assert(pa.contains((5L, 1103L)))
+  }
+
   test("stream-fed store equals the batch gate+scrub+dedup output") {
     val tmp = Files.createTempDirectory("curation-stream").toFile.getAbsolutePath
     val upload = s"$tmp/upload"
