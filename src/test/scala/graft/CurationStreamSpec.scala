@@ -243,6 +243,48 @@ class CurationStreamSpec extends SparkSpec {
     assert(pa.contains((5L, 1103L)))
   }
 
+  test("near-dup view hot bucket: cool-era pairs retained, no explosion, containment holds") {
+    import spark.implicits._
+    // 125 mutually-near-identical docs (distinct first words → distinct
+    // exact-dup keys → all survive) — their band buckets coincide, so
+    // the index bucket runs HOT after the second batch. The documented
+    // contract: pairs found while the bucket was cool are retained, a
+    // hot bucket stops proposing (no O(bucket²) explosion), and the
+    // view stays inside the brute-force reference.
+    val common = (0 until 110).map(i =>
+      if (i % 10 == 5) "the" else s"tok${i % 17}").mkString(" ")
+    val docs = (0 until 125).map(i => (10L + i, s"w$i " + common))
+    val cool = docs.take(10)
+    val rest = docs.drop(10)
+
+    val tmp = Files.createTempDirectory("neardup-hot").toFile.getAbsolutePath
+    cool.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/upload/f0")
+    rest.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/upload/f1")
+    val q = CurationStream.runNearDupStream(spark, s"$tmp/upload/*",
+      s"$tmp/store", s"$tmp/sigs", s"$tmp/pairs", s"$tmp/ck",
+      cool.toDF("doc_id", "text").schema)
+    q.awaitTermination()
+
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coolIds = cool.map(_._1).toSet
+    val coolPairs = for {
+      a <- coolIds; b <- coolIds if a < b
+    } yield (a, b)
+    // every cool-era pair survives the bucket going hot
+    assert(coolPairs.subsetOf(pairs))
+    // the hot bucket stopped proposing: nowhere near the 7 750 pairs a
+    // quadratic blowup would produce (second batch may add SOME pairs
+    // in bands that stayed cool; the bound is what matters)
+    assert(pairs.size < 1000, s"${pairs.size} pairs — cap not applied?")
+    // containment: everything reported is a genuine >= 0.5 pair (all
+    // docs here are mutual near-dups, so membership in the id set is
+    // the reference check)
+    val ids = docs.map(_._1).toSet
+    assert(pairs.forall(p => ids.contains(p._1) && ids.contains(p._2)))
+  }
+
   test("stream-fed store equals the batch gate+scrub+dedup output") {
     val tmp = Files.createTempDirectory("curation-stream").toFile.getAbsolutePath
     val upload = s"$tmp/upload"
