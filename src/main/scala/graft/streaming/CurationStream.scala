@@ -143,29 +143,41 @@ object CurationStream {
       val unioned = existing.fold(withBucket)(withBucket.unionByName(_))
       val merged = TextOps.dedupScrubbed(unioned.drop("bucket").distinct())
         .withColumn("bucket", bucketOf)
-      // stage the new generation OUTSIDE the store dir (partition
-      // discovery never sees it), then swap touched buckets in
-      val tmp = new Path(storePath + ".merge-tmp")
-      fs.delete(tmp, true)
-      merged.write.partitionBy("bucket").parquet(tmp.toString)
-      touched.foreach { b =>
-        val live = new Path(storePath, s"bucket=$b")
-        val bak = new Path(storePath, s".merge-bak-$b")
-        val staged = new Path(tmp, s"bucket=$b")
-        // staged always exists: a touched bucket holds at least the
-        // winners of the batch keys that made it touched
-        fs.delete(bak, true)
-        val displaced = fs.exists(live)
-        if (displaced && !fs.rename(live, bak))
-          throw new java.io.IOException(s"could not displace $live")
-        if (!fs.rename(staged, live)) {
-          if (displaced) fs.rename(bak, live) // roll back
-          throw new java.io.IOException(s"could not publish $staged")
-        }
-        if (displaced) fs.delete(bak, true)
-      }
-      fs.delete(tmp, true)
+      publishTouchedBuckets(spark, storePath, merged, touched)
     } finally release()
+  }
+
+  /** The recoverable touched-bucket publish shared by every
+    * bucket-partitioned store in the streaming pipeline (curated store,
+    * signature index): stage the new generation OUTSIDE the store dir
+    * (partition discovery never sees it), then swap each touched bucket
+    * in with the two-rename sequence [[recoverStore]] heals. `merged`
+    * must carry a `bucket` column and contain rows ONLY for the touched
+    * buckets (a touched bucket always stages non-empty: it holds at
+    * least the batch rows that made it touched). */
+  private[graft] def publishTouchedBuckets(
+      spark: SparkSession, storePath: String, merged: DataFrame,
+      touched: Set[Long]): Unit = {
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(storePath + ".merge-tmp")
+    fs.delete(tmp, true)
+    merged.write.partitionBy("bucket").parquet(tmp.toString)
+    touched.foreach { b =>
+      val live = new Path(storePath, s"bucket=$b")
+      val bak = new Path(storePath, s".merge-bak-$b")
+      val staged = new Path(tmp, s"bucket=$b")
+      fs.delete(bak, true)
+      val displaced = fs.exists(live)
+      if (displaced && !fs.rename(live, bak))
+        throw new java.io.IOException(s"could not displace $live")
+      if (!fs.rename(staged, live)) {
+        if (displaced) fs.rename(bak, live) // roll back
+        throw new java.io.IOException(s"could not publish $staged")
+      }
+      if (displaced) fs.delete(bak, true)
+    }
+    fs.delete(tmp, true)
   }
 
   /** Incremental sequence packing — the streaming tail of the curation
@@ -337,9 +349,17 @@ object CurationStream {
     * found while it was cool — a documented superset of the batch
     * operator, which drops the whole bucket). LSH's own miss envelope
     * (~1e-5 est-prune per pair) is shared with the batch operator. */
+  /** Hash bucket of a signature row — the partitioned sig-store layout
+    * key. Same bucketing as the curated store's [[bucketOf]] (key40 is
+    * the dedup key), so a batch's touched buckets are identical for
+    * both artifacts. */
+  private[graft] def sigBucketOf =
+    pmod(xxhash64(col("key40")), lit(storeBuckets.toLong))
+
   def updateNearDupView(spark: SparkSession, batch: DataFrame,
                         storePath: String, sigPath: String,
-                        pairsPath: String): Unit = {
+                        pairsPath: String,
+                        partitionedSig: Boolean = false): Unit = {
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(storePath))) return // fully-gated first batch
@@ -353,8 +373,10 @@ object CurationStream {
     val (winnerSigs, releaseW) = graft.util.Checkpoints.checkpointTracked(
       signaturesOf(winners.select(col("doc_id"), col("scrubbed"))))
     try {
+      if (partitionedSig) recoverStore(spark, sigPath) // heal crash debris
       val oldSigs =
-        if (fs.exists(new Path(sigPath))) Some(spark.read.parquet(sigPath))
+        if (fs.exists(new Path(sigPath)))
+          Some(spark.read.parquet(sigPath).drop("bucket"))
         else None
       // ids dethroned by this batch: had a delivered key, no longer win
       val removed = oldSigs.map(
@@ -422,7 +444,23 @@ object CurationStream {
         val newPairs = kept.unionByName(verified)
           .groupBy("doc_a", "doc_b").agg(min(col("jacc")).as("jacc"))
         Merge.overwriteAtomic(newPairs, pairsPath)
-        Merge.overwriteAtomic(sigs, sigPath)
+        if (partitionedSig) {
+          // O(touched) write amplification: rows for the delivered keys
+          // hash to exactly the batch's buckets (bucket = f(key40)), so
+          // every other bucket's files stay byte-identical — the same
+          // touched-bucket swap as the curated store itself. The READ
+          // side (probing) still scans the full index — one equi-join
+          // over (band, bucket, doc_id) rows; a bucket-partitioned
+          // secondary index on the BAND buckets is the next refinement
+          // if that scan ever dominates.
+          val touched = batchKeys.select(sigBucketOf.as("b"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          if (touched.nonEmpty)
+            publishTouchedBuckets(spark, sigPath,
+              sigs.withColumn("bucket", sigBucketOf)
+                .filter(col("bucket").isInCollection(touched)),
+              touched)
+        } else Merge.overwriteAtomic(sigs, sigPath)
       } finally releaseS()
     } finally releaseW()
   }
@@ -448,7 +486,8 @@ object CurationStream {
           if (partitionedStore)
             mergeCuratedBatchPartitioned(spark, ck, storePath)
           else mergeCuratedBatch(spark, ck, storePath)
-          updateNearDupView(spark, ck, storePath, sigPath, pairsPath)
+          updateNearDupView(spark, ck, storePath, sigPath, pairsPath,
+            partitionedSig = partitionedStore)
         } finally release()
       }
       .start()

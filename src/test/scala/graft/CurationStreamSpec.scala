@@ -189,7 +189,8 @@ class CurationStreamSpec extends SparkSpec {
     val displacer = (5L, bases(3)._2) // same text as 103, smaller id
     val all = bases ++ partners :+ displacer
 
-    def run(slices: Seq[Seq[(Long, String)]], tag: String)
+    def run(slices: Seq[Seq[(Long, String)]], tag: String,
+            partitioned: Boolean = false)
         : (Set[(Long, Long)], Set[Long]) = {
       val tmp = Files.createTempDirectory(s"neardup-$tag")
         .toFile.getAbsolutePath
@@ -200,8 +201,12 @@ class CurationStreamSpec extends SparkSpec {
       }
       val schema = slices.head.toDF("doc_id", "text").schema
       val q = CurationStream.runNearDupStream(spark, s"$upload/*",
-        s"$tmp/store", s"$tmp/sigs", s"$tmp/pairs", s"$tmp/ck", schema)
+        s"$tmp/store", s"$tmp/sigs", s"$tmp/pairs", s"$tmp/ck", schema,
+        partitionedStore = partitioned)
       q.awaitTermination()
+      if (partitioned) // the sig store really took the bucket layout
+        assert(new java.io.File(s"$tmp/sigs").listFiles()
+          .exists(_.getName.startsWith("bucket=")))
       val pairs = spark.read.parquet(s"$tmp/pairs")
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -221,6 +226,10 @@ class CurationStreamSpec extends SparkSpec {
     val (pa, sa) = run(Seq(rest.filter(_._1 % 2 == 0),
       rest.filter(_._1 % 2 == 1), Seq(displacer)), "a")
     val (pb, sb) = run(Seq(rest, rest.take(4) :+ displacer), "b")
+    // the 100 TB layout (bucket-partitioned store AND sig index,
+    // touched-bucket swaps) must converge identically
+    val (pc, sc) = run(Seq(rest.filter(_._1 % 2 == 0),
+      rest.filter(_._1 % 2 == 1), Seq(displacer)), "c", partitioned = true)
 
     // independent reference: brute-force exact Jaccard >= 0.5 over the
     // final batch-curated corpus (plain Scala, no LSH, no engine code)
@@ -234,9 +243,10 @@ class CurationStreamSpec extends SparkSpec {
         sh(ta).union(sh(tb)).size if j >= 0.5
     } yield (a, b)).toSet
     assert(ref.nonEmpty)
-    assert(sa === batchStore.map(_._1).toSet && sb === sa)
+    assert(sa === batchStore.map(_._1).toSet && sb === sa && sc === sa)
     assert(pa === ref, "slicing A must converge to the exact pair set")
     assert(pb === ref, "slicing B must converge to the exact pair set")
+    assert(pc === ref, "partitioned layout must converge identically")
     // the dethroned survivor is fully retired; its successor took over
     assert(!sa.contains(103L))
     assert(pa.forall(p => p._1 != 103L && p._2 != 103L))
