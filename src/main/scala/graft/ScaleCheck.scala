@@ -65,7 +65,11 @@ object ScaleCheck {
       docs.select(
         (col("doc_id") * factor + k).as("doc_id"),
         transformed.as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        // recompute, don't copy: suffix copies lengthen every word, and
+        // a stale n_chars ≠ length(text) would be a latent red herring
+        // for any n_chars-consuming query run against the scaled dir
+        length(transformed).cast("long").as("n_chars"))
     }
     copies.reduce(_ unionByName _)
       .repartition(32)

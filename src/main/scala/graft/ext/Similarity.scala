@@ -37,26 +37,6 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Brute-force cosine top-10 neighbors of vec_id 0. */
-  def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
-    emb.crossJoin(broadcast(q))
-      .select(col("vec_id"), dot(col("embedding"), col("qv")).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(10)
-  }
-
-  val qAnnBruteSql: String =
-    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-      |SELECT vec_id,
-      |  list_sum(list_transform(list_zip(embedding, qv),
-      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
-      |FROM embeddings, q
-      |ORDER BY cosine DESC, vec_id ASC
-      |LIMIT 10""".stripMargin
-
   /** Every vector's exact cosine against query vec 0, no top-k — the
     * VALUE oracle for the ANN family. q_ann_lsh / q_ann_ivf membership
     * is seeded-hash / trained-model specific (rows-only checks), but
@@ -81,6 +61,17 @@ object Similarity {
       |  list_sum(list_transform(list_zip(embedding, qv),
       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
       |FROM embeddings, q""".stripMargin
+
+  /** Brute-force cosine top-10 neighbors of vec_id 0 — the cosine table
+    * ([[qAnnCosineById]]) plus TakeOrderedAndProject, one definition of
+    * the projection shared by both (the transactionsInnerSql pattern). */
+  def qAnnBrute(spark: SparkSession, dir: String): DataFrame =
+    qAnnCosineById(spark, dir)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+
+  val qAnnBruteSql: String =
+    qAnnCosineByIdSql + "\nORDER BY cosine DESC, vec_id ASC\nLIMIT 10"
 
   /** Sign of the projection of `v` onto pseudo-random hyperplane `p`
     * (components ±1 derived from xxhash64(dim, plane) — deterministic,

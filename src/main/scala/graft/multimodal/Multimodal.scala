@@ -155,24 +155,39 @@ object Multimodal {
         val bytesPerSample = fmt.getSampleSizeInBits / 8
         require(bytesPerSample == 1 || bytesPerSample == 2,
           s"unsupported WAV sample width ${fmt.getSampleSizeInBits}")
+        val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
         val channels = fmt.getChannels
-        val nFrames = in.getFrameLength.toInt
         val data = in.readAllBytes()
         val frameBytes = bytesPerSample * channels
-        // channel-mixed full-scale-normalized amplitude per frame
+        // trust the bytes actually read, not the header's declared
+        // frame count: a truncated payload (interrupted upload) parses
+        // fine in getAudioInputStream but delivers fewer bytes — decode
+        // what's there instead of indexing past the array
+        val declared = in.getFrameLength
+        val available = data.length / frameBytes
+        val nFrames =
+          if (declared >= 0) math.min(declared, available.toLong).toInt
+          else available
+        // channel-mixed full-scale-normalized amplitude per frame;
+        // dispatch on (width, signedness) — 8-bit is conventionally
+        // unsigned and 16-bit signed, but both encodings are legal at
+        // both widths and must not be silently mis-decoded
         def amp(frame: Int): Double = {
           var c = 0
           var sum = 0.0
           while (c < channels) {
             val off = frame * frameBytes + c * bytesPerSample
             val v =
-              if (bytesPerSample == 1)
-                ((data(off) & 0xFF) - 128) / 128.0
-              else {
+              if (bytesPerSample == 1) {
+                if (unsigned) ((data(off) & 0xFF) - 128) / 128.0
+                else data(off) / 128.0
+              } else {
                 val (lo, hi) =
                   if (fmt.isBigEndian) (data(off + 1), data(off))
                   else (data(off), data(off + 1))
-                ((hi << 8) | (lo & 0xFF)) / 32768.0
+                if (unsigned)
+                  ((((hi & 0xFF) << 8) | (lo & 0xFF)) - 32768) / 32768.0
+                else ((hi << 8) | (lo & 0xFF)) / 32768.0
               }
             sum += v
             c += 1
@@ -183,7 +198,9 @@ object Multimodal {
         val cnts = new Array[Long](8)
         var f = 0
         while (f < nFrames) {
-          val seg = math.min(7, f * 8 / math.max(1, nFrames))
+          // long arithmetic: f * 8 overflows Int past ~2^28 frames
+          // (an hour-scale 48 kHz recording)
+          val seg = math.min(7L, f.toLong * 8 / math.max(1, nFrames)).toInt
           val a = amp(f)
           sums(seg) += a * a
           cnts(seg) += 1

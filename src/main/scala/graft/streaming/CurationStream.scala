@@ -365,6 +365,9 @@ object CurationStream {
     if (!fs.exists(new Path(storePath))) return // fully-gated first batch
     val batchKeys = batch
       .select(substring(col("scrubbed"), 1, 40).as("key40")).distinct()
+    // a fully-gated batch delivers no keys: nothing in the view can
+    // change, so skip the store-sized sig/pairs rewrite entirely
+    if (batchKeys.isEmpty) return
     // current winners of the delivered keys (post-merge store state)
     val store = spark.read.parquet(storePath)
     val winners = store

@@ -178,6 +178,12 @@ class MultimodalSpec extends SparkSpec {
     // deterministic across partitionings
     val again = Multimodal.decode(media.repartition(3)).collect().head
     assert(again.feature.toSeq === m.feature.toSeq)
+    // truncated payload (interrupted upload): the header still declares
+    // 4000 frames but the body carries fewer — decode what's there
+    // instead of indexing past the array (stereo 16-bit = 4 B/frame)
+    val truncated = Multimodal.WavCodec.read(payload.dropRight(1000))
+    assert(truncated.nFrames === 4000 - 250)
+    assert(truncated.feature.forall(f => !f.isNaN && f >= 0f))
     // resize leaves audio rows untouched
     val resized = Multimodal.resize(media, 224, 224).collect().head
     assert(resized.payload sameElements payload)
