@@ -121,8 +121,13 @@ object Similarity {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), planes).as("bucket"))
     // one bounded driver lookup: the query's vector + home bucket
-    val qRow = bucketed.filter(col("vec_id") === 0)
-      .select(col("embedding"), col("bucket")).head()
+    // (NOTE this makes construction eager — same posture as qAnnIvf's
+    // centroid probe; both ANN paths are driver-query shaped, not
+    // composable lazy views)
+    val qRows = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("bucket")).take(1)
+    require(qRows.nonEmpty, "query vector vec_id=0 not found in embeddings")
+    val qRow = qRows(0)
     val qv = qRow.getSeq[Float](0)
     val qb = qRow.getLong(1)
     val shell1 = (0 until planes).map(p => qb ^ (1L << p))
