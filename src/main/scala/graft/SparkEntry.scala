@@ -56,12 +56,15 @@ object SparkEntry {
     "q_dedup_minhash" -> (graft.ext.Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (graft.ext.Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (graft.ext.Dedup.qDedupEmbed _),
+    "q_dup_clusters" -> (graft.ext.Dedup.qDupClusters _),
     "q_decontaminate" -> (graft.ext.Dedup.qDecontaminate _),
     "q_contam_frac" -> (graft.ext.Dedup.qContamFrac _),
     "q_pack" -> (graft.ext.TextOps.qPack _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
     "q_stratified_sample" -> (graft.ext.TextOps.qStratifiedSample _),
+    "q_mixture_sample" -> (graft.ext.TextOps.qMixtureSample _),
+    "q_shard_shuffle" -> (graft.ext.TextOps.qShardShuffle _),
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
     "q_lang_id" -> (graft.ext.TextOps.qLangId _),
     "q_fingerprint" -> (graft.ext.TextOps.qFingerprint _),
@@ -116,12 +119,15 @@ object SparkEntry {
     "q_dedup_minhash" -> graft.ext.Dedup.qDedupMinhashSql,
     "q_dedup_simhash" -> graft.ext.Dedup.qDedupSimhashSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
+    "q_dup_clusters" -> graft.ext.Dedup.qDupClustersSql,
     "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
     "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
     "q_pack" -> graft.ext.TextOps.qPackSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,
     "q_stratified_sample" -> graft.ext.TextOps.qStratifiedSampleSql,
+    "q_mixture_sample" -> graft.ext.TextOps.qMixtureSampleSql,
+    "q_shard_shuffle" -> graft.ext.TextOps.qShardShuffleSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,
     "q_lang_id" -> graft.ext.TextOps.qLangIdSql,
     "q_fingerprint" -> graft.ext.TextOps.qFingerprintSql,

@@ -570,6 +570,44 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  /** Duplicate-CLUSTER resolution — the step after pair mining that
+    * "keep one copy per duplicate group" actually needs: near-dup
+    * pairs are a graph, and the group is its connected component
+    * (a≈b, b≈c ⇒ {a,b,c} even when (a,c) never formed a pair). Pairs
+    * come from [[qDedupJaccard]] (the oracle-checked pair set);
+    * components from the alternating-star contraction in
+    * [[graft.operators.ConnectedComponents]] (O(log² n) rounds,
+    * (long,long) shuffles only — see its scaladoc for the 100 TB
+    * posture). Output: every clustered doc with its cluster id
+    * (= min doc_id in the component) and the canonical-survivor flag
+    * a downstream "drop non-canonical" filter keys on. Singletons are
+    * trivially their own cluster and are not emitted. */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_canonical"))
+  }
+
+  /** Transitive closure of the SAME pair set in DuckDB (recursive CTE
+    * over the [[qDedupJaccardSql]] edges; the recursive UNION dedupes,
+    * so cycles terminate), then cluster id = min reachable node. An
+    * engine-independent definition of the cluster partition — the star
+    * contraction must produce exactly this table. */
+  val qDupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.2)}) jp),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id,
+      |       u = LEAST(u, MIN(v)) AS is_canonical
+      |FROM reach GROUP BY u""".stripMargin
+
   /** Full SQL replay of [[qDedupSimhash]] — the whole operator, not an
     * output-equivalence proxy: 3-gram shingles (identical construction
     * to the Jaccard oracle), md5 → 15-hex-digit Horner parse (= the

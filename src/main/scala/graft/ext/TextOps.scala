@@ -326,6 +326,104 @@ object TextOps {
       |        AS UBIGINT) / 4294967296.0
       |      < CASE WHEN lang = 'en' THEN 0.35 ELSE 0.70 END""".stripMargin
 
+  /** Token budget for [[qMixtureSample]], as a fraction of the corpus's
+    * total tokens. 0.4 keeps every per-source fraction well inside
+    * (0, 1) for this corpus's near-uniform source shares (head ≈ 0.8,
+    * tail ≈ 0.3) — the `least(1.0, …)` guard still handles a source so
+    * small its target weight can't be met. */
+  val mixtureBudgetShare = 0.4
+
+  /** DOMAIN-MIXTURE sampling to a token budget — the DoReMi-style
+    * static reweighting step that assembles a training mix: given a
+    * target token-share weight per source domain (here: 0.10 for the
+    * four head sources, 0.0375 for the sixteen tail sources — sums to
+    * 1), down-sample each domain so its sampled tokens ≈ its share of
+    * a [[mixtureBudgetShare]]·total token budget.
+    *
+    * Two aggregates over (source, n_tokens) — per-domain and grand
+    * totals, both tiny (#domains rows) and broadcast back — then the
+    * same map-only md5 doc-id coin as [[qStratifiedSample]] against the
+    * derived per-domain fraction f = least(1, w·(share·T)/T_s).
+    * Deterministic across engines/partitionings: T and T_s are exact
+    * longs, f's float ops are mirrored 1:1 in the oracle (IEEE ops are
+    * exactly rounded, so identical op order ⇒ identical bits), and the
+    * coin is the usual exact dyadic fraction. At 100 TB the totals pass
+    * is a map-side-combined scan and the filter runs at scan speed;
+    * nothing corpus-sized shuffles. */
+  def qMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val total = perSource.agg(sum(col("src_tokens"))).head().getLong(0)
+    val w = when(col("source").isin("src0", "src1", "src2", "src3"), 0.10)
+      .otherwise(0.0375)
+    val frac = least(lit(1.0),
+      w * (lit(mixtureBudgetShare) * lit(total.toDouble)) /
+        col("src_tokens").cast("double"))
+    val coinFrac = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    docs.join(broadcast(perSource), "source")
+      .filter(coinFrac < frac)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  val qMixtureSampleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per_source AS (
+      |  SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source),
+      |total AS (SELECT SUM(src_tokens) AS t FROM per_source)
+      |SELECT doc_id, toks.source, n_tokens
+      |FROM toks JOIN per_source ON toks.source = per_source.source, total
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) / 4294967296.0
+      |  < LEAST(1.0,
+      |      CASE WHEN toks.source IN ('src0', 'src1', 'src2', 'src3')
+      |           THEN 0.10 ELSE 0.0375 END
+      |        * ($mixtureBudgetShare * CAST(t AS DOUBLE))
+      |        / CAST(src_tokens AS DOUBLE))""".stripMargin
+
+  /** Shard count for [[qShardShuffle]] — in production this is the
+    * writer parallelism of the shuffled-corpus export. */
+  val shuffleShards = 8
+
+  /** Deterministic GLOBAL SHUFFLE + sharding — the final step before a
+    * training run reads the corpus: a reproducible random permutation
+    * of the documents (order by the md5 doc-id coin — never `rand()`,
+    * which is partition-layout-dependent) with each doc's global
+    * position and a round-robin shard assignment (position mod
+    * [[shuffleShards]]), so shard files are exactly balanced and
+    * interleaving shards 0..N-1 replays the full shuffled order.
+    *
+    * The global position is the scale problem (`ROW_NUMBER() OVER
+    * (ORDER BY …)` plans a single-partition window); this routes
+    * through [[graft.operators.RowNumbering]] — range-partitioned sort
+    * + per-partition counts + Tungsten offset append — same as the
+    * transactions view and [[qPack]]. The md5 tiebreak is doc_id,
+    * making the sort key a total order (same contract as PrefixSum). */
+  def qShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("skey",
+        md5(col("doc_id").cast("string").cast("binary")))
+    graft.operators.RowNumbering
+      .withGlobalRowNumber(docs, Seq(col("skey"), col("doc_id")), "rn")
+      .select(col("doc_id"), (col("rn") - 1).as("pos"),
+        pmod(col("rn") - 1, lit(shuffleShards.toLong)).as("shard"))
+  }
+
+  val qShardShuffleSql: String =
+    s"""SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |    - 1 AS pos,
+      |  (ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |    - 1) % $shuffleShards AS shard
+      |FROM documents""".stripMargin
+
   /** Pack context size in tokens for [[qPack]]. */
   val packContext = 64
 

@@ -394,6 +394,68 @@ class ExtSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mixture sample: sampled token shares track target weights, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val totalTokens = docs.agg(sum("n_tokens")).head().getLong(0)
+    val budget = TextOps.mixtureBudgetShare * totalTokens
+    val kept = TextOps.qMixtureSample(spark, dir)
+    val bySource = kept.groupBy("source")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source's sampled tokens near its target share of the budget
+    // (binomial tolerance: sf0.001 strata are ~5 docs / ~300 tokens)
+    bySource.keys.foreach { s =>
+      val w = if (Set("src0", "src1", "src2", "src3")(s)) 0.10 else 0.0375
+      val got = bySource(s).toDouble
+      assert(got <= 3.0 * w * budget + 200,
+        s"$s sampled $got vs target ${w * budget}")
+    }
+    // head sources must be sampled at a HIGHER rate than tail sources
+    val perSourceTotals = docs.groupBy("source")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headRate = (0 to 3).map(i => s"src$i")
+      .map(s => bySource.getOrElse(s, 0L).toDouble /
+        perSourceTotals(s)).sum / 4
+    val tailRate = (4 to 19).map(i => s"src$i")
+      .filter(perSourceTotals.contains)
+      .map(s => bySource.getOrElse(s, 0L).toDouble /
+        perSourceTotals(s)).sum / 16
+    assert(headRate > tailRate,
+      s"head rate $headRate should exceed tail rate $tailRate")
+    // deterministic across re-evaluation
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.qMixtureSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("shard shuffle: positions are a permutation, shards balanced, " +
+       "order is the md5 coin order") {
+    import org.apache.spark.sql.functions._
+    val n = Tables(spark, dir, "documents").count()
+    val rows = TextOps.qShardShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === n)
+    // pos is exactly 0..n-1
+    assert(rows.map(_._2).sorted.toSeq === (0L until n).toSeq)
+    // shard = pos mod k → shard sizes differ by at most 1
+    val sizes = rows.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+    assert(rows.map(_._3).distinct.length === TextOps.shuffleShards)
+    // the permutation IS the md5 order (spot-check via driver md5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(id: Long): String = md.digest(
+      id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.map(_._1).sortBy(id => (coin(id), id))
+    assert(rows.sortBy(_._2).map(_._1).toSeq === expected.toSeq)
+    // shuffled: the permutation is not the identity order
+    assert(rows.sortBy(_._2).map(_._1).toSeq !== rows.map(_._1).sorted.toSeq)
+  }
+
   test("embedding pair-mining: planted near-dups found, cosines exact, never all-pairs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
