@@ -162,7 +162,11 @@ object ScaleCheck {
       "q_dedup_minhash" -> (ext.Dedup.qDedupMinhash _),
       "q_dedup_simhash" -> (ext.Dedup.qDedupSimhash _),
       "q_dedup_embed" -> (ext.Dedup.qDedupEmbed _),
-      "q_decontaminate" -> (ext.Dedup.qDecontaminate _)) ++
+      "q_decontaminate" -> (ext.Dedup.qDecontaminate _),
+      // round-6: cluster resolution — pair mining + star contraction;
+      // the perturbed corpus keeps clusters small, so rounds stay
+      // constant and cost tracks the pair set (~factor×)
+      "q_dup_clusters" -> (ext.Dedup.qDupClusters _)) ++
       Seq("q_view_transactions", "q_view_transactions_scaled",
         "q_view_auto_optiom", "q_view_retention",
         "q_sessionize", "q_events_window", "q_asof_join", "q_range_join",

@@ -589,6 +589,26 @@ object Dedup {
         (col("node") === col("component")).as("is_canonical"))
   }
 
+  /** Apply a pair graph to a corpus: drop every non-canonical member
+    * of each duplicate cluster, keeping the minimum-id survivor (and
+    * all singletons, which never enter the pair graph). The generic
+    * "resolve" step over ANY pair miner's output — jaccard, minhash,
+    * simhash, embedding, or their UNION (components of the union graph
+    * merge evidence across miners). One O(log² n) star contraction on
+    * the pair set + one broadcast-or-hash left_anti join of the corpus
+    * against the (small, duplicate-bounded) non-canonical id list —
+    * the corpus itself is scanned once and never shuffled. */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id",
+                        srcCol: String = "doc_a",
+                        dstCol: String = "doc_b"): DataFrame = {
+    val dropIds = graft.operators.ConnectedComponents
+      .components(pairs, srcCol, dstCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Transitive closure of the SAME pair set in DuckDB (recursive CTE
     * over the [[qDedupJaccardSql]] edges; the recursive UNION dedupes,
     * so cycles terminate), then cluster id = min reachable node. An

@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * Both are expressed as groupBy(u).min + an equi-join back to the
   * neighbor list on the SAME key u (exchange-reusable) — never
   * collect_list, so a mega-component's hub node costs rows, not one
-  * executor's heap. Convergence is detected by an order-independent
-  * (count, hash-sum) signature of the canonical edge set: two longs
-  * per round to the driver, never rows. Each round's edge set is
+  * executor's heap. Convergence is detected by the direct star-forest
+  * fixpoint test of [[isStarForest]] — one aggregation pass per round,
+  * a single boolean to the driver, never rows — so the common
+  * one-round near-clique case stops immediately instead of paying an
+  * extra round to observe edge-set stability. Each round's edge set is
   * checkpointed via [[graft.util.Checkpoints]] (lineage doubles per
   * iteration otherwise) and the previous round's blocks are released
   * precisely.
@@ -55,9 +57,6 @@ object ConnectedComponents {
     * a singleton is trivially its own cluster). */
   def components(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-
     // canonical (src < dst) long edges, self loops dropped
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("src"),
@@ -66,18 +65,15 @@ object ConnectedComponents {
       .distinct()
 
     var (cur, release) = graft.util.Checkpoints.checkpointTracked(e0)
-    var sig = signature(cur)
-    var converged = false
+    var converged = isStarForest(cur)
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(cur))
       val (nextDf, nextRelease) =
         graft.util.Checkpoints.checkpointTracked(next)
-      val nextSig = signature(nextDf)
       release()
       cur = nextDf; release = nextRelease
-      converged = nextSig == sig
-      sig = nextSig
+      converged = isStarForest(cur)
       round += 1
     }
     require(converged,
@@ -95,16 +91,25 @@ object ConnectedComponents {
     outDf
   }
 
-  /** Order-independent identity of a canonical edge set: row count and
-    * XOR of per-row hashes (XOR — not SUM — because it cannot overflow
-    * under ANSI mode, and the set is distinct so no two rows cancel).
-    * Collision odds for a FALSE convergence signal are ~2⁻⁶⁴ per
-    * round — and a premature stop is self-evident in output (a
-    * non-star edge set), never silent wrong clusters. */
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(src, dst))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  /** DIRECT fixpoint test, cheaper than comparing consecutive edge
+    * sets (which needs one extra no-op round to observe stability):
+    * with canonical (src < dst) orientation, the edge set is a star
+    * forest — each component's edges all sharing one src — iff no
+    * node is both a src and a dst AND no dst appears twice. Any such
+    * forest is THE answer: chains are excluded (a chain's middle node
+    * is src and dst), multi-parent nodes are excluded (dst twice),
+    * and each star's root is its component's minimum because src < dst
+    * holds on every edge. One aggregation pass over the edge set; the
+    * common near-clique duplicate graph converges after a single star
+    * round and this detects it immediately. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val roles = edges
+      .select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+      .union(edges.select(col("dst").as("n"), lit(0L).as("s"),
+        lit(1L).as("d")))
+      .groupBy("n").agg(sum(col("s")).as("ns"), sum(col("d")).as("nd"))
+    roles.filter(col("nd") > 1 || (col("ns") > 0 && col("nd") > 0))
+      .isEmpty
   }
 
   /** Neighbor list of an undirected edge set: every edge from both

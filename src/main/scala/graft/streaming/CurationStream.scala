@@ -468,14 +468,44 @@ object CurationStream {
     } finally releaseW()
   }
 
+  /** Maintain a live DUPLICATE-CLUSTER view over the near-dup pair
+    * view: (doc_id, cluster_id, is_canonical) for every doc in at
+    * least one pair — the streaming twin of
+    * [[graft.ext.Dedup.qDupClusters]].
+    *
+    * Policy: RECOMPUTE from the pair view each batch, never merge
+    * incrementally. Displacement RETIRES pairs (edge deletion), and
+    * deleting an edge can SPLIT a component — a monotone merge of new
+    * pairs into existing clusters would silently keep docs glued
+    * together after the evidence joining them is gone. Recomputation
+    * is bounded by the PAIR VIEW (duplicate-output-sized, ≪ store) ×
+    * the star contraction's O(log² n) rounds, and the cluster table is
+    * a pure function of the pair view — so it inherits the pair view's
+    * convergence proof verbatim. */
+  def updateDupClusters(spark: SparkSession, pairsPath: String,
+                        clustersPath: String): Unit = {
+    val fs = new Path(pairsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(pairsPath))) return
+    val pairs = spark.read.parquet(pairsPath).select("doc_a", "doc_b")
+    val clusters = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_canonical"))
+    Merge.overwriteAtomic(clusters, clustersPath)
+  }
+
   /** Wire the near-dup view stream: gate+scrub → curated-store merge →
     * [[updateNearDupView]], all in one foreachBatch — the pair view
-    * trails the store by zero batches. */
+    * trails the store by zero batches. With `clustersPath` set, the
+    * duplicate-cluster view ([[updateDupClusters]]) is republished in
+    * the same batch and trails by zero batches too. */
   def runNearDupStream(spark: SparkSession, uploadDir: String,
                        storePath: String, sigPath: String,
                        pairsPath: String, checkpointDir: String,
                        schema: StructType,
-                       partitionedStore: Boolean = false): StreamingQuery = {
+                       partitionedStore: Boolean = false,
+                       clustersPath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(uploadDir)
@@ -491,6 +521,7 @@ object CurationStream {
           else mergeCuratedBatch(spark, ck, storePath)
           updateNearDupView(spark, ck, storePath, sigPath, pairsPath,
             partitionedSig = partitionedStore)
+          clustersPath.foreach(updateDupClusters(spark, pairsPath, _))
         } finally release()
       }
       .start()

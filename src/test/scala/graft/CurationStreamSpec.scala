@@ -189,6 +189,7 @@ class CurationStreamSpec extends SparkSpec {
     val displacer = (5L, bases(3)._2) // same text as 103, smaller id
     val all = bases ++ partners :+ displacer
 
+    var lastClustersDir: String = null
     def run(slices: Seq[Seq[(Long, String)]], tag: String,
             partitioned: Boolean = false)
         : (Set[(Long, Long)], Set[Long]) = {
@@ -202,8 +203,10 @@ class CurationStreamSpec extends SparkSpec {
       val schema = slices.head.toDF("doc_id", "text").schema
       val q = CurationStream.runNearDupStream(spark, s"$upload/*",
         s"$tmp/store", s"$tmp/sigs", s"$tmp/pairs", s"$tmp/ck", schema,
-        partitionedStore = partitioned)
+        partitionedStore = partitioned,
+        clustersPath = Some(s"$tmp/clusters"))
       q.awaitTermination()
+      lastClustersDir = s"$tmp/clusters"
       if (partitioned) // the sig store really took the bucket layout
         assert(new java.io.File(s"$tmp/sigs").listFiles()
           .exists(_.getName.startsWith("bucket=")))
@@ -251,6 +254,26 @@ class CurationStreamSpec extends SparkSpec {
     assert(!sa.contains(103L))
     assert(pa.forall(p => p._1 != 103L && p._2 != 103L))
     assert(pa.contains((5L, 1103L)))
+
+    // the live cluster view (recomputed from the converged pair view)
+    // equals driver-side union-find over the reference pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    ref.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val gotClusters = spark.read.parquet(lastClustersDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(gotClusters.map { case (k, v) => k -> v._1 } === want)
+    gotClusters.foreach { case (doc, (cid, canon)) =>
+      assert(canon === (cid == doc))
+    }
   }
 
   test("near-dup view hot bucket: cool-era pairs retained, no explosion, containment holds") {

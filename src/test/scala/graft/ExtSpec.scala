@@ -394,6 +394,28 @@ class ExtSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("resolveDuplicates: keeps exactly one doc per cluster plus all singletons") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.qDedupJaccard(spark, dir).select("doc_a", "doc_b")
+    val resolved = Dedup.resolveDuplicates(docs, pairs)
+    val kept = resolved.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.qDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clustered = clusters.map(_._1).toSet
+    // singletons all kept; per cluster exactly the min survives
+    assert(kept === (all -- clustered) ++ clusters.groupBy(_._2).keySet)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).toSet.intersect(kept) === Set(cid))
+    }
+    // union of two miners' graphs merges evidence across miners
+    val unionPairs = pairs.union(
+      Dedup.qDedupMinhash(spark, dir).select("doc_a", "doc_b"))
+    val resolved2 = Dedup.resolveDuplicates(docs, unionPairs)
+    assert(resolved2.count() <= resolved.count())
+  }
+
   test("mixture sample: sampled token shares track target weights, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
