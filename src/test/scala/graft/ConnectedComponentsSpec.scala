@@ -66,6 +66,21 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("mega-hub: a 30k-leaf star through a non-min hub converges " +
+       "without per-node neighbor lists") {
+    import spark.implicits._
+    // hub 1 carries 30k larger leaves AND an edge to smaller node 0,
+    // so every leaf must be re-pointed from the hub to 0 — the shape
+    // where a collect_list formulation holds one node's whole
+    // neighborhood on one executor; the join-based min never does.
+    val leaves = (2L to 30001L).map(i => (1L, i))
+    val df = (leaves :+ ((1L, 0L))).toDF("src", "dst")
+    val got = ConnectedComponents.components(df, "src", "dst")
+    assert(got.count() === 30002)
+    assert(got.select("component").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("two stars sharing no nodes stay separate") {
     val a = (1L to 6L).map(i => (0L, i))
     val b = (101L to 104L).map(i => (100L, i))
