@@ -394,6 +394,33 @@ class ExtSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("curation views: SQL-first surface composes over the registered artifacts") {
+    graft.ext.CurationViews.createAll(spark, dir)
+    // composed SQL: survivors of each cluster joined back to documents
+    val canon = spark.sql(
+      """SELECT c.cluster_id, d.n_chars
+        |FROM dup_clusters c JOIN documents d ON c.doc_id = d.doc_id
+        |WHERE c.is_canonical""".stripMargin)
+    assert(canon.count() ===
+      Dedup.qDupClusters(spark, dir).filter("is_canonical").count())
+    // corpus_dedup = documents minus non-canonical cluster members
+    val nDocs = spark.sql("SELECT count(*) AS n FROM documents")
+      .head().getLong(0)
+    val nDedup = spark.sql("SELECT count(*) AS n FROM corpus_dedup")
+      .head().getLong(0)
+    val nNonCanon = spark.sql(
+      "SELECT count(*) AS n FROM dup_clusters WHERE NOT is_canonical")
+      .head().getLong(0)
+    assert(nDedup === nDocs - nNonCanon)
+    // the shuffle view joins cleanly against stats
+    val joined = spark.sql(
+      """SELECT s.shard, count(*) AS n, sum(t.n_tokens) AS toks
+        |FROM corpus_shuffle s JOIN doc_stats t ON s.doc_id = t.doc_id
+        |GROUP BY s.shard""".stripMargin).collect()
+    assert(joined.length === TextOps.shuffleShards)
+    assert(joined.map(_.getLong(1)).sum === nDocs)
+  }
+
   test("resolveDuplicates: keeps exactly one doc per cluster plus all singletons") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
