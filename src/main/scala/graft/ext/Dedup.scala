@@ -631,6 +631,35 @@ object Dedup {
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** [[resolveDuplicates]] with a QUALITY-AWARE survivor: keep the
+    * highest-`score` member of each cluster (ties broken by min id —
+    * still deterministic), not the min-id one — the policy real
+    * curation uses when duplicates differ in extraction quality.
+    * Scale shape: the ranking window runs over CLUSTERED docs only
+    * (duplicate-output-sized — never a corpus-wide shuffle by a
+    * mostly-unique key), and the untouched singletons pass through via
+    * one left_anti join against the small clustered-id list. */
+  def resolveDuplicatesBy(docs: DataFrame, pairs: DataFrame,
+                          score: Column,
+                          idCol: String = "doc_id",
+                          srcCol: String = "doc_a",
+                          dstCol: String = "doc_b"): DataFrame = {
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, srcCol, dstCol)
+    val outCols = docs.columns.map(col).toSeq
+    val clustered = docs
+      .join(comp, docs(idCol) === comp("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(score.desc, col(idCol))
+    val best = clustered
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(outCols: _*)
+    val singletons = docs.join(
+      comp.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+    singletons.unionByName(best)
+  }
+
   /** Transitive closure of the SAME pair set in DuckDB (recursive CTE
     * over the [[qDedupJaccardSql]] edges; the recursive UNION dedupes,
     * so cycles terminate), then cluster id = min reachable node. An

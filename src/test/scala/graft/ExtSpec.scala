@@ -443,6 +443,27 @@ class ExtSpec extends SparkSpec {
     assert(resolved2.count() <= resolved.count())
   }
 
+  test("resolveDuplicatesBy: the highest-score member survives each cluster") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.qDedupJaccard(spark, dir).select("doc_a", "doc_b")
+    val resolved = Dedup.resolveDuplicatesBy(docs, pairs, col("n_chars"))
+    val kept = resolved.select("doc_id").collect().map(_.getLong(0)).toSet
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.qDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    // same cardinality contract as min-id resolution...
+    assert(resolved.count() ===
+      Dedup.resolveDuplicates(docs, pairs).count())
+    // ...but the survivor is the argmax by n_chars (min id on ties)
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val want = ids.maxBy(id => (chars(id), -id))
+      assert(ids.toSet.intersect(kept) === Set(want))
+    }
+  }
+
   test("mixture sample: sampled token shares track target weights, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
