@@ -83,6 +83,7 @@ object SparkEntry {
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
+    "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
     "q_media_near_dup" -> (graft.multimodal.Multimodal.qMediaNearDup _)
   )
 
@@ -142,7 +143,8 @@ object SparkEntry {
     "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
-    "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql
+    "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
+    "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql
     // q_ann_lsh / q_ann_ivf / q_approx_distinct: seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
     // weaker rows-only MEMBERSHIP check. Returned VALUES are still

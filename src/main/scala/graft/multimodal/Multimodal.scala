@@ -10,15 +10,16 @@ import graft.Tables
   *
   * The Spark-side plumbing is real: schema (binary + struct), encoder
   * shapes, partition-iterator batching, and the map-only scale profile.
-  * The IMAGE modality is fully real — decode, feature extraction, and
-  * resize run through the JDK's `javax.imageio` ([[ImageIoCodec]]) —
-  * and so is AUDIO: WAV/PCM decodes through the JDK's
-  * `javax.sound.sampled` ([[WavCodec]]), both selected per payload by
-  * magic bytes. Only VIDEO codecs are genuinely absent from the JDK, so
-  * video payloads go through [[FakeCodec]], a deterministic header
-  * parser with the same signature a real decoder (ffmpeg binding) would
-  * have; the three-codec dispatch itself is the proof the seam swap
-  * touches nothing outside codec selection.
+  * ALL THREE modalities decode through real, in-JDK paths selected per
+  * payload by magic bytes: IMAGE via `javax.imageio`
+  * ([[ImageIoCodec]]), AUDIO via `javax.sound.sampled` ([[WavCodec]]),
+  * and VIDEO via the RIFF/AVI container layer ([[AviCodec]] —
+  * uncompressed-DIB frames parsed directly, MJPEG frames decoded by
+  * ImageIO, real frame extraction to standalone images). What remains
+  * behind [[FakeCodec]]'s deterministic seam is only COMPRESSED video
+  * codecs (H.264 etc., which genuinely need a native library); the
+  * four-way dispatch is the proof that swapping the seam for an ffmpeg
+  * binding touches nothing outside codec selection.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle). Payload skew is the real hazard at 100 TB — a partition of
@@ -242,14 +243,17 @@ object Multimodal {
     }
   }
 
-  /** The VIDEO codec seam (and the synthetic-corpus image/audio path —
-    * driver testdata carries no real media, see [[synthesize]]). Payload
-    * layout: magic "GMM0" | modality byte | width int16 | height int16 |
-    * n_frames int16 | body bytes. A real implementation replaces the
-    * body handling with the actual media library (ffmpeg binding); the
-    * signature — bytes in, typed meta + feature vector out — is the
-    * contract, and [[ImageIoCodec]] proves the swap: real image payloads
-    * take the real path with zero changes outside the dispatch. */
+  /** The COMPRESSED-video codec seam — since round 6 every synthetic
+    * corpus row decodes through a real in-JDK codec (BMP / WAV / DIB
+    * AVI), so GMM0 survives only as the stand-in for formats that
+    * genuinely need a native library (H.264-class inter-frame codecs).
+    * Payload layout: magic "GMM0" | modality byte | width int16 |
+    * height int16 | n_frames int16 | body bytes. A real implementation
+    * replaces the body handling with the actual media library (ffmpeg
+    * binding); the signature — bytes in, typed meta + feature vector
+    * out — is the contract, and [[ImageIoCodec]]/[[WavCodec]]/
+    * [[AviCodec]] prove the swap three times over: real payloads take
+    * real paths with zero changes outside the dispatch. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
       require(payload.length >= 11 &&
@@ -279,40 +283,75 @@ object Multimodal {
     * (the driver testdata carries no real media; payload bytes are a
     * pure function of doc content, so every engine run agrees).
     *
-    * AUDIO rows (doc_id % 3 == 1) are REAL WAVs since round 6: mono
-    * 16-bit 8 kHz PCM written by `AudioSystem.write` — a 440 Hz sine
-    * whose amplitude steps once per eighth of the duration, each step
-    * encoding the average of 8 of the doc's leading bytes
-    * ([[wavFromText]]). The driver query therefore exercises the REAL
-    * `javax.sound.sampled` decode path end-to-end, the oracle replays
-    * the container arithmetic (44-byte canonical PCM header + 2 bytes
-    * per frame), and near-dup discrimination is preserved: the energy
-    * envelope IS an 8-dim projection of the doc's bytes, exactly the
-    * role [[FakeCodec.features]] plays for the remaining GMM0
-    * modalities. Image rows keep GMM0 (the corpus plants no real
-    * images; ImageIoCodec is exercised by specs on ImageIO-written
-    * payloads), video keeps GMM0 because no in-JDK codec exists. */
+    * Since round 6 ALL THREE modalities are REAL containers the real
+    * codecs decode — each with a SIZE-EXACT layout the DuckDB oracle
+    * replays field by field, proving the binary round-trips:
+    *
+    *  - AUDIO (doc_id % 3 == 1): real WAV — mono 16-bit 8 kHz PCM via
+    *    `AudioSystem.write`, a 440 Hz sine whose amplitude steps per
+    *    eighth of the duration through [[textAmps]] ([[wavFromText]]);
+    *    size = 44 + 2·frames.
+    *  - IMAGE (doc_id % 3 == 0): real BMP ([[BmpImage]], decoded by
+    *    `javax.imageio`) whose 2×4 grid cells carry the SAME
+    *    [[textAmps]] fingerprint as gray levels — so
+    *    [[ImageIoCodec.featuresOf]]'s grid luminance reads the doc's
+    *    8-dim fingerprint back; size = 54 + paddedRow·h.
+    *  - VIDEO (doc_id % 3 == 2): real uncompressed-DIB AVI
+    *    ([[AviCodec]]) whose per-frame gray steps through [[textAmps]]
+    *    over 8 time segments — the temporal twin of the audio
+    *    envelope; size = [[AviCodec.aviSize]]'s formula.
+    *
+    * Frame/image dims are deliberately small (uncompressed pixels) so
+    * the corpus stays bench-sized; near-dup discrimination is
+    * preserved across modalities because every feature extractor
+    * recovers the same text-derived fingerprint. [[FakeCodec]] remains
+    * ONLY as the documented seam for compressed video codecs (H.264
+    * etc.), exercised by specs — no synthetic row needs it anymore. */
   def synthesize(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        val modality = (id % 3).toByte
-        if (modality == 1) {
-          MediaRow(id, "audio",
-            wavFromText(text, (64 + (nChars % 512)).toInt))
-        } else {
-          val w = (64 + (nChars % 512)).toShort
-          val h = (64 + (id % 512)).toShort
-          val frames = (if (modality == 2) 1 + (id % 30) else 1).toShort
-          val body = text.take(64).getBytes("UTF-8")
-          val bb = java.nio.ByteBuffer.allocate(11 + body.length)
-          bb.put("GMM0".getBytes("US-ASCII")).put(modality)
-            .putShort(w).putShort(h).putShort(frames).put(body)
-          MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), bb.array())
+        (id % 3) match {
+          case 1 =>
+            MediaRow(id, "audio",
+              wavFromText(text, (64 + (nChars % 512)).toInt))
+          case 0 =>
+            val amps = textAmps(text)
+            val w = (16 + nChars % 48).toInt
+            val h = (16 + id % 48).toInt
+            MediaRow(id, "image", BmpImage.bytes(w, h, (x, y) => {
+              val cell = math.min(1, y * 2 / h) * 4 + math.min(3, x * 4 / w)
+              (amps(cell) * 255).round.toInt
+            }))
+          case _ =>
+            val amps = textAmps(text)
+            val w = (8 + nChars % 16).toInt
+            val h = (8 + id % 16).toInt
+            val frames = (1 + id % 30).toInt
+            MediaRow(id, "video", AviCodec.write(w, h, frames, 10,
+              (f, _, _) =>
+                (amps(math.min(7, f * 8 / frames)) * 255).round.toInt))
         }
       }
+  }
+
+  /** 8-segment fingerprint of a doc's leading bytes — the one
+    * text→feature mapping all three modality synthesizers embed
+    * (audio as sine amplitude, image as grid-cell gray, video as
+    * per-frame gray), so every codec's feature extractor recovers the
+    * same 8-dim projection and near-dup behavior is modality-uniform.
+    * Segment s = clamp((avg of bytes 8s..8s+7 − 96) / 32, 0, 1),
+    * text padded with 'a' past its end. */
+  private[graft] def textAmps(text: String): Array[Double] = {
+    val body = text.take(64).getBytes("UTF-8")
+    def byteAt(k: Int): Int =
+      if (k < body.length) body(k) & 0xFF else 'a'.toInt
+    (0 until 8).map { s =>
+      val avg = (0 until 8).map(k => byteAt(s * 8 + k)).sum / 8.0
+      math.min(1.0, math.max(0.0, (avg - 96.0) / 32.0))
+    }.toArray
   }
 
   /** Deterministic real-WAV synthesis: mono 16-bit little-endian 8 kHz
@@ -324,13 +363,7 @@ object Multimodal {
     * data PCM header — spec-asserted, and what the oracle replays). */
   def wavFromText(text: String, frames: Int): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    val body = text.take(64).getBytes("UTF-8")
-    def byteAt(k: Int): Int =
-      if (k < body.length) body(k) & 0xFF else 'a'.toInt
-    val amps = (0 until 8).map { s =>
-      val avg = (0 until 8).map(k => byteAt(s * 8 + k)).sum / 8.0
-      math.min(1.0, math.max(0.0, (avg - 96.0) / 32.0))
-    }
+    val amps = textAmps(text)
     val pcm = new Array[Byte](frames * 2)
     val bb = java.nio.ByteBuffer.wrap(pcm)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -360,8 +393,9 @@ object Multimodal {
   /** Decode + feature-extract, batched per partition iterator. Magic
     * bytes pick the codec per payload: real images (PNG/JPEG/BMP/GIF)
     * take the JDK ImageIO path; real WAV audio (RIFF/WAVE) takes the
-    * JDK javax.sound.sampled path; GMM0 synthetic payloads (and thereby
-    * the video seam) take [[FakeCodec]]. */
+    * JDK javax.sound.sampled path; real AVI video (RIFF/AVI — DIB or
+    * MJPEG frames) takes [[AviCodec]]; GMM0 synthetic payloads (the
+    * compressed-codec seam) take [[FakeCodec]]. */
   def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -376,6 +410,11 @@ object Multimodal {
           val d = WavCodec.read(r.payload) // decode ONCE per row
           MediaMeta(r.doc_id, r.modality, "audio",
             d.channels, d.sampleRate, d.nFrames,
+            r.payload.length.toLong, d.feature)
+        } else if (AviCodec.isRealAvi(r.payload)) {
+          val d = AviCodec.read(r.payload) // decode ONCE per row
+          MediaMeta(r.doc_id, r.modality, "video",
+            d.width, d.height, d.nFrames,
             r.payload.length.toLong, d.feature)
         } else {
           val (fmt, w, h, frames) = FakeCodec.decode(r.payload)
@@ -489,7 +528,13 @@ object Multimodal {
     }
     val bucket = (0 until 4)
       .map(p => shiftleft(planeBit(col("feature"), p), p)).reduce(_ + _)
-    val b = feats.select(col("doc_id"), col("feature"), bucket.as("bucket"))
+    // a zero-norm feature (e.g. a single-frame video whose only time
+    // segment is silent/black) has no direction — it cannot be a
+    // cosine near-dup of anything and would divide by zero below
+    val b = feats
+      .filter(graft.functions.GraftFunctions
+        .vecDot(col("feature"), col("feature")) > 0)
+      .select(col("doc_id"), col("feature"), bucket.as("bucket"))
     val norm = sqrt(dot(col("a.feature"), col("a.feature"))) *
       sqrt(dot(col("b.feature"), col("b.feature")))
     b.as("a").join(b.as("b"),
@@ -497,37 +542,82 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (dot(col("a.feature"), col("b.feature")) / norm).as("cosine"))
-      // all-positive fake features make baseline cosines high (~0.999);
-      // the planted near-dups sit at >= 0.9999999 with the next cluster
-      // at 0.99992, so this bar keeps exactly the genuine duplicates
+      // all-positive text-fingerprint features make baseline cosines
+      // high; genuine duplicates (same fingerprint direction across any
+      // modality pair) sit at exactly 1.0 with the next cluster below
+      // 0.9999, so this bar keeps exactly the duplicate group
       .filter(col("cosine") >= 0.99999)
   }
 
-  /** Mirrors [[synthesize]] + the codec decodes field by field.
-    * GMM0 rows (image/video): width = 64 + n_chars mod 512, height =
-    * 64 + doc_id mod 512, n_frames = 1 + doc_id mod 30 for video else
-    * 1, n_bytes = 11-byte header + UTF-8 bytes of the first 64 chars.
-    * REAL-WAV rows (audio): width = 1 channel, height = 8000 Hz,
-    * n_frames = 64 + n_chars mod 512, n_bytes = canonical 44-byte PCM
-    * container header + 2 bytes per frame — the oracle replaying the
-    * container arithmetic proves the engine's REAL `javax.sound
-    * .sampled` decode read back exactly what was synthesized. */
+  /** Mirrors [[synthesize]] + the REAL codec decodes field by field —
+    * every modality's container arithmetic replayed in SQL, proving
+    * all three real-codec round-trips at once:
+    *  - image (BMP): width = 16 + n_chars mod 48, height = 16 + doc_id
+    *    mod 48, n_bytes = 54 + paddedRow·h with paddedRow =
+    *    ((3w+3)/4)·4;
+    *  - audio (WAV): width = 1 channel, height = 8000 Hz, n_frames =
+    *    64 + n_chars mod 512, n_bytes = 44 + 2·frames;
+    *  - video (DIB AVI): width = 8 + n_chars mod 16, height = 8 +
+    *    doc_id mod 16, n_frames = 1 + doc_id mod 30, n_bytes =
+    *    232 + f·(24 + paddedRow·h) ([[AviCodec.aviSize]]). */
   val qMultimodalDecodeSql: String =
     """SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS modality,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS fmt,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
-      |       ELSE 64 + n_chars % 512 END AS INTEGER) AS width,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
-      |       ELSE 64 + doc_id % 512 END AS INTEGER) AS height,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + n_chars % 512
-      |            WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30
-      |            ELSE 1 END AS INTEGER) AS n_frames,
-      |  CAST(CASE WHEN doc_id % 3 = 1
-      |            THEN 44 + 2 * (64 + n_chars % 512)
-      |            ELSE 11 + octet_length(encode(substr(text, 1, 64)))
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + n_chars % 48
+      |       WHEN 1 THEN 1 ELSE 8 + n_chars % 16 END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 48
+      |       WHEN 1 THEN 8000 ELSE 8 + doc_id % 16 END AS INTEGER)
+      |    AS height,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1
+      |       WHEN 1 THEN 64 + n_chars % 512
+      |       ELSE 1 + doc_id % 30 END AS INTEGER) AS n_frames,
+      |  CAST(CASE doc_id % 3
+      |       WHEN 0 THEN 54 + ((3 * (16 + n_chars % 48) + 3) // 4) * 4
+      |                       * (16 + doc_id % 48)
+      |       WHEN 1 THEN 44 + 2 * (64 + n_chars % 512)
+      |       ELSE 232 + (1 + doc_id % 30)
+      |            * (24 + ((3 * (8 + n_chars % 16) + 3) // 4) * 4
+      |                    * (8 + doc_id % 16))
       |       END AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
+
+  /** REAL frame extraction as a Dataset operator: every k-th frame of
+    * each video payload leaves as a STANDALONE IMAGE payload
+    * ([[AviCodec.extractFrames]] — DIB frames wrapped into BMPs the
+    * image codec decodes, MJPEG chunks verbatim). Map-only flatMap:
+    * amplification is frames/k per video row, no shuffle — run AFTER
+    * [[repartitionByPayloadSize]] at scale so long videos can't
+    * straggle one partition. */
+  def extractFrameImages(media: Dataset[MediaRow], k: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (AviCodec.isRealAvi(r.payload))
+        AviCodec.extractFrames(r.payload, k).map { case (fi, bytes) =>
+          (r.doc_id, fi.toLong, bytes)
+        }
+      else Seq.empty[(Long, Long, Array[Byte])]
+    }.toDF("doc_id", "frame_idx", "frame")
+  }
+
+  /** Driver-contract query: real frame EXTRACTION (not just index
+    * enumeration — [[qFrameSample]] covers that): every 7th frame of
+    * every synthesized video leaves as a BMP payload. The oracle
+    * replays the frame indices AND each extracted image's exact byte
+    * size (the BMP formula), proving real containers went in and real,
+    * size-exact images came out. */
+  def qFrameExtract(spark: SparkSession, dir: String): DataFrame =
+    extractFrameImages(synthesize(spark, dir), 7)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("bigint").as("n_bytes"))
+
+  val qFrameExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(unnest(generate_series(0, doc_id % 30, 7)) AS BIGINT)
+      |    AS frame_idx,
+      |  CAST(54 + ((3 * (8 + n_chars % 16) + 3) // 4) * 4
+      |       * (8 + doc_id % 16) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 }

@@ -6,6 +6,7 @@ class MultimodalSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("synthesize -> decode roundtrip: meta matches the encoded header") {
+    import graft.multimodal.{AviCodec, BmpImage}
     val media = Multimodal.synthesize(spark, dir)
     val meta = Multimodal.decode(media).collect()
     assert(meta.nonEmpty)
@@ -13,21 +14,83 @@ class MultimodalSpec extends SparkSpec {
       assert(Seq("image", "audio", "video").contains(m.fmt))
       assert(m.modality === m.fmt) // synthesized modality survives decode
       assert(m.feature.length === 8)
-      if (m.fmt == "audio") {
-        // REAL WAV decoded by the REAL library: mono, 8 kHz, container
-        // arithmetic exact (44-byte canonical PCM header + 2 B/frame)
-        assert(m.width === 1 && m.height === 8000)
-        assert(m.n_frames >= 64)
-        assert(m.n_bytes === 44L + 2L * m.n_frames)
-      } else {
-        assert(m.width >= 64 && m.height >= 64)
-        assert(m.n_bytes > 11)
-        if (m.fmt != "video") assert(m.n_frames === 1)
+      m.fmt match {
+        case "audio" =>
+          // REAL WAV decoded by the REAL library: mono, 8 kHz, container
+          // arithmetic exact (44-byte canonical PCM header + 2 B/frame)
+          assert(m.width === 1 && m.height === 8000)
+          assert(m.n_frames >= 64)
+          assert(m.n_bytes === 44L + 2L * m.n_frames)
+        case "image" =>
+          // REAL BMP: size formula exact, single frame
+          assert(m.width >= 16 && m.width < 64)
+          assert(m.height >= 16 && m.height < 64)
+          assert(m.n_frames === 1)
+          assert(m.n_bytes === BmpImage.size(m.width, m.height))
+        case "video" =>
+          // REAL uncompressed-DIB AVI: size formula exact
+          assert(m.width >= 8 && m.width < 24)
+          assert(m.height >= 8 && m.height < 24)
+          assert(m.n_frames >= 1 && m.n_frames <= 30)
+          assert(m.n_bytes ===
+            AviCodec.aviSize(m.width, m.height, m.n_frames))
       }
     }
-    // the audio payloads really are RIFF/WAVE containers
-    val audioRow = media.collect().find(_.modality == "audio").get
-    assert(Multimodal.WavCodec.isRealWav(audioRow.payload))
+    // every payload really is its container format
+    val rows = media.collect()
+    assert(Multimodal.WavCodec.isRealWav(
+      rows.find(_.modality == "audio").get.payload))
+    assert(Multimodal.ImageIoCodec.isRealImage(
+      rows.find(_.modality == "image").get.payload))
+    assert(AviCodec.isRealAvi(
+      rows.find(_.modality == "video").get.payload))
+  }
+
+  test("video rows: extracted frames decode as images, features equal " +
+       "the text fingerprint") {
+    import graft.multimodal.AviCodec
+    val media = Multimodal.synthesize(spark, dir)
+    val videos = media.collect().filter(_.modality == "video")
+    assert(videos.nonEmpty)
+    // decoded temporal features = the textAmps staircase (gray levels
+    // quantized to bytes -> tolerance 1/255)
+    val texts = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    videos.take(10).foreach { v =>
+      val d = AviCodec.read(v.payload)
+      val amps = Multimodal.textAmps(texts(v.doc_id))
+      val n = d.nFrames
+      val segs = (0 until n).groupBy(f => math.min(7, f * 8 / n))
+      (0 until 8).foreach { s =>
+        val want = segs.get(s).map { fs =>
+          val vals = fs.map(f =>
+            (amps(math.min(7, f * 8 / n)) * 255).round.toDouble / 255.0)
+          vals.sum / vals.size
+        }.getOrElse(0.0)
+        assert(math.abs(d.feature(s) - want) < 1e-6)
+      }
+    }
+    // the extraction operator: every 7th frame as an ImageIO-decodable
+    // BMP with the right dimensions
+    val frames = Multimodal.extractFrameImages(media, 7).collect()
+    assert(frames.nonEmpty)
+    val metaByDoc = Multimodal.decode(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    frames.take(20).foreach { r =>
+      val (id, payload) =
+        (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("frame"))
+      assert(Multimodal.ImageIoCodec.isRealImage(payload))
+      val img = Multimodal.ImageIoCodec.read(payload)
+      assert(img.getWidth === metaByDoc(id).width)
+      assert(img.getHeight === metaByDoc(id).height)
+    }
+    // frame indices: every 7th, per video
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Long]("frame_idx")).sorted.toSeq ===
+        (0L until metaByDoc(id).n_frames.toLong by 7L).toSeq)
+    }
   }
 
   test("decode is deterministic across partitionings") {
@@ -232,17 +295,29 @@ class MultimodalSpec extends SparkSpec {
         new java.io.ByteArrayInputStream(Array.fill[Byte](100)(128.toByte)),
         wfmt, 100L),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
-    val fake = Multimodal.synthesize(spark, dir).limit(3).collect()
+    // a GMM0 payload — the compressed-codec seam — hand-built, since
+    // the synthetic corpus no longer needs the fake path at all
+    val gmm = {
+      val body = "seam".getBytes("UTF-8")
+      val bb = java.nio.ByteBuffer.allocate(11 + body.length)
+      bb.put("GMM0".getBytes("US-ASCII")).put(2.toByte)
+        .putShort(320).putShort(240).putShort(12).put(body)
+      bb.array()
+    }
+    val real = Multimodal.synthesize(spark, dir).limit(3).collect()
     val mixed = spark.createDataset(
-      fake.toSeq :+ Multimodal.MediaRow(9999L, "image", bos.toByteArray)
-        :+ Multimodal.MediaRow(9998L, "audio", wbos.toByteArray))
+      real.toSeq :+ Multimodal.MediaRow(9999L, "image", bos.toByteArray)
+        :+ Multimodal.MediaRow(9998L, "audio", wbos.toByteArray)
+        :+ Multimodal.MediaRow(9997L, "video", gmm))
     val meta = Multimodal.decode(mixed).collect().map(m => m.doc_id -> m).toMap
     assert(meta(9999L).width === 100 && meta(9999L).height === 50)
     assert(meta(9998L).fmt === "audio" && meta(9998L).height === 1000 &&
       meta(9998L).n_frames === 100)
     assert(meta(9998L).feature.forall(_ === 0f)) // silence has zero energy
-    fake.foreach { f =>
-      assert(meta(f.doc_id).fmt === f.modality) // GMM0 path unchanged
+    assert(meta(9997L).fmt === "video" && meta(9997L).width === 320 &&
+      meta(9997L).n_frames === 12) // the seam still dispatches
+    real.foreach { f =>
+      assert(meta(f.doc_id).fmt === f.modality) // real paths unchanged
     }
   }
 
@@ -258,7 +333,11 @@ class MultimodalSpec extends SparkSpec {
       val b = before(m.doc_id)
       if (m.modality == "image") {
         assert(m.width === 224 && m.height === 224)
-        assert(m.n_bytes === b.n_bytes) // stub re-encode keeps the body
+        // the REAL resize path: genuinely re-encoded (PNG out), and the
+        // perceptual grid features survive the rescale
+        b.feature.zip(m.feature).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 0.08, s"feature drifted: $x vs $y")
+        }
       } else {
         // untouched: same dims, same payload-derived features
         assert(m.width === b.width && m.height === b.height)
