@@ -75,6 +75,10 @@ object SparkEntry {
     "q_chunk" -> (graft.ext.TextOps.qChunk _),
     "q_rep_ratio" -> (graft.ext.TextOps.qRepRatio _),
     "q_group_cap" -> (graft.ext.TextOps.qGroupCap _),
+    "q_vocab" -> (graft.ext.CorpusOps.qVocab _),
+    "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
+    "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
+    "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_cosine_by_id" -> (graft.ext.Similarity.qAnnCosineById _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
@@ -139,6 +143,10 @@ object SparkEntry {
     "q_chunk" -> graft.ext.TextOps.qChunkSql,
     "q_rep_ratio" -> graft.ext.TextOps.qRepRatioSql,
     "q_group_cap" -> graft.ext.TextOps.qGroupCapSql,
+    "q_vocab" -> graft.ext.CorpusOps.qVocabSql,
+    "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
+    "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
+    "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,

@@ -1,0 +1,328 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-model operators — the model-adjacent stages of a training-data
+  * pipeline (BASELINE north star; beyond the reference's own surface,
+  * like `/root/reference/config.py`'s SQL views these generalize from):
+  * vocabulary building (tokenizer training input), hashed linear
+  * classifier inference (fasttext-style quality scoring), CCNet-style
+  * line-frequency boilerplate removal, and n-gram LM
+  * perplexity-proxy scoring (the KenLM filter of CCNet / RefinedWeb).
+  *
+  * Everything here is deterministic and engine-portable: hashes are md5
+  * (same bytes in any engine), model weights derive from md5 folds, and
+  * log-likelihoods are quantized to integer micronats per TERM before
+  * summation, so sums are order-independent and the driver can
+  * hash-compare against DuckDB replaying the identical arithmetic.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- vocab
+
+  /** Vocabulary size for [[qVocab]] — production sizes this to the
+    * tokenizer's budget; the shape of the plan is identical. */
+  val vocabTopK = 50
+
+  /** Vocabulary build — the corpus-wide word-frequency table every
+    * tokenizer training run starts from, cut to the top-[[vocabTopK]]
+    * types by (count desc, word asc) — a TOTAL order, so the cut line
+    * is deterministic in any engine.
+    *
+    * Scale shape: explode is the only row amplification; the groupBy
+    * gets map-side partial aggregation (hash-agg per partition emits at
+    * most |vocab| rows per task, and vocabulary grows ~log of corpus
+    * size — the shuffle is tiny at any SF); the ordered cut plans as
+    * TakeOrderedAndProject (per-partition top-k, never a global sort). */
+  def vocab(docs: DataFrame, topK: Int = vocabTopK): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(topK)
+
+  def qVocab(spark: SparkSession, dir: String): DataFrame =
+    vocab(Tables(spark, dir, "documents"))
+
+  val qVocabSql: String =
+    s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |      FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT $vocabTopK""".stripMargin
+
+  // ----------------------------------------------------------- classifier
+
+  /** Feature-hash buckets for [[qClassifier]]. Production uses 2^20+;
+    * the plan shape (map-only, zero shuffle) is identical. */
+  val classifierBuckets = 4096
+
+  /** Weight range half-width: bucket weights live in [-1000, 1000]. */
+  private val classifierWeightSpan = 2001
+
+  /** Integer weight of one word under the md5-derived hashed linear
+    * model: bucket = md5(word) mod [[classifierBuckets]], weight =
+    * md5(bucket) mod [[classifierWeightSpan]] − 1000. Two md5 folds —
+    * one to hash the word into its feature bucket (words colliding into
+    * a bucket SHARE a weight, the defining property of the hashing
+    * trick), one standing in for the trained weight vector (a real
+    * deployment broadcasts learned weights; the md5 fold gives the spec
+    * and the oracle a weight vector both engines can derive). */
+  private def wordWeight(w: Column): Column = {
+    val bucket = pmod(
+      conv(substring(md5(w.cast("binary")), 1, 8), 16, 10).cast("bigint"),
+      lit(classifierBuckets.toLong))
+    pmod(
+      conv(substring(md5(bucket.cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint"),
+      lit(classifierWeightSpan.toLong)) - lit(1000L)
+  }
+
+  /** Hashed-linear-classifier INFERENCE — the fasttext-shaped quality
+    * scorer most curation pipelines run over every document: score =
+    * Σ over tokens of weight[hash(token)], keep = score > 0. The
+    * hashing trick makes the model a fixed-width vector regardless of
+    * vocabulary, which is what lets inference run as a pure map.
+    *
+    * Scale shape: the whole score is ONE codegen'd `aggregate` HOF over
+    * the token array — no explode, no shuffle, no UDF; inference runs
+    * at scan speed on any corpus size, the ideal shape for scoring
+    * 100 TB. Integer weights → bit-identical across engines. */
+  def classify(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      size(t).cast("bigint").as("n_tokens"),
+      aggregate(t, lit(0L), (acc, w) => acc + wordWeight(w)).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+  }
+
+  def qClassifier(spark: SparkSession, dir: String): DataFrame =
+    classify(Tables(spark, dir, "documents"))
+
+  val qClassifierSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(CAST('0x' || substr(md5(CAST(
+      |          CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+      |            % $classifierBuckets AS VARCHAR)), 1, 8) AS UBIGINT)
+      |        % $classifierWeightSpan AS BIGINT) - 1000 AS wgt
+      |  FROM w)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(wgt) AS BIGINT) AS score,
+      |  CAST(SUM(wgt) > 0 AS INT) AS keep
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- boilerplate
+
+  /** Line length (tokens) for [[qBoilerplate]]'s deterministic
+    * re-lining. The corpus has no newlines, so the "line" unit is a
+    * fixed non-overlapping token grid — same segmentation family as
+    * [[TextOps.qPassageDedup]]'s passages, at the granularity CCNet
+    * removes (a web page's nav bars and footers are short lines). */
+  val boilerplateLineLen = 10
+
+  /** A line is boilerplate when it appears in at least this many
+    * DISTINCT documents. */
+  val boilerplateMinDocs = 2
+
+  /** CCNet-style line-frequency BOILERPLATE REMOVAL — sub-document
+    * dedup that REWRITES the corpus rather than reporting duplicates:
+    * segment every document into [[boilerplateLineLen]]-token lines,
+    * count distinct documents per line, strip every line occurring in
+    * ≥ [[boilerplateMinDocs]] docs, and reassemble each document from
+    * its surviving lines in order. Documents made entirely of shared
+    * content survive with empty text (visible, not silently dropped).
+    *
+    * Scale shape: segmentation is map-only; the docfreq groupBy and the
+    * anti join both key on xxhash64 of the line — 8-byte longs through
+    * every shuffle, line TEXT never leaves its original row. countDistinct
+    * gets the standard two-phase expansion; the anti join is a plain
+    * hash join on the long key (no cap needed — docfreq output is at
+    * most one row per distinct line, already bounded by corpus size).
+    * Reassembly sorts WITHIN each doc's group (array_sort over
+    * (line_id, text) structs — per-group, never a global window). */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val lastLine = floor((size(t) - lit(1)).cast("double") / boilerplateLineLen)
+      .cast("bigint")
+    val lines = docs
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0L), lastLine)).as("line_id"))
+      .select(col("doc_id"), col("line_id"),
+        concat_ws(" ", slice(col("t"),
+          (col("line_id") * boilerplateLineLen + 1).cast("int"),
+          lit(boilerplateLineLen))).as("line_text"))
+      .withColumn("lh", xxhash64(col("line_text")))
+    val common = lines.groupBy("lh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= boilerplateMinDocs)
+      .select("lh")
+    val kept = lines.join(common, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_id"), col("line_text")))),
+            x => x.getField("line_text")),
+          " ").as("clean_text"))
+    docs
+      .select(col("doc_id"), (lastLine + 1).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables(spark, dir, "documents"))
+
+  val qBoilerplateSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |lines AS (
+      |  SELECT doc_id, i AS line_id,
+      |    array_to_string(t[i*$boilerplateLineLen+1 :
+      |                      i*$boilerplateLineLen+$boilerplateLineLen],
+      |      ' ') AS line_text
+      |  FROM toks,
+      |       LATERAL unnest(
+      |         generate_series(0, (len(t)-1)//$boilerplateLineLen))
+      |         AS u(i)),
+      |common AS (
+      |  SELECT line_text FROM lines
+      |  GROUP BY line_text
+      |  HAVING COUNT(DISTINCT doc_id) >= $boilerplateMinDocs),
+      |kept AS (
+      |  SELECT * FROM lines
+      |  WHERE line_text NOT IN (SELECT line_text FROM common)),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+      |    string_agg(line_text, ' ' ORDER BY line_id) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT toks.doc_id,
+      |  CAST((len(t)-1)//$boilerplateLineLen + 1 AS BIGINT) AS n_lines,
+      |  COALESCE(n_kept_lines, 0) AS n_kept_lines,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM toks LEFT JOIN rebuilt ON toks.doc_id = rebuilt.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- LM score
+
+  /** Language whose documents train the bigram LM — the CCNet posture:
+    * train the LM on a trusted slice, score EVERYTHING with it, so
+    * out-of-slice text surfaces with high perplexity. */
+  val lmTrainLang = "en"
+
+  /** Per-term quantization: nll terms are rounded to integer MICRONATS
+    * before summation, making the per-document sum order-independent
+    * (bigint addition commutes; double addition does not) — the same
+    * move that makes every other oracle here engine-portable. */
+  private val lmMicro = 1e6
+
+  /** Bigram rows (doc_id, lang, w1, w2) for every document — map-only:
+    * the pair list is built in-expression (zip of the token array with
+    * its own tail) and explode is the only amplification. Documents
+    * with < 2 tokens contribute no rows. */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val pairs = arrays_zip(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w2"))
+    docs.select(col("doc_id"), col("lang"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p").getField("w1").as("w1"), col("p").getField("w2").as("w2"))
+  }
+
+  /** Bigram-LM perplexity-proxy scoring — the KenLM quality filter of
+    * CCNet/RefinedWeb re-expressed relationally: train an add-1-smoothed
+    * bigram model on the [[lmTrainLang]] slice, then score every
+    * document by total negative log-likelihood of its bigrams,
+    *
+    *   p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+    *
+    * with c(w1·) = bigram-start count and V = |distinct train tokens|.
+    * Output per document: bigram count, OOV-bigram count (unseen in
+    * training), and `nll_micro` = Σ round(−ln p × 1e6) as BIGINT —
+    * integer micronats, so the sum commutes and DuckDB replaying the
+    * identical arithmetic hash-matches (ln is correctly rounded on
+    * these operand counts in both engines; the 1e6 quantum leaves
+    * ~3 orders of magnitude of slack above double ulp error at the
+    * observed term magnitudes). Downstream filters threshold
+    * nll_micro / n_bigrams — avg nll ≈ log-perplexity.
+    *
+    * Scale shape: training counts are groupBys over (w1,w2) strings with
+    * map-side partial agg (model size is vocab², independent of corpus
+    * size); scoring is a natural-key left join of the corpus bigram
+    * stream against the model — AQE broadcasts the model when it fits
+    * (it does here and for any single-language model), degrading to a
+    * shuffle join when it doesn't; the V scalar is one driver-side
+    * count (bounded metadata, same contract as Merge's cutoff row). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = bigrams(docs)
+    val train = bi.filter(col("lang") === lmTrainLang)
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val v: Long = docs.filter(col("lang") === lmTrainLang)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(count_distinct(col("word"))).head.getLong(0)
+    require(v > 0, s"lmScore: no '$lmTrainLang' training documents in input")
+    val term = round(log((col("c1n") + v).cast("double") /
+      (col("c12n") + 1).cast("double")) * lmMicro).cast("bigint")
+    val scored = bi
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c12"), lit(0L)).as("c12n"),
+        coalesce(col("c1"), lit(0L)).as("c1n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("c12n") === 0).cast("bigint")).as("oov_bigrams"),
+        sum(term).as("nll_micro"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
+
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables(spark, dir, "documents"))
+
+  val qLmScoreSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)),
+      |big AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bi
+      |  WHERE lang = '$lmTrainLang' GROUP BY 1, 2),
+      |uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+      |v AS (
+      |  SELECT COUNT(DISTINCT word) AS v FROM
+      |    (SELECT unnest(t) AS word FROM toks WHERE lang = '$lmTrainLang')),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS oov_bigrams,
+      |    CAST(SUM(CAST(round(ln(
+      |        CAST(COALESCE(c1, 0) + v AS DOUBLE)
+      |          / CAST(COALESCE(c12, 0) + 1 AS DOUBLE)) * 1000000.0
+      |      ) AS BIGINT)) AS BIGINT) AS nll_micro
+      |  FROM bi
+      |  LEFT JOIN big USING (w1, w2)
+      |  LEFT JOIN uni USING (w1), v
+      |  GROUP BY doc_id)
+      |SELECT toks.doc_id, lang,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(oov_bigrams, 0) AS oov_bigrams,
+      |  COALESCE(nll_micro, 0) AS nll_micro
+      |FROM toks LEFT JOIN scored ON toks.doc_id = scored.doc_id""".stripMargin
+}

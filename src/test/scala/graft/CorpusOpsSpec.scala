@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.CorpusOps
+
+/** Corpus-model operators: vocabulary, hashed-classifier inference,
+  * boilerplate removal, bigram-LM scoring — hand-checked on tiny planted
+  * corpora plus sf0.001 sanity. */
+class CorpusOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsOf(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text", "lang")
+  }
+
+  test("vocab: counts and the (n desc, word asc) cut line are exact") {
+    val docs = docsOf(
+      (1L, "b a b c", "en"),
+      (2L, "a b d", "en"))
+    val got = CorpusOps.vocab(docs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts: b=3, a=2, c=1, d=1 → top3 cuts at the c/d tie, word asc
+    assert(got === Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+
+  test("classifier: score is the sum of md5-derived bucket weights, map-only") {
+    val docs = docsOf((1L, "alpha beta alpha", "en"))
+    val row = CorpusOps.classify(docs).collect().head
+    // independent reimplementation of the weight chain, driver-side
+    def weight(word: String): Long = {
+      def md5hex8(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      }
+      val bucket = md5hex8(word) % CorpusOps.classifierBuckets
+      md5hex8(bucket.toString) % 2001 - 1000
+    }
+    assert(row.getAs[Long]("n_tokens") === 3L)
+    assert(row.getAs[Long]("score") ===
+      2 * weight("alpha") + weight("beta"))
+    assert(row.getAs[Int]("keep") === (if (row.getAs[Long]("score") > 0) 1 else 0))
+    // inference must be a pure map: no exchange anywhere in the plan
+    val plan = CorpusOps.classify(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier plan shuffles:\n$plan")
+  }
+
+  test("classifier: colliding words share a bucket weight (hashing trick)") {
+    // brute-force two words that land in the same bucket
+    def bucket(word: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
+        CorpusOps.classifierBuckets
+    }
+    val w0 = "w0"
+    val mate = (1 to 100000).map("w" + _).find(w => w != w0 && bucket(w) == bucket(w0)).get
+    val scores = CorpusOps.classify(docsOf((1L, w0, "en"), (2L, mate, "en")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(scores(1L) === scores(2L))
+  }
+
+  /** 10 distinct tokens = exactly one boilerplate line. */
+  private def line(tag: String): String =
+    (1 to CorpusOps.boilerplateLineLen).map(i => s"$tag$i").mkString(" ")
+
+  test("boilerplate: shared lines stripped, unique lines kept in order, " +
+    "all-boilerplate docs survive with empty text") {
+    val nav = line("nav")
+    val docs = docsOf(
+      (1L, s"$nav ${line("a")} ${line("b")}", "en"),
+      (2L, s"${line("c")} $nav", "en"),
+      (3L, nav, "en")) // nothing but the shared line
+    val got = CorpusOps.boilerplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) === ((3L, 2L, s"${line("a")} ${line("b")}")))
+    assert(got(2L) === ((2L, 1L, line("c"))))
+    assert(got(3L) === ((1L, 0L, "")))
+  }
+
+  test("boilerplate: a line repeated WITHIN one doc only is not boilerplate") {
+    val rep = line("rep")
+    val docs = docsOf((1L, s"$rep $rep", "en"), (2L, line("x"), "en"))
+    val got = CorpusOps.boilerplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got(1L) === s"$rep $rep") // docfreq 1 → kept, both copies
+  }
+
+  test("lm score: add-1 bigram arithmetic, OOV counting, short docs") {
+    val docs = docsOf(
+      (1L, "a b a b", "en"),   // train: bigrams ab, ba, ab
+      (2L, "a b z", "de"),     // scored: ab (seen), bz (OOV)
+      (3L, "a", "de"))         // 0 bigrams
+    // model: c(a,b)=2 c(b,a)=1; c1(a·)=2 c1(b·)=1; V=|{a,b}|=2
+    val v = 2.0
+    def nll(c12: Long, c1: Long): Long =
+      math.round(math.log((c1 + v) / (c12 + 1.0)) * 1e6)
+    val got = CorpusOps.lmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("oov_bigrams"),
+          r.getAs[Long]("nll_micro")))).toMap
+    assert(got(1L) === ((3L, 0L, 2 * nll(2, 2) + nll(1, 1))))
+    assert(got(2L) === ((2L, 1L, nll(2, 2) + nll(0, 1))))
+    assert(got(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("lm score on sf0.001: English scores below non-English on average") {
+    val scored = CorpusOps.qLmScore(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_bigrams"))
+      .groupBy(col("lang") === CorpusOps.lmTrainLang)
+      .agg(avg("avg_nll").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getAs[Double]("m")).toMap
+    // the train slice must look more likely to its own model — the
+    // CCNet selection signal this operator exists to produce
+    assert(scored(true) < scored(false))
+  }
+
+  test("vocab on sf0.001 is the corpus's true global word count head") {
+    val docs = Tables(spark, dir, "documents")
+    val brute = docs.collect().flatMap(_.getAs[String]("text").split(" "))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = CorpusOps.qVocab(spark, dir).collect()
+    got.foreach(r => assert(brute(r.getString(0)) === r.getLong(1)))
+    // top-1 really is the max count
+    assert(got.head.getLong(1) === brute.values.max)
+  }
+}
