@@ -83,6 +83,7 @@ object SparkEntry {
     "q_ann_cosine_by_id" -> (graft.ext.Similarity.qAnnCosineById _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
+    "q_semdedup" -> (graft.ext.SemDedup.qSemDedup _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
@@ -153,6 +154,10 @@ object SparkEntry {
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql
+    // q_semdedup: verdict over seeded-kmeans cells (same posture as
+    // q_ann_ivf) — SemDedupSpec proves survivor policy + the
+    // no-surviving-duplicate-pair invariant against driver-side brute
+    // force.
     // q_ann_lsh / q_ann_ivf / q_approx_distinct: seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
     // weaker rows-only MEMBERSHIP check. Returned VALUES are still

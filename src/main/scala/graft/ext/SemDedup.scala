@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — SEMANTIC deduplication over an embedding column
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", arXiv:2303.09540): cluster the
+  * corpus with a k-means coarse quantizer, mine near-duplicate PAIRS
+  * only within clusters (the O(n²) pairwise matrix restricted to
+  * O(Σ cellsize²)), and keep ONE representative per duplicate group —
+  * the member FARTHEST from its cluster centroid, the paper's policy
+  * (edge points carry more training signal than cluster-core points).
+  *
+  * This is deliberately a composition of operators the engine already
+  * ships: the k-means cells come from [[Similarity.buildIvfIndex]]
+  * (shared, memoized per (session, corpus) — building an ANN index and
+  * semantic dedup amortize the SAME quantizer, as in production), the
+  * survivor choice is [[Dedup.resolveDuplicatesBy]] (score =
+  * −centroid-cosine ⇒ keep farthest, ties broken by min vec_id), and
+  * the verdict join is the same left_anti shape as every other resolve.
+  *
+  * Scale shape: the within-cell self-join keys on `cell` — each task
+  * sees one cell's vectors, cost Σ c² bounded by the quantizer's k
+  * (production sizes k ≈ √n so E[c] = √n and Σ c² ≈ n^1.5 ≪ n²; cells
+  * beyond [[semDedupMaxCell]] are dropped from MINING with the same
+  * documented recall trade as embedNearDup's bucket cap — a capped
+  * cell's members are all KEPT, never silently dropped from the
+  * corpus). Centroid cosines are one broadcast join against k rows.
+  * The component contraction and survivor window run over the
+  * duplicate-bounded subset only — the corpus is never shuffled.
+  *
+  * KMeans cell assignment is seeded but float-order-dependent →
+  * rows-only driver check (same posture as q_ann_ivf); SemDedupSpec
+  * proves the semantics on planted duplicate groups and the
+  * no-surviving-pair invariant on the real corpus.
+  */
+object SemDedup {
+
+  /** Cosine at or above which two embeddings are semantic duplicates.
+    * The paper operates at ε ∈ [0.9, 0.99] on normalized embeddings. */
+  val semDedupMinCos = 0.95
+
+  /** Mining cap per cell: a cell larger than this is excluded from
+    * pair mining (members kept). At the production k ≈ √n sizing a
+    * cell this hot means the quantizer needs a larger k — the cap
+    * turns that misconfiguration into bounded cost + stated recall
+    * loss instead of an n² task. */
+  val semDedupMaxCell = 10000
+
+  /** The verdict table over (vec_id, embedding, cell) cell assignments
+    * plus their (unit-normalized) centroids: one row per vector —
+    *   vec_id, cell, cent_cos (cosine to own centroid), keep (1/0).
+    * Exposed separately from [[qSemDedup]] so specs and library users
+    * can run planted or hand-assigned clusterings through the exact
+    * production path. */
+  def semDedupFrom(cells: DataFrame, centroids: Array[Array[Double]],
+                   minCos: Double = semDedupMinCos,
+                   maxCell: Int = semDedupMaxCell): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    // unit-normalize centroids driver-side (k·d work) so cent_cos is a
+    // true cosine against the already-normalized corpus vectors
+    val centDf = centroids.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum) max 1e-12
+      (i, c.map(x => (x / n).toFloat).toSeq)
+    }.toSeq.toDF("cell", "centroid")
+    val scored = cells
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        Similarity.dot(col("embedding"), col("centroid")).as("cent_cos"))
+    // mine pairs only inside cells small enough to square
+    val cellSizes = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
+    val minable = scored
+      .join(cellSizes.filter(col("cn") <= maxCell).select("cell"), Seq("cell"))
+    val a = minable.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = minable.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(Similarity.dot(col("ea"), col("eb")) >= minCos)
+      .select(col("vec_a"), col("vec_b"))
+    val kept = Dedup.resolveDuplicatesBy(
+      scored.select(col("vec_id"), col("cell"), col("cent_cos")),
+      pairs, score = -col("cent_cos"),
+      idCol = "vec_id", srcCol = "vec_a", dstCol = "vec_b")
+    scored.select(col("vec_id"), col("cell"), col("cent_cos"))
+      .join(kept.select(col("vec_id"), lit(1).as("keep")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_cos"),
+        coalesce(col("keep"), lit(0)).as("keep"))
+  }
+
+  /** Driver query: SemDeDup verdict over the embeddings table, sharing
+    * the memoized IVF quantizer with q_ann_ivf (one k-means fit serves
+    * both the ANN index and semantic dedup). Rows = corpus size always
+    * (a verdict, not a pair list — this corpus plants no semantic
+    * dups, and an empty pair table is itself a correct verdict). */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.util.SessionCache.memoize(spark, "ivf", dir) {
+      Similarity.buildIvfIndex(spark, dir)
+    }
+    semDedupFrom(idx.cells, idx.centroids)
+  }
+}
