@@ -173,7 +173,13 @@ object ScaleCheck {
         "q_tfidf",
         // round-5 curation family: pack exercises the distributed
         // prefix sum, curate_e2e the whole composed pipeline
-        "q_pack", "q_passage_dedup", "q_contam_frac", "q_curate_e2e")
+        "q_pack", "q_passage_dedup", "q_contam_frac", "q_curate_e2e",
+        // round-6 corpus-model family: boilerplate's line-hash
+        // docfreq + anti join, lm_score's model build + scoring join
+        // (rotation copies grow the model ~factor× too — vocabulary
+        // scales with this corpus, the worst case for the model join),
+        // classifier/vocab as the map-only and agg-only controls
+        "q_boilerplate", "q_lm_score", "q_classifier", "q_vocab")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions.col
 object CurationViews {
 
   /** Register `dup_pairs`, `dup_clusters`, `corpus_dedup`, `doc_stats`,
-    * `corpus_mixture` and `corpus_shuffle` (plus the base tables) as
-    * temp views over `dir`. */
+    * `corpus_mixture`, `corpus_shuffle`, `corpus_vocab`, `doc_scores`
+    * and `corpus_boilerplate` (plus the base tables) as temp views over
+    * `dir`. */
   def createAll(spark: SparkSession, dir: String): Unit = {
     graft.Tables.registerAll(spark, dir)
     Dedup.jaccardPairs(spark, dir)
@@ -37,5 +38,15 @@ object CurationViews {
       .createOrReplaceTempView("corpus_mixture")
     TextOps.qShardShuffle(spark, dir)
       .createOrReplaceTempView("corpus_shuffle")
+    // round-6 corpus-model surface: the quality signals a SQL-first
+    // selection query joins against (classifier score + LM nll in one
+    // per-doc table), the vocabulary head, and the rewritten corpus
+    CorpusOps.qVocab(spark, dir)
+      .createOrReplaceTempView("corpus_vocab")
+    CorpusOps.classify(graft.Tables(spark, dir, "documents"))
+      .join(CorpusOps.qLmScore(spark, dir), Seq("doc_id"))
+      .createOrReplaceTempView("doc_scores")
+    CorpusOps.qBoilerplate(spark, dir)
+      .createOrReplaceTempView("corpus_boilerplate")
   }
 }

@@ -419,6 +419,24 @@ class ExtSpec extends SparkSpec {
         |GROUP BY s.shard""".stripMargin).collect()
     assert(joined.length === TextOps.shuffleShards)
     assert(joined.map(_.getLong(1)).sum === nDocs)
+    // round-6 model views: a SQL-first SELECTION query — classifier
+    // verdict and LM perplexity proxy composed from one per-doc table
+    val sel = spark.sql(
+      """SELECT count(*) AS n FROM doc_scores
+        |WHERE keep = 1 AND n_bigrams > 0
+        |  AND CAST(nll_micro AS DOUBLE) / n_bigrams < 4000000""".stripMargin)
+      .head().getLong(0)
+    val direct = graft.ext.CorpusOps.classify(
+        Tables(spark, dir, "documents")).filter("keep = 1")
+      .join(graft.ext.CorpusOps.qLmScore(spark, dir)
+        .filter("n_bigrams > 0 AND CAST(nll_micro AS DOUBLE) / n_bigrams < 4000000"),
+        Seq("doc_id"), "left_semi").count()
+    assert(sel === direct && sel > 0)
+    // vocab view serves the frequency head; boilerplate view covers the corpus
+    assert(spark.sql("SELECT count(*) AS n FROM corpus_vocab").head().getLong(0)
+      === graft.ext.CorpusOps.qVocab(spark, dir).count())
+    assert(spark.sql("SELECT count(*) AS n FROM corpus_boilerplate")
+      .head().getLong(0) === nDocs)
   }
 
   test("resolveDuplicates: keeps exactly one doc per cluster plus all singletons") {
