@@ -263,20 +263,38 @@ object CorpusOps {
     * (it does here and for any single-language model), degrading to a
     * shuffle join when it doesn't; the V scalar is one driver-side
     * count (bounded metadata, same contract as Merge's cutoff row). */
-  def lmScore(docs: DataFrame): DataFrame = {
-    val bi = bigrams(docs)
-    val train = bi.filter(col("lang") === lmTrainLang)
+  /** A trained bigram model: the (w1,w2) count table, the bigram-start
+    * count table, and the train-vocabulary size — the artifact a
+    * production run trains ONCE and scores every batch with. The count
+    * tables are localCheckpoint-materialized (vocab²-bounded, never
+    * corpus-sized); [[qLmScore]] memoizes the model per
+    * (session, corpus) via [[graft.util.SessionCache]], the same
+    * lifetime contract as the IVF index. */
+  final case class LmModel(big: DataFrame, uni: DataFrame, v: Long)
+
+  def trainLmModel(docs: DataFrame): LmModel = {
+    val train = bigrams(docs).filter(col("lang") === lmTrainLang)
     val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
+      .localCheckpoint()
+    val uni = big.groupBy("w1").agg(sum("c12").as("c1")).localCheckpoint()
     val v: Long = docs.filter(col("lang") === lmTrainLang)
       .select(explode(split(col("text"), " ")).as("word"))
       .agg(count_distinct(col("word"))).head.getLong(0)
     require(v > 0, s"lmScore: no '$lmTrainLang' training documents in input")
+    LmModel(big, uni, v)
+  }
+
+  def lmScore(docs: DataFrame): DataFrame =
+    lmScoreWith(docs, trainLmModel(docs))
+
+  def lmScoreWith(docs: DataFrame, model: LmModel): DataFrame = {
+    val bi = bigrams(docs)
+    val v = model.v
     val term = round(log((col("c1n") + v).cast("double") /
       (col("c12n") + 1).cast("double")) * lmMicro).cast("bigint")
     val scored = bi
-      .join(big, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
+      .join(model.big, Seq("w1", "w2"), "left")
+      .join(model.uni, Seq("w1"), "left")
       .select(col("doc_id"),
         coalesce(col("c12"), lit(0L)).as("c12n"),
         coalesce(col("c1"), lit(0L)).as("c1n"))
@@ -292,8 +310,12 @@ object CorpusOps {
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
 
-  def qLmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScore(Tables(spark, dir, "documents"))
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.util.SessionCache.memoize(spark, "lm", dir) {
+      trainLmModel(Tables(spark, dir, "documents"))
+    }
+    lmScoreWith(Tables(spark, dir, "documents"), model)
+  }
 
   val qLmScoreSql: String =
     s"""WITH toks AS (

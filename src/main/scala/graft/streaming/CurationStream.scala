@@ -531,6 +531,37 @@ object CurationStream {
     * documents table) → gate+scrub → per-batch dedup merge. One file
     * per micro-batch (as in [[StreamPipeline]]) so convergence across
     * batches is genuinely exercised, not collapsed into one merge. */
+  /** Streaming MODEL SCORING — classifier verdict + bigram-LM nll for
+    * every arriving document, scored against a model trained ONCE
+    * before the stream starts (the production posture: the LM/quality
+    * models are offline artifacts; the stream only runs inference).
+    * Each document scores independently of every other — classify is a
+    * per-row map and [[graft.ext.CorpusOps.lmScoreWith]] only joins the
+    * STATIC model tables — so per-batch results converge to the batch
+    * output under any slicing. Effectively-once: each batch OVERWRITES
+    * its own `batch=<id>` subdirectory, so a batch replayed after a
+    * crash-before-checkpoint rewrites the same files instead of
+    * appending duplicates (the same overwrite-idempotence contract as
+    * the curated store's bucket rewrite). */
+  def runScoringStream(spark: SparkSession, uploadDir: String,
+                       outPath: String, checkpointDir: String,
+                       schema: StructType,
+                       model: graft.ext.CorpusOps.LmModel): StreamingQuery = {
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(uploadDir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val scored = graft.ext.CorpusOps.classify(batch)
+          .join(graft.ext.CorpusOps.lmScoreWith(batch, model), Seq("doc_id"))
+        scored.write.mode("overwrite").parquet(s"$outPath/batch=$id")
+      }
+      .start()
+  }
+
   def runCurationStream(spark: SparkSession, uploadDir: String,
                         storePath: String, checkpointDir: String,
                         schema: StructType,

@@ -318,6 +318,41 @@ class CurationStreamSpec extends SparkSpec {
     assert(pairs.forall(p => ids.contains(p._1) && ids.contains(p._2)))
   }
 
+  test("scoring stream: per-batch model inference equals batch scoring, replay idempotent") {
+    import graft.ext.CorpusOps
+    val tmp = Files.createTempDirectory("scoring-stream").toFile.getAbsolutePath
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/upload/part0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/upload/part1")
+
+    // model trained OFFLINE on the full trusted corpus, before streaming
+    val model = CorpusOps.trainLmModel(docs)
+    CurationStream.runScoringStream(
+      spark, s"$tmp/upload/*", s"$tmp/scores", s"$tmp/ckpt",
+      docs.schema, model).awaitTermination()
+
+    val cols = Seq("doc_id", "n_tokens", "score", "keep",
+      "n_bigrams", "oov_bigrams", "nll_micro")
+    val streamed = spark.read.parquet(s"$tmp/scores")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val batch = CorpusOps.classify(docs)
+      .join(CorpusOps.lmScoreWith(docs, model), Seq("doc_id"))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(streamed === batch && streamed.size === docs.count())
+
+    // full redelivery (fresh checkpoint): batches overwrite their own
+    // dirs — the score table is unchanged, not doubled
+    CurationStream.runScoringStream(
+      spark, s"$tmp/upload/*", s"$tmp/scores", s"$tmp/ckpt2",
+      docs.schema, model).awaitTermination()
+    val replayed = spark.read.parquet(s"$tmp/scores")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(replayed === batch)
+  }
+
   test("stream-fed store equals the batch gate+scrub+dedup output") {
     val tmp = Files.createTempDirectory("curation-stream").toFile.getAbsolutePath
     val upload = s"$tmp/upload"
