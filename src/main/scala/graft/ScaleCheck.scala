@@ -88,16 +88,47 @@ object ScaleCheck {
     * events.ts is kept as the raw nanos long (read with nanosAsLong, no
     * conversion) so the scaled table round-trips through the same
     * Tables loader path as the driver testdata. */
+  /** Scale the embeddings `factor`×: copy k circularly shifts each
+    * vector by k mod dim positions and negates when k ≥ dim. Shifts and
+    * negation preserve unit norm exactly, and a shifted/negated random
+    * unit vector is ~orthogonal to every other copy (E[cos] = 0,
+    * sd ≈ 1/√dim), so NO near-duplicate pairs are planted across
+    * copies — semdedup/ANN timings at the big scale measure candidate
+    * generation, not an output artifact. vec_id remaps `id·factor+k`
+    * like every other scaled key. */
+  def scaleEmbeddings(spark: SparkSession, srcDir: String, outDir: String,
+                      factor: Int): Unit = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= 2 * dim,
+      s"at most ${2 * dim} distinct shift/sign copies available")
+    val copies = (0 until factor).map { k =>
+      val s = k % dim
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, dim - s),
+          slice(col("embedding"), 1, s))
+      val signed =
+        if (k < dim) shifted
+        else transform(shifted, x => -x)
+      emb.select((col("vec_id") * factor + k).as("vec_id"),
+        signed.as("embedding"), col("label"))
+    }
+    copies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   def scaleFacts(spark: SparkSession, srcDir: String, outDir: String,
                  factor: Int): Unit = {
-    // dims AND embeddings copied unscaled (embeddings play a constant
-    // index corpus), so the scaled dir is a COMPLETE table set — the
-    // full Bench surface runs against it unchanged
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    // dims copied unscaled, so the scaled dir is a COMPLETE table
+    // set — the full Bench surface runs against it unchanged
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         spark.read.parquet(s"$srcDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       }
+    scaleEmbeddings(spark, srcDir, outDir, factor)
     def copies(src: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(src, i)).reduce(_ unionByName _)
 
@@ -142,7 +173,10 @@ object ScaleCheck {
     // completeness check, so a dir generated by an older harness
     // version (or an interrupted run) regenerates instead of being
     // silently trusted with tables missing
-    val marker = new java.io.File(s"$bigDir/_SCALED_OK_$factor")
+    // v2: embeddings now scale too (shift/sign copies) — the version
+    // suffix forces dirs from the v1 harness (constant embeddings) to
+    // regenerate rather than be silently trusted
+    val marker = new java.io.File(s"$bigDir/_SCALED_OK_v2_$factor")
     val complete = Tables.names.forall(t =>
       new java.io.File(s"$bigDir/$t.parquet").exists())
     if (!marker.exists() || !complete) {
@@ -179,7 +213,11 @@ object ScaleCheck {
         // (rotation copies grow the model ~factor× too — vocabulary
         // scales with this corpus, the worst case for the model join),
         // classifier/vocab as the map-only and agg-only controls
-        "q_boilerplate", "q_lm_score", "q_classifier", "q_vocab")
+        "q_boilerplate", "q_lm_score", "q_classifier", "q_vocab",
+        // round-6 embedding family (embeddings scale as of harness v2):
+        // semdedup's k≈√n quantizer keeps within-cell mining ~n^1.5,
+        // ann_ivf's probe prunes to ~nprobe/k of the corpus
+        "q_semdedup", "q_ann_ivf")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -128,7 +128,10 @@ object CorpusOps {
   val boilerplateLineLen = 10
 
   /** A line is boilerplate when it appears in at least this many
-    * DISTINCT documents. */
+    * DISTINCT documents. Fixed at 2: the implementation exploits
+    * `min(doc_id) ≠ max(doc_id)` ⟺ "≥ 2 distinct docs" for a fully
+    * map-side-foldable skew-proof docfreq test; a higher threshold
+    * would need a salted two-stage count-distinct instead. */
   val boilerplateMinDocs = 2
 
   /** CCNet-style line-frequency BOILERPLATE REMOVAL — sub-document
@@ -141,10 +144,15 @@ object CorpusOps {
     *
     * Scale shape: segmentation is map-only; the docfreq groupBy and the
     * anti join both key on xxhash64 of the line — 8-byte longs through
-    * every shuffle, line TEXT never leaves its original row. countDistinct
-    * gets the standard two-phase expansion; the anti join is a plain
-    * hash join on the long key (no cap needed — docfreq output is at
-    * most one row per distinct line, already bounded by corpus size).
+    * every shuffle, line TEXT never leaves its original row. The
+    * boilerplate test is NOT a count-distinct (a line present in 50 M
+    * docs would funnel 50 M (line, doc) rows to one reducer): since
+    * the threshold is "≥ 2 distinct docs", the predicate is exactly
+    * `min(doc_id) ≠ max(doc_id)` over the line's occurrences — and
+    * MIN/MAX partials fold map-side, so the hottest line ships ONE row
+    * per input partition through the shuffle. The anti join is a plain
+    * hash join on the long key (no cap needed — the common-line table
+    * is at most one row per distinct line, bounded by corpus size).
     * Reassembly sorts WITHIN each doc's group (array_sort over
     * (line_id, text) structs — per-group, never a global window). */
   def boilerplate(docs: DataFrame): DataFrame = {
@@ -160,8 +168,8 @@ object CorpusOps {
           lit(boilerplateLineLen))).as("line_text"))
       .withColumn("lh", xxhash64(col("line_text")))
     val common = lines.groupBy("lh")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= boilerplateMinDocs)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("lh")
     val kept = lines.join(common, Seq("lh"), "left_anti")
     val rebuilt = kept.groupBy("doc_id")

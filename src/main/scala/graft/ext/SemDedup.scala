@@ -91,14 +91,28 @@ object SemDedup {
         coalesce(col("keep"), lit(0)).as("keep"))
   }
 
-  /** Driver query: SemDeDup verdict over the embeddings table, sharing
-    * the memoized IVF quantizer with q_ann_ivf (one k-means fit serves
-    * both the ANN index and semantic dedup). Rows = corpus size always
-    * (a verdict, not a pair list — this corpus plants no semantic
-    * dups, and an empty pair table is itself a correct verdict). */
+  /** Quantizer size for a corpus of `n` vectors: k ≈ √n floors the
+    * expected cell at √n, so within-cell mining is Σ c² ≈ n·√n — the
+    * bound that keeps SemDeDup sub-quadratic at ANY corpus size. A
+    * FIXED k is the scale trap here: cells grow linearly with the
+    * corpus and the mining join quadratically. (Floor of 16 keeps tiny
+    * corpora from degenerating to one-vector cells.) */
+  def kForCorpus(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Driver query: SemDeDup verdict over the embeddings table, with
+    * the quantizer sized [[kForCorpus]] (k ≈ √n — semantic dedup's
+    * correctness at scale depends on k growing with the corpus, so it
+    * sizes its own fit rather than inheriting the ANN index's k; a
+    * deployment that picks one k for both can pass `idx.cells` to
+    * [[semDedupFrom]] directly). Memoized per (session, corpus) like
+    * every checkpointed artifact. Rows = corpus size always (a
+    * verdict, not a pair list — this corpus plants no semantic dups,
+    * and an empty pair table is itself a correct verdict). */
   def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.util.SessionCache.memoize(spark, "ivf", dir) {
-      Similarity.buildIvfIndex(spark, dir)
+    val idx = graft.util.SessionCache.memoize(spark, "semdedup", dir) {
+      val n = graft.Tables(spark, dir, "embeddings").count()
+      Similarity.buildIvfIndex(spark, dir, kForCorpus(n))
     }
     semDedupFrom(idx.cells, idx.centroids)
   }
