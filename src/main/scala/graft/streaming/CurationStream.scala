@@ -562,6 +562,76 @@ object CurationStream {
       .start()
   }
 
+  /** Streaming BOILERPLATE statistics — the line-frequency state of
+    * [[graft.ext.CorpusOps.boilerplate]] maintained INCREMENTALLY: the
+    * store holds one (lh, mn, mx) row per distinct line hash, bucketed
+    * by `pmod(lh, N)` like the curated store, and each batch merges its
+    * own line stats into ONLY the touched buckets via
+    *   mn' = least(mn, batch.mn),  mx' = greatest(mx, batch.mx).
+    * min/max is a commutative, ASSOCIATIVE and IDEMPOTENT monoid, so
+    * the store converges to the batch corpus's exact line stats under
+    * any slicing, order, or redelivery (redelivering a batch is a
+    * literal no-op on values — stronger than the curated store's
+    * re-dedup idempotence). A line is boilerplate iff `mn ≠ mx`
+    * (≥ 2 distinct docs), and the CLEAN CORPUS is a lazy view —
+    * `CorpusOps.removeLines(docs, store.filter(mn ≠ mx))` — so a line
+    * crossing the threshold retroactively cleans every EARLIER
+    * document too (displacement falls out of view semantics; nothing
+    * is rewritten per batch but the touched stat buckets).
+    * Work per batch: O(batch + touched buckets), store-size-free. */
+  def runLineStatsStream(spark: SparkSession, uploadDir: String,
+                         statsPath: String, checkpointDir: String,
+                         schema: StructType): StreamingQuery = {
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(uploadDir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLineStatsBatch(spark, batch, statsPath)
+      }
+      .start()
+  }
+
+  private def statsBucketOf =
+    pmod(col("lh"), lit(storeBuckets.toLong))
+
+  def mergeLineStatsBatch(spark: SparkSession, batch: DataFrame,
+                          statsPath: String): Unit = {
+    val fs = new Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(spark, statsPath)
+    val (batchStats, release) = graft.util.Checkpoints.checkpointTracked(
+      graft.ext.CorpusOps.lineStats(batch).withColumn("bucket", statsBucketOf))
+    try {
+      val touched = batchStats.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet // bounded by storeBuckets
+      if (touched.isEmpty) return
+      val existing =
+        if (fs.exists(new Path(statsPath)))
+          Some(spark.read.parquet(statsPath)
+            .filter(col("bucket").isInCollection(touched)))
+        else None
+      val merged = existing.fold(batchStats)(batchStats.unionByName(_))
+        .groupBy("lh")
+        .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .withColumn("bucket", statsBucketOf)
+      publishTouchedBuckets(spark, statsPath, merged, touched)
+    } finally release()
+  }
+
+  /** The clean corpus as a VIEW over any (doc_id, text) frame and the
+    * streamed line-stats store: equals the batch
+    * [[graft.ext.CorpusOps.boilerplate]] output once the stream has
+    * absorbed the same documents. */
+  def cleanCorpusView(spark: SparkSession, docs: DataFrame,
+                      statsPath: String): DataFrame =
+    graft.ext.CorpusOps.removeLines(docs,
+      spark.read.parquet(statsPath)
+        .filter(col("mn") =!= col("mx")).select("lh"))
+
   def runCurationStream(spark: SparkSession, uploadDir: String,
                         storePath: String, checkpointDir: String,
                         schema: StructType,

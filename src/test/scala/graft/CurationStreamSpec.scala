@@ -353,6 +353,51 @@ class CurationStreamSpec extends SparkSpec {
     assert(replayed === batch)
   }
 
+  test("line-stats stream: incremental docfreq equals batch stats; clean view " +
+    "converges with retroactive displacement; redelivery is a value no-op") {
+    import graft.ext.CorpusOps
+    val tmp = Files.createTempDirectory("linestats-stream").toFile.getAbsolutePath
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    // adversarial slicing: odd docs first, then even — duplicate groups
+    // (the planted near-dup pairs share lines) split across batches
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/upload/part0")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/upload/part1")
+
+    CurationStream.runLineStatsStream(
+      spark, s"$tmp/upload/*", s"$tmp/stats", s"$tmp/ckpt",
+      docs.schema).awaitTermination()
+
+    def statRows(p: String) = spark.read.parquet(p)
+      .select("lh", "mn", "mx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = statRows(s"$tmp/stats")
+    val batchStats = CorpusOps.lineStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batchStats)
+
+    // the clean-corpus view over the streamed stats equals the batch
+    // operator — including docs from batch 0 whose lines only became
+    // boilerplate when batch 1 delivered their duplicates (displacement)
+    val viewRows = CurationStream.cleanCorpusView(spark, docs, s"$tmp/stats")
+      .collect().map(_.toSeq).toSet
+    val batchRows = CorpusOps.boilerplate(docs).collect().map(_.toSeq).toSet
+    assert(viewRows === batchRows)
+    val crossBatchCommon = CorpusOps.lineStats(docs)
+      .filter(col("mn") =!= col("mx"))
+      .filter(col("mn") % 2 === 1 && col("mx") % 2 === 0).count()
+    assert(crossBatchCommon > 0, // the displacement case actually occurred
+      "corpus plants no cross-slice duplicate lines; slicing needs rework")
+
+    // full redelivery with a fresh checkpoint: min/max idempotence makes
+    // the merged VALUES identical
+    CurationStream.runLineStatsStream(
+      spark, s"$tmp/upload/*", s"$tmp/stats", s"$tmp/ckpt2",
+      docs.schema).awaitTermination()
+    assert(statRows(s"$tmp/stats") === batchStats)
+  }
+
   test("stream-fed store equals the batch gate+scrub+dedup output") {
     val tmp = Files.createTempDirectory("curation-stream").toFile.getAbsolutePath
     val upload = s"$tmp/upload"
