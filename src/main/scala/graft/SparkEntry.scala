@@ -76,6 +76,7 @@ object SparkEntry {
     "q_rep_ratio" -> (graft.ext.TextOps.qRepRatio _),
     "q_group_cap" -> (graft.ext.TextOps.qGroupCap _),
     "q_vocab" -> (graft.ext.CorpusOps.qVocab _),
+    "q_bpe_train" -> (graft.ext.Bpe.qBpeTrain _),
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
@@ -154,6 +155,10 @@ object SparkEntry {
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql
+    // q_bpe_train: deterministic integer arithmetic, but the training
+    // loop is driver-coordinated rounds (like k-means) — not one SQL
+    // statement; BpeSpec replays the identical loop driver-side and
+    // asserts every merge row equal.
     // q_semdedup: verdict over seeded-kmeans cells (same posture as
     // q_ann_ivf) — SemDedupSpec proves survivor policy + the
     // no-surviving-duplicate-pair invariant against driver-side brute

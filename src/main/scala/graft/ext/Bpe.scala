@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the stage between [[CorpusOps.vocab]] and a
+  * trained tokenizer: iteratively find the most frequent adjacent
+  * symbol pair across the corpus and merge it, emitting the ordered
+  * merge list that IS the tokenizer.
+  *
+  * The classical formulation is sequential, but its heavy step is not:
+  * BPE trains over the WORD-FREQUENCY table (one row per distinct word
+  * type, weighted by count), never the corpus — the corpus-sized work
+  * is exactly [[CorpusOps.vocab]]'s explode + partial-agg, done once.
+  * Each merge round is then one Spark job over the type table
+  * (10⁵–10⁷ rows at web scale, vs 10¹¹ corpus tokens): explode each
+  * type's adjacent symbol pairs weighted by its count, partial-agg,
+  * and take the global max by (count desc, pair asc) — a TOTAL order,
+  * so the winning merge is deterministic in any engine. The merge
+  * APPLICATION is a pure codegen'd fold over each type's symbol array
+  * (no shuffle; the type table is hash-partitioned once and never
+  * moves). Rounds are the irreducible sequential axis — same posture
+  * as k-means iterations in the IVF build — with the evolving symbol
+  * table localCheckpoint-compacted each round so the plan (and its
+  * lineage) stays O(1) per round rather than O(rounds).
+  *
+  * Determinism end to end: integer counts, lexicographic tie-breaks,
+  * no floats — the spec replays the whole loop against an independent
+  * driver-side reference implementation and asserts equality of every
+  * (rank, left, right, count) merge row.
+  */
+object Bpe {
+
+  /** Merge rounds for the driver query — production trains 10⁴–10⁵;
+    * the loop shape per round is identical. */
+  val bpeMerges = 20
+
+  /** End-of-word sentinel appended to each type's symbol sequence so
+    * merges never cross word boundaries and word-final units stay
+    * distinct from word-internal ones (the standard `</w>` marker). */
+  val eow = "</w>"
+
+  /** One merge application: fold `syms`, replacing every adjacent
+    * (l, r) occurrence with l+r, left-to-right non-overlapping — the
+    * exact sequential semantics of reference BPE, as a codegen'd
+    * aggregate HOF (the accumulator array grows to at most |syms|). */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) => {
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && last === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x)))
+    })
+
+  /** The trained artifact: ordered merges (rank, left, right, merged,
+    * pair_count). */
+  final case class BpeModel(merges: Seq[(Int, String, String, Long)])
+
+  /** Train `rounds` merges over a (word, n) type-frequency table.
+    * Stops early when no adjacent pair occurs more than once (merging
+    * singletons adds no compression — reference BPE's stop condition). */
+  def train(types: DataFrame, rounds: Int = bpeMerges): BpeModel = {
+    val spark = types.sparkSession
+    // initial segmentation: characters + end-of-word sentinel; compact
+    // to one checkpointed table so every round starts from blocks
+    var segs = types.select(col("n"),
+        concat(split(col("word"), ""), array(lit(eow))).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < rounds && !done) {
+      val pairs = segs.select(col("n"), explode(
+          arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1)
+              .as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("cnt"))
+      // global argmax by (cnt desc, l asc, r asc): TakeOrdered over the
+      // partial-agg'd pair table — one row to the driver per round
+      val top = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) done = true
+      else {
+        val (l, r, cnt) = (top.head.getAs[String]("l"),
+          top.head.getAs[String]("r"), top.head.getAs[Long]("cnt"))
+        merges += ((rank, l, r, cnt))
+        val next = segs.select(col("n"),
+          applyMerge(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+        segs.unpersist(false)
+        segs = next
+        rank += 1
+      }
+    }
+    segs.unpersist(false)
+    BpeModel(merges.result())
+  }
+
+  /** ENCODE a text column with a trained model: segment each word to
+    * characters + `</w>` and apply every merge in rank order — the
+    * tokenizer's inference path, a pure map (chained codegen folds, no
+    * shuffle, no state). Returns the token array column. */
+  def encode(text: Column, model: BpeModel): Column = {
+    val word = (w: Column) => {
+      val init = concat(split(w, ""), array(lit(eow)))
+      model.merges.foldLeft(init) { case (syms, (_, l, r, _)) =>
+        applyMerge(syms, l, r)
+      }
+    }
+    flatten(transform(split(text, " "), word))
+  }
+
+  /** Driver query: the ordered merge table trained on the corpus's
+    * word-frequency types — deterministic integer arithmetic end to
+    * end, but the TRAINING LOOP is iterative (driver-coordinated rounds,
+    * like k-means) and not expressible as one SQL statement, so the
+    * driver records rows-only; BpeSpec replays the identical loop in
+    * driver-side Scala and asserts every merge row equal. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val model = graft.util.SessionCache.memoize(spark, "bpe", dir) {
+      train(types)
+    }
+    model.merges.toDF("rank", "left", "right", "pair_count")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** BPE training against an independent driver-side reference
+  * implementation, plus encode invariants. */
+class BpeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Reference BPE: the textbook sequential algorithm over a
+    * type-frequency map — same tie-break (count desc, pair asc). */
+  private def referenceBpe(types: Map[String, Long],
+                           rounds: Int): Seq[(Int, String, String, Long)] = {
+    var segs: Map[Vector[String], Long] =
+      types.map { case (w, n) => (w.split("").toVector :+ Bpe.eow) -> n }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      segs.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          out += ((rank, l, r, c))
+          segs = segs.map { case (syms, n) =>
+            val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+            merged -> n
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  private def corpusTypes: Map[String, Long] =
+    Tables(spark, dir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+
+  test("distributed BPE equals the reference algorithm merge-for-merge") {
+    val got = Bpe.qBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = referenceBpe(corpusTypes, Bpe.bpeMerges)
+    assert(got === want)
+    assert(got.size === Bpe.bpeMerges) // this corpus sustains 20 merges
+  }
+
+  test("encode: tokens concatenate back to the word + sentinel, merges applied") {
+    import spark.implicits._
+    val model = graft.ext.Bpe.BpeModel(referenceBpe(corpusTypes, Bpe.bpeMerges))
+    val words = corpusTypes.keys.toSeq.sorted.take(10)
+    val toks = words.toDF("text")
+      .select(col("text"), Bpe.encode(col("text"), model).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(toks(w).mkString("") === w + Bpe.eow)
+    }
+    // under a ONE-merge model, every word containing the (l, r) char
+    // pair encodes with the merged symbol (later merges can consume an
+    // early merge's symbol, so this is only assertable per-prefix-model)
+    val first @ (_, l, r, _) = referenceBpe(corpusTypes, 1).head
+    val model1 = graft.ext.Bpe.BpeModel(Seq(first))
+    val carriers = corpusTypes.keys.filter { w =>
+      val syms = w.split("").toVector :+ Bpe.eow
+      syms.zip(syms.tail).contains((l, r))
+    }.toSeq.sorted
+    assert(carriers.nonEmpty) // the top pair came from somewhere
+    val t1 = carriers.toDF("text")
+      .select(col("text"), Bpe.encode(col("text"), model1).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    carriers.foreach(w => assert(t1(w).contains(l + r), s"word $w"))
+  }
+
+  test("train stops when no pair repeats") {
+    import spark.implicits._
+    val types = Seq(("ab", 1L)).toDF("word", "n")
+    assert(Bpe.train(types, rounds = 5).merges.isEmpty)
+  }
+}
