@@ -77,6 +77,7 @@ object SparkEntry {
     "q_group_cap" -> (graft.ext.TextOps.qGroupCap _),
     "q_vocab" -> (graft.ext.CorpusOps.qVocab _),
     "q_bpe_train" -> (graft.ext.Bpe.qBpeTrain _),
+    "q_bloom_novel" -> (graft.operators.BloomProbe.qBloomNovel _),
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
@@ -155,6 +156,10 @@ object SparkEntry {
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql
+    // q_bloom_novel: bloom bit positions are engine-hash internals →
+    // rows-only; BloomProbeSpec proves the one-sided contract (zero
+    // false negatives, bounded false positives) and the plan (native
+    // might_contain, no UDF).
     // q_bpe_train: deterministic integer arithmetic, but the training
     // loop is driver-coordinated rounds (like k-means) — not one SQL
     // statement; BpeSpec replays the identical loop driver-side and

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.BloomExpressions
+
+/** Bloom-filter membership probe — the cross-snapshot dedup /
+  * decontamination technique for the case a JOIN cannot serve: testing
+  * a new batch against a REFERENCE SET far too large to broadcast and
+  * too expensive to shuffle against (yesterday's 100 TB corpus, the
+  * full eval-benchmark suite, a historical URL frontier).
+  *
+  * Build once over the reference keys — Spark's own
+  * `BloomFilterAggregate` (the expression Catalyst's runtime filter
+  * injection uses): per-partition update + `mergeInPlace` combine, so
+  * the build is one distributed aggregation and the only thing that
+  * moves is bits (~9.6 bits/key at 1% FP → ~1.2 GB for 10⁹ keys,
+  * broadcastable where the key set never would be). The probe is the
+  * codegen'd `BloomFilterMightContain` — a pure map, no shuffle, scan
+  * speed on any batch. Keys hash to xxhash64 longs on BOTH sides, so
+  * build and probe agree by construction.
+  *
+  * The contract is ONE-SIDED: no false negatives (a key in the
+  * reference set always hits), false positives at the configured rate
+  * flag rows that were actually new. That is the right direction for
+  * both dedup (losing an fp-rate sliver of novel docs is harmless)
+  * and decontamination (over-flagging is safe, under-flagging is
+  * not). Where exactness matters, the bloom pass is the PREFILTER:
+  * kept rows are exact by construction (non-members are definite),
+  * and the flagged ~fp-rate can be re-verified with an exact
+  * semi-join whose probe side is now batch·fp-rate, not batch. */
+object BloomProbe {
+
+  /** Standard Bloom sizing: m = −n·ln(p) / (ln 2)², floored to one
+    * long word. */
+  def numBits(expectedKeys: Long, fpRate: Double): Long = {
+    require(fpRate > 0 && fpRate < 1, s"fpRate $fpRate out of (0,1)")
+    math.max(64L,
+      math.ceil(-expectedKeys.toDouble * math.log(fpRate) /
+        (math.log(2) * math.log(2))).toLong)
+  }
+
+  private def keyHash(c: Column): Column = xxhash64(c.cast("string"))
+
+  /** Build the serialized filter (as a 1-row, 1-column DataFrame —
+    * keep it as a DataFrame to `persist`/reuse, or `collectFilter` for
+    * a driver-side handle). Null keys are skipped (a null is never a
+    * member). */
+  def buildFilter(keys: DataFrame, keyCol: String,
+                  expectedKeys: Long, fpRate: Double = 0.01): Array[Byte] = {
+    val row = keys.filter(col(keyCol).isNotNull)
+      .agg(BloomExpressions.bloomFilterAgg(
+        keyHash(col(keyCol)), expectedKeys,
+        numBits(expectedKeys, fpRate)).as("bf"))
+      .head()
+    row.getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe predicate over any frame: true iff the row's key MIGHT be
+    * in the reference set. The filter bytes travel as a literal into
+    * codegen (for multi-GB filters prefer a broadcast variable and a
+    * per-partition probe; at the sizes a single driver literal can
+    * carry, the literal keeps the whole predicate in codegen). */
+  def mightContain(filter: Array[Byte], key: Column): Column =
+    BloomExpressions.mightContain(lit(filter), keyHash(key))
+
+  /** `batch` rows whose key is DEFINITELY NOT in the reference set —
+    * the novelty filter of cross-snapshot dedup. Exact keeps: bloom
+    * false positives can only DROP novel rows (at ~fpRate), never keep
+    * a seen one. */
+  def filterNovel(batch: DataFrame, keyCol: String,
+                  filter: Array[Byte]): DataFrame =
+    batch.filter(!mightContain(filter, col(keyCol)))
+
+  /** Driver query — the cross-snapshot dedup shape end to end:
+    * "yesterday's" corpus is the lower half of doc_ids, its text
+    * fingerprints build the filter (memoized: the filter is the
+    * persisted artifact of a snapshot run), and "today's" full corpus
+    * probes it; survivors are the definitely-novel docs. Bloom bit
+    * positions are xxhash64-deterministic and the merge is bitwise OR
+    * (order-independent), so the output is stable across runs and
+    * partitionings — but not SQL-replayable (filter internals), so the
+    * driver records rows-only; BloomProbeSpec proves the one-sided
+    * contract (zero false negatives, bounded false positives). */
+  def qBloomNovel(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+    val cutoff = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val filter = graft.util.SessionCache.memoize(spark, "bloom", dir) {
+      buildFilter(
+        docs.filter(col("doc_id") <= cutoff)
+          .select(md5(col("text").cast("binary")).as("fp")),
+        "fp", expectedKeys = cutoff + 1, fpRate = 0.001)
+    }
+    filterNovel(
+      docs.withColumn("fp", md5(col("text").cast("binary"))), "fp", filter)
+      .select("doc_id", "lang", "source")
+  }
+}

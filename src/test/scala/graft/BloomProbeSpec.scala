@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomProbe
+
+/** Bloom probe: the one-sided contract (zero false negatives, bounded
+  * false positives), novelty filtering, and the no-UDF plan. */
+class BloomProbeSpec extends SparkSpec {
+
+  test("no false negatives ever; false positives inside ~2x the configured rate") {
+    import spark.implicits._
+    val reference = (0L until 5000L).map(i => s"doc-$i").toDF("key")
+    val filter = BloomProbe.buildFilter(reference, "key",
+      expectedKeys = 5000, fpRate = 0.01)
+    // every reference key must hit
+    val misses = reference
+      .filter(!BloomProbe.mightContain(filter, col("key"))).count()
+    assert(misses === 0L)
+    // disjoint probe set: hit rate ~ fpRate
+    val novel = (0L until 10000L).map(i => s"new-$i").toDF("key")
+    val fps = novel
+      .filter(BloomProbe.mightContain(filter, col("key"))).count()
+    assert(fps < 10000 * 0.01 * 2, s"fp count $fps exceeds 2x bound")
+    // filterNovel keeps exactly the non-hits
+    assert(BloomProbe.filterNovel(novel, "key", filter).count() ===
+      10000 - fps)
+  }
+
+  test("cross-snapshot dedup shape: yesterday's corpus filters today's batch") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val yesterday = docs.filter(col("doc_id") < 50)
+    val today = docs // 50 re-crawled + 50 new
+    val filter = BloomProbe.buildFilter(
+      yesterday.select(md5(col("text").cast("binary")).as("fp")), "fp",
+      expectedKeys = 100, fpRate = 0.001)
+    val kept = BloomProbe.filterNovel(
+      today.withColumn("fp", md5(col("text").cast("binary"))), "fp", filter)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // nothing from yesterday's exact texts survives (no false negatives)
+    val yesterdayTexts = yesterday.select(md5(col("text").cast("binary")))
+      .collect().map(_.getString(0)).toSet
+    val keptTexts = docs.filter(col("doc_id").isInCollection(kept))
+      .select(md5(col("text").cast("binary")))
+      .collect().map(_.getString(0)).toSet
+    assert(keptTexts.intersect(yesterdayTexts).isEmpty)
+    // and the novel half survives (minus at most the tiny fp allowance)
+    assert(kept.size >= 45)
+  }
+
+  test("probe is native codegen, not a UDF") {
+    import spark.implicits._
+    val reference = (0L until 100L).map(i => s"k$i").toDF("key")
+    val filter = BloomProbe.buildFilter(reference, "key", 100, 0.01)
+    // probe over a FILE source: a LocalRelation would let the optimizer
+    // evaluate the predicate at plan time and hide it from the plan
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = docs.filter(BloomProbe.mightContain(filter, col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(500))
+    assert(!plan.contains("UDF") && !plan.contains("BatchEval"),
+      plan.take(500))
+  }
+}
