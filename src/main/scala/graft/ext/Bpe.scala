@@ -62,16 +62,19 @@ object Bpe {
     * Stops early when no adjacent pair occurs more than once (merging
     * singletons adds no compression — reference BPE's stop condition). */
   def train(types: DataFrame, rounds: Int = bpeMerges): BpeModel = {
-    val spark = types.sparkSession
     // initial segmentation: characters + end-of-word sentinel; compact
-    // to one checkpointed table so every round starts from blocks
-    var segs = types.select(col("n"),
-        concat(split(col("word"), ""), array(lit(eow))).as("syms"))
-      .localCheckpoint()
+    // to one TRACKED checkpoint so every round starts from blocks AND
+    // the previous round's generation is releasable (raw
+    // localCheckpoint has no working release — Checkpoints.scala; a
+    // 32k-round training run would otherwise pin one dead type-table
+    // generation per round until the context dies)
+    var (segs, release) = graft.util.Checkpoints.checkpointTracked(
+      types.select(col("n"),
+        concat(split(col("word"), ""), array(lit(eow))).as("syms")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var done = false
-    while (rank < rounds && !done) {
+    try while (rank < rounds && !done) {
       val pairs = segs.select(col("n"), explode(
           arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1)
               .as("l"),
@@ -88,15 +91,14 @@ object Bpe {
         val (l, r, cnt) = (top.head.getAs[String]("l"),
           top.head.getAs[String]("r"), top.head.getAs[Long]("cnt"))
         merges += ((rank, l, r, cnt))
-        val next = segs.select(col("n"),
-          applyMerge(col("syms"), l, r).as("syms"))
-          .localCheckpoint()
-        segs.unpersist(false)
+        val (next, releaseNext) = graft.util.Checkpoints.checkpointTracked(
+          segs.select(col("n"), applyMerge(col("syms"), l, r).as("syms")))
+        release()
         segs = next
+        release = releaseNext
         rank += 1
       }
-    }
-    segs.unpersist(false)
+    } finally release()
     BpeModel(merges.result())
   }
 

@@ -158,10 +158,16 @@ object CorpusOps {
   /** The deterministic line grid over (doc_id, text):
     * (doc_id, line_id, line_text, lh) — shared by the batch operator,
     * the streaming line-stats store, and the specs. */
+  /** Line count of a text column under the grid — the ONE place the
+    * grid arithmetic lives (with [[docLines]]' slice offsets derived
+    * from the same constants). */
+  private def lineCountOf(textCol: Column): Column =
+    floor((size(split(textCol, " ")) - lit(1)).cast("double") /
+      boilerplateLineLen).cast("bigint") + 1
+
   private[graft] def docLines(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
-    val lastLine = floor((size(t) - lit(1)).cast("double") / boilerplateLineLen)
-      .cast("bigint")
+    val lastLine = lineCountOf(col("text")) - 1
     docs
       .select(col("doc_id"), t.as("t"),
         explode(sequence(lit(0L), lastLine)).as("line_id"))
@@ -186,9 +192,6 @@ object CorpusOps {
     * the streaming clean-corpus view (where `commonLh` comes from the
     * incrementally-maintained line-stats store). */
   def removeLines(docs: DataFrame, commonLh: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val lastLine = floor((size(t) - lit(1)).cast("double") / boilerplateLineLen)
-      .cast("bigint")
     val kept = docLines(docs).join(commonLh, Seq("lh"), "left_anti")
     val rebuilt = kept.groupBy("doc_id")
       .agg(
@@ -199,7 +202,7 @@ object CorpusOps {
             x => x.getField("line_text")),
           " ").as("clean_text"))
     docs
-      .select(col("doc_id"), (lastLine + 1).as("n_lines"))
+      .select(col("doc_id"), lineCountOf(col("text")).as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
@@ -302,11 +305,19 @@ object CorpusOps {
     * lifetime contract as the IVF index. */
   final case class LmModel(big: DataFrame, uni: DataFrame, v: Long)
 
-  def trainLmModel(docs: DataFrame): LmModel = {
+  /** `materialize = true` (the default) localCheckpoints the count
+    * tables — right for a model scored many times, but the blocks have
+    * no release path outside [[qLmScore]]'s session-cached artifact
+    * (raw localCheckpoint is unreleasable — see
+    * [[graft.util.Checkpoints]]). One-shot callers ([[lmScore]]) pass
+    * `false`: the counts stay lazy plans, recomputed inside the single
+    * scoring job, and nothing is pinned. */
+  def trainLmModel(docs: DataFrame, materialize: Boolean = true): LmModel = {
     val train = bigrams(docs).filter(col("lang") === lmTrainLang)
-    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
-    val uni = big.groupBy("w1").agg(sum("c12").as("c1")).localCheckpoint()
+    val big0 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val big = if (materialize) big0.localCheckpoint() else big0
+    val uni0 = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val uni = if (materialize) uni0.localCheckpoint() else uni0
     val v: Long = docs.filter(col("lang") === lmTrainLang)
       .select(explode(split(col("text"), " ")).as("word"))
       .agg(count_distinct(col("word"))).head.getLong(0)
@@ -315,7 +326,7 @@ object CorpusOps {
   }
 
   def lmScore(docs: DataFrame): DataFrame =
-    lmScoreWith(docs, trainLmModel(docs))
+    lmScoreWith(docs, trainLmModel(docs, materialize = false))
 
   def lmScoreWith(docs: DataFrame, model: LmModel): DataFrame = {
     val bi = bigrams(docs)

@@ -48,12 +48,31 @@ object BloomProbe {
     * member). */
   def buildFilter(keys: DataFrame, keyCol: String,
                   expectedKeys: Long, fpRate: Double = 0.01): Array[Byte] = {
-    val row = keys.filter(col(keyCol).isNotNull)
-      .agg(BloomExpressions.bloomFilterAgg(
-        keyHash(col(keyCol)), expectedKeys,
-        numBits(expectedKeys, fpRate)).as("bf"))
-      .head()
-    row.getAs[Array[Byte]]("bf")
+    val bits = numBits(expectedKeys, fpRate)
+    // BloomFilterAggregate SILENTLY clamps its sizing to the runtime-
+    // filter-injection conf caps (maxNumBits default 64 Mi,
+    // maxNumItems 4 M — decompiled from the shipped catalyst jar): a
+    // 10⁹-key filter built under the defaults would saturate and flag
+    // EVERYTHING as seen. Raise the caps to this build's sizing for
+    // the duration of the job and restore after — the confs also gate
+    // Catalyst's own injected runtime filters, so they must not stay
+    // raised behind the caller's back.
+    val conf = keys.sparkSession.conf
+    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val (oldBits, oldItems) = (conf.get(kBits), conf.get(kItems))
+    conf.set(kBits, math.max(bits, oldBits.toLong).toString)
+    conf.set(kItems, math.max(expectedKeys, oldItems.toLong).toString)
+    try {
+      val row = keys.filter(col(keyCol).isNotNull)
+        .agg(BloomExpressions.bloomFilterAgg(
+          keyHash(col(keyCol)), expectedKeys, bits).as("bf"))
+        .head()
+      row.getAs[Array[Byte]]("bf")
+    } finally {
+      conf.set(kBits, oldBits)
+      conf.set(kItems, oldItems)
+    }
   }
 
   /** Probe predicate over any frame: true iff the row's key MIGHT be

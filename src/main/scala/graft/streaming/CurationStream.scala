@@ -265,24 +265,33 @@ object CurationStream {
     * map-only), each micro-batch appends to the packed store via
     * [[appendPackedBatch]]. Composable beside [[runCurationStream]] on
     * the same upload dir (separate checkpoint). */
-  def runPackingStream(spark: SparkSession, uploadDir: String,
-                       packedPath: String, checkpointDir: String,
-                       schema: StructType): StreamingQuery = {
-    val docs = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(uploadDir)
-    val chunks = TextOps.chunkTokens(
-      TextOps.gateAndScrub(docs),
-      org.apache.spark.sql.functions.col("scrubbed"))
-    chunks.writeStream
+  /** The ONE definition of the file-ingest scaffold every stream here
+    * shares (schema'd parquet source, 1 file/trigger, AvailableNow,
+    * checkpointed foreachBatch): `transform` shapes the streaming frame
+    * (identity for raw-docs streams), `body` handles each micro-batch.
+    * A change to the ingestion contract lands once, not five times. */
+  private def runFileStream(spark: SparkSession, uploadDir: String,
+                            checkpointDir: String, schema: StructType,
+                            transform: DataFrame => DataFrame = identity)(
+                            body: (DataFrame, Long) => Unit): StreamingQuery =
+    transform(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(uploadDir))
+      .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendPackedBatch(spark, batch, packedPath, id)
-      }
+      .foreachBatch(body)
       .start()
-  }
+
+  def runPackingStream(spark: SparkSession, uploadDir: String,
+                       packedPath: String, checkpointDir: String,
+                       schema: StructType): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema,
+      docs => TextOps.chunkTokens(TextOps.gateAndScrub(docs),
+        org.apache.spark.sql.functions.col("scrubbed"))) {
+      (batch, id) => appendPackedBatch(spark, batch, packedPath, id)
+    }
 
   // ───── Incremental near-dup pair view (round 6) ─────
 
@@ -505,27 +514,19 @@ object CurationStream {
                        pairsPath: String, checkpointDir: String,
                        schema: StructType,
                        partitionedStore: Boolean = false,
-                       clustersPath: Option[String] = None): StreamingQuery = {
-    val docs = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(uploadDir)
-    TextOps.gateAndScrub(docs).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (ck, release) = graft.util.Checkpoints.checkpointTracked(batch)
-        try {
-          if (partitionedStore)
-            mergeCuratedBatchPartitioned(spark, ck, storePath)
-          else mergeCuratedBatch(spark, ck, storePath)
-          updateNearDupView(spark, ck, storePath, sigPath, pairsPath,
-            partitionedSig = partitionedStore)
-          clustersPath.foreach(updateDupClusters(spark, pairsPath, _))
-        } finally release()
-      }
-      .start()
-  }
+                       clustersPath: Option[String] = None): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema,
+      TextOps.gateAndScrub) { (batch, _) =>
+      val (ck, release) = graft.util.Checkpoints.checkpointTracked(batch)
+      try {
+        if (partitionedStore)
+          mergeCuratedBatchPartitioned(spark, ck, storePath)
+        else mergeCuratedBatch(spark, ck, storePath)
+        updateNearDupView(spark, ck, storePath, sigPath, pairsPath,
+          partitionedSig = partitionedStore)
+        clustersPath.foreach(updateDupClusters(spark, pairsPath, _))
+      } finally release()
+    }
 
   /** Wire the stream: files under `uploadDir` (same schema as the
     * documents table) → gate+scrub → per-batch dedup merge. One file
@@ -546,21 +547,12 @@ object CurationStream {
   def runScoringStream(spark: SparkSession, uploadDir: String,
                        outPath: String, checkpointDir: String,
                        schema: StructType,
-                       model: graft.ext.CorpusOps.LmModel): StreamingQuery = {
-    val docs = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(uploadDir)
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val scored = graft.ext.CorpusOps.classify(batch)
-          .join(graft.ext.CorpusOps.lmScoreWith(batch, model), Seq("doc_id"))
-        scored.write.mode("overwrite").parquet(s"$outPath/batch=$id")
-      }
-      .start()
-  }
+                       model: graft.ext.CorpusOps.LmModel): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, id) =>
+      val scored = graft.ext.CorpusOps.classify(batch)
+        .join(graft.ext.CorpusOps.lmScoreWith(batch, model), Seq("doc_id"))
+      scored.write.mode("overwrite").parquet(s"$outPath/batch=$id")
+    }
 
   /** Streaming BOILERPLATE statistics — the line-frequency state of
     * [[graft.ext.CorpusOps.boilerplate]] maintained INCREMENTALLY: the
@@ -581,19 +573,10 @@ object CurationStream {
     * Work per batch: O(batch + touched buckets), store-size-free. */
   def runLineStatsStream(spark: SparkSession, uploadDir: String,
                          statsPath: String, checkpointDir: String,
-                         schema: StructType): StreamingQuery = {
-    val docs = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(uploadDir)
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeLineStatsBatch(spark, batch, statsPath)
-      }
-      .start()
-  }
+                         schema: StructType): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, _) =>
+      mergeLineStatsBatch(spark, batch, statsPath)
+    }
 
   private def statsBucketOf =
     pmod(col("lh"), lit(storeBuckets.toLong))
@@ -635,19 +618,11 @@ object CurationStream {
   def runCurationStream(spark: SparkSession, uploadDir: String,
                         storePath: String, checkpointDir: String,
                         schema: StructType,
-                        partitionedStore: Boolean = false): StreamingQuery = {
-    val docs = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(uploadDir)
-    TextOps.gateAndScrub(docs).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (partitionedStore)
-          mergeCuratedBatchPartitioned(spark, batch, storePath)
-        else mergeCuratedBatch(spark, batch, storePath)
-      }
-      .start()
-  }
+                        partitionedStore: Boolean = false): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema,
+      TextOps.gateAndScrub) { (batch, _) =>
+      if (partitionedStore)
+        mergeCuratedBatchPartitioned(spark, batch, storePath)
+      else mergeCuratedBatch(spark, batch, storePath)
+    }
 }

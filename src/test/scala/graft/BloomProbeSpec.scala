@@ -48,6 +48,25 @@ class BloomProbeSpec extends SparkSpec {
     assert(kept.size >= 45)
   }
 
+  test("sizing beyond the runtime-filter conf caps is honored, not clamped") {
+    import spark.implicits._
+    // requested ~479 M bits (50 M keys @ 1%) far exceeds the default
+    // maxNumBits cap of 64 Mi — without the conf raise inside
+    // buildFilter the aggregate would silently build a 64 Mi-bit
+    // filter and saturate at real key volumes
+    val requested = BloomProbe.numBits(50L * 1000 * 1000, 0.01)
+    val bytes = BloomProbe.buildFilter(
+      (0L until 100L).map(i => s"k$i").toDF("key"), "key",
+      expectedKeys = 50L * 1000 * 1000, fpRate = 0.01)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(bf.bitSize() >= requested,
+      s"bitSize ${bf.bitSize()} clamped below requested $requested")
+    // and the session confs are restored afterwards
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong <= 67108864L)
+  }
+
   test("probe is native codegen, not a UDF") {
     import spark.implicits._
     val reference = (0L until 100L).map(i => s"k$i").toDF("key")
