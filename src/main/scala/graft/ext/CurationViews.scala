@@ -39,14 +39,23 @@ object CurationViews {
     TextOps.qShardShuffle(spark, dir)
       .createOrReplaceTempView("corpus_shuffle")
     // round-6 corpus-model surface: the quality signals a SQL-first
-    // selection query joins against (classifier score + LM nll in one
-    // per-doc table), the vocabulary head, and the rewritten corpus
+    // selection query joins against (classifier score + LM nll +
+    // repetition in ONE per-doc table), the vocabulary head, the
+    // rewritten corpus, the semantic-dedup verdict and the trained
+    // tokenizer merges
     CorpusOps.qVocab(spark, dir)
       .createOrReplaceTempView("corpus_vocab")
-    CorpusOps.classify(graft.Tables(spark, dir, "documents"))
+    val docs = graft.Tables(spark, dir, "documents")
+    CorpusOps.classify(docs)
       .join(CorpusOps.qLmScore(spark, dir), Seq("doc_id"))
+      .join(docs.select(col("doc_id"),
+        TextOps.repRatioHof(col("text")).as("rep_ratio")), Seq("doc_id"))
       .createOrReplaceTempView("doc_scores")
     CorpusOps.qBoilerplate(spark, dir)
       .createOrReplaceTempView("corpus_boilerplate")
+    graft.ext.SemDedup.qSemDedup(spark, dir)
+      .createOrReplaceTempView("semantic_dedup")
+    graft.ext.Bpe.qBpeTrain(spark, dir)
+      .createOrReplaceTempView("bpe_merges")
   }
 }

@@ -615,12 +615,23 @@ object CurationStream {
       spark.read.parquet(statsPath)
         .filter(col("mn") =!= col("mx")).select("lh"))
 
+  /** `noveltyFilter`: an optional Bloom filter over a PRIOR corpus's
+    * text fingerprints (md5 of raw text — built with
+    * [[graft.operators.BloomProbe.buildFilter]]); arriving docs whose
+    * fingerprint might be in it are dropped BEFORE gating — the
+    * cross-snapshot dedup prefilter, map-only in the stream. One-sided
+    * as always: every previously-seen text is definitely dropped;
+    * ~fpRate of genuinely new docs are lost (stated trade). */
   def runCurationStream(spark: SparkSession, uploadDir: String,
                         storePath: String, checkpointDir: String,
                         schema: StructType,
-                        partitionedStore: Boolean = false): StreamingQuery =
+                        partitionedStore: Boolean = false,
+                        noveltyFilter: Option[Array[Byte]] = None)
+      : StreamingQuery =
     runFileStream(spark, uploadDir, checkpointDir, schema,
-      TextOps.gateAndScrub) { (batch, _) =>
+      docs => TextOps.gateAndScrub(noveltyFilter.fold(docs)(bf =>
+        docs.filter(!graft.operators.BloomProbe.mightContain(bf,
+          md5(col("text").cast("binary"))))))) { (batch, _) =>
       if (partitionedStore)
         mergeCuratedBatchPartitioned(spark, batch, storePath)
       else mergeCuratedBatch(spark, batch, storePath)

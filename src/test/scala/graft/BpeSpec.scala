@@ -83,6 +83,38 @@ class BpeSpec extends SparkSpec {
     carriers.foreach(w => assert(t1(w).contains(l + r), s"word $w"))
   }
 
+  test("packing by TRUE tokenizer counts: BPE token sizes flow through " +
+    "the chunk grid and prefix sum") {
+    import graft.ext.TextOps
+    // the faithful production chain: chunk → count BPE tokens (not
+    // whitespace words) → pack to the context budget by prefix sum
+    val model = graft.ext.Bpe.BpeModel(referenceBpe(corpusTypes, Bpe.bpeMerges))
+    val chunks = TextOps.qChunk(spark, dir)
+      .select(col("doc_id"), col("chunk_id"),
+        size(Bpe.encode(col("chunk_text"), model)).cast("bigint")
+          .as("n_bpe_tokens"))
+    val packed = graft.operators.PrefixSum.withRunningTotal(
+        chunks, Seq(col("doc_id"), col("chunk_id")),
+        "n_bpe_tokens", "cum_bpe")
+      .withColumn("pack_id",
+        expr(s"(cum_bpe - n_bpe_tokens) div ${TextOps.packContext}"))
+      .collect()
+    // BPE merges compress: every chunk's token count is <= chars+1
+    // and >= 1; the running total is strictly increasing in the
+    // deterministic (doc_id, chunk_id) order and packs are contiguous
+    val byOrder = packed.sortBy(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+    var cum = 0L
+    byOrder.foreach { r =>
+      val n = r.getAs[Long]("n_bpe_tokens")
+      assert(n >= 1)
+      cum += n
+      assert(r.getAs[Long]("cum_bpe") === cum)
+    }
+    val packIds = byOrder.map(_.getAs[Long]("pack_id"))
+    assert(packIds.toSeq === packIds.sorted.toSeq) // monotone in stream order
+  }
+
   test("train stops when no pair repeats") {
     import spark.implicits._
     val types = Seq(("ab", 1L)).toDF("word", "n")

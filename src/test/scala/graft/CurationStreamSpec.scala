@@ -353,6 +353,38 @@ class CurationStreamSpec extends SparkSpec {
     assert(replayed === batch)
   }
 
+  test("novelty-gated curation stream: yesterday's corpus never re-enters the store") {
+    import graft.operators.BloomProbe
+    val tmp = Files.createTempDirectory("novelty-stream").toFile.getAbsolutePath
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val yesterday = docs.filter(col("doc_id") < 50)
+    val bf = BloomProbe.buildFilter(
+      yesterday.select(md5(col("text").cast("binary")).as("fp")), "fp",
+      expectedKeys = 100, fpRate = 0.001)
+    docs.coalesce(1).write.parquet(s"$tmp/upload/all")
+
+    CurationStream.runCurationStream(
+      spark, s"$tmp/upload/*", s"$tmp/store", s"$tmp/ckpt",
+      docs.schema, noveltyFilter = Some(bf)).awaitTermination()
+
+    val stored = spark.read.parquet(s"$tmp/store")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // no stored doc carries a text fingerprint from yesterday's set
+    val yFps = yesterday.select(md5(col("text").cast("binary")))
+      .collect().map(_.getString(0)).toSet
+    val storedFps = docs.filter(col("doc_id").isInCollection(stored))
+      .select(md5(col("text").cast("binary")))
+      .collect().map(_.getString(0)).toSet
+    assert(storedFps.intersect(yFps).isEmpty)
+    // and the novel survivors match the batch prefilter + curation
+    val batchEquivalent = graft.ext.TextOps.dedupScrubbed(
+        graft.ext.TextOps.gateAndScrub(BloomProbe.filterNovel(
+          docs.withColumn("fp", md5(col("text").cast("binary"))), "fp", bf)
+          .drop("fp")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored === batchEquivalent)
+  }
+
   test("line-stats stream: incremental docfreq equals batch stats; clean view " +
     "converges with retroactive displacement; redelivery is a value no-op") {
     import graft.ext.CorpusOps

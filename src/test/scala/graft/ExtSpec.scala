@@ -437,6 +437,18 @@ class ExtSpec extends SparkSpec {
       === graft.ext.CorpusOps.qVocab(spark, dir).count())
     assert(spark.sql("SELECT count(*) AS n FROM corpus_boilerplate")
       .head().getLong(0) === nDocs)
+    // rep_ratio rides in the same per-doc score table
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM doc_scores WHERE rep_ratio BETWEEN 0 AND 1")
+      .head().getLong(0) === nDocs)
+    // semantic-dedup verdict covers the embedding corpus; bpe merges
+    // are rank-contiguous
+    assert(spark.sql("SELECT count(*) AS n FROM semantic_dedup")
+      .head().getLong(0) ===
+      Tables(spark, dir, "embeddings").count())
+    val ranks = spark.sql("SELECT rank FROM bpe_merges ORDER BY rank")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ranks === ranks.indices.map(identity))
   }
 
   test("resolveDuplicates: keeps exactly one doc per cluster plus all singletons") {
