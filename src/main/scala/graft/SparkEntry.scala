@@ -147,6 +147,7 @@ object SparkEntry {
     "q_rep_ratio" -> graft.ext.TextOps.qRepRatioSql,
     "q_group_cap" -> graft.ext.TextOps.qGroupCapSql,
     "q_vocab" -> graft.ext.CorpusOps.qVocabSql,
+    "q_bpe_train" -> graft.ext.Bpe.qBpeTrainSql,
     "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
@@ -160,10 +161,10 @@ object SparkEntry {
     // rows-only; BloomProbeSpec proves the one-sided contract (zero
     // false negatives, bounded false positives) and the plan (native
     // might_contain, no UDF).
-    // q_bpe_train: deterministic integer arithmetic, but the training
-    // loop is driver-coordinated rounds (like k-means) — not one SQL
-    // statement; BpeSpec replays the identical loop driver-side and
-    // asserts every merge row equal.
+    // q_bpe_train IS oracle-checked above — the iterative training
+    // loop unrolls into generated per-round CTEs (qBpeTrainSql), the
+    // winnow/simhash full-replay technique; BpeSpec additionally
+    // replays it in driver-side Scala.
     // q_semdedup: verdict over seeded-kmeans cells (same posture as
     // q_ann_ivf) — SemDedupSpec proves survivor policy + the
     // no-surviving-duplicate-pair invariant against driver-side brute

@@ -118,10 +118,10 @@ object Bpe {
 
   /** Driver query: the ordered merge table trained on the corpus's
     * word-frequency types — deterministic integer arithmetic end to
-    * end, but the TRAINING LOOP is iterative (driver-coordinated rounds,
-    * like k-means) and not expressible as one SQL statement, so the
-    * driver records rows-only; BpeSpec replays the identical loop in
-    * driver-side Scala and asserts every merge row equal. */
+    * end, and despite the iterative training loop it IS fully
+    * SQL-replayable: [[qBpeTrainSql]] unrolls the rounds into
+    * generated CTEs (the winnow/simhash full-replay technique), so the
+    * driver hash-checks every (rank, left, right, pair_count) row. */
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val types = Tables(spark, dir, "documents")
@@ -131,5 +131,67 @@ object Bpe {
       train(types)
     }
     model.merges.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** FULL SQL replay of the training loop, one generated CTE group per
+    * round — the technique that made winnow and simhash hash-green.
+    *
+    * The key trick is the segmentation REPRESENTATION: each type's
+    * symbol sequence is one string with every symbol wrapped as
+    * `chr(31) sym chr(30)` (unit/record separators — absent from any
+    * corpus word and from `</w>`). Then applying merge (l, r) is
+    * exactly
+    *   replace(seg, chr(31)·l·chr(30)·chr(31)·r·chr(30),
+    *                chr(31)·l·r·chr(30))
+    * — SQL `replace` substitutes left-to-right non-overlapping, which
+    * is precisely reference BPE's greedy application order, and the
+    * full-symbol delimiters make mid-symbol false matches impossible.
+    * Each round re-splits the strings to count adjacent pairs, picks
+    * the argmax by the same (cnt desc, l, r) total order as the
+    * engine, and feeds it into the next round's replace via scalar
+    * subqueries. Early stop falls out: once the max count drops below
+    * 2 the segmentation never changes, every later round re-picks the
+    * same sub-2 pair, and the final `WHERE cnt >= 2` filter drops them
+    * all — matching the engine's stop exactly. */
+  val qBpeTrainSql: String = {
+    val f = "chr(31)" // symbol start
+    val e = "chr(30)" // symbol end
+    val rounds = (0 until bpeMerges).map { i =>
+      s"""p$i AS (
+        |  SELECT t[j] AS l, t[j+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT n,
+        |          string_split(substr(seg, 2, length(seg) - 2), $e || $f)
+        |            AS t
+        |        FROM segs$i),
+        |       LATERAL unnest(generate_series(1, len(t) - 1)) AS u(j)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |segs${i + 1} AS MATERIALIZED (
+        |  SELECT n, CASE WHEN (SELECT cnt FROM m$i) >= 2
+        |    THEN replace(seg,
+        |      (SELECT $f || l || $e || $f || r || $e FROM m$i),
+        |      (SELECT $f || l || r || $e FROM m$i))
+        |    ELSE seg END AS seg
+        |  FROM segs$i)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (0 until bpeMerges).map { i =>
+      s"SELECT $i AS rank, l AS \"left\", r AS \"right\", cnt AS pair_count FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH types AS (
+      |  SELECT word, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  GROUP BY word),
+      |segs0 AS MATERIALIZED (
+      |  SELECT n,
+      |    $f || array_to_string(
+      |      list_append(string_split(word, ''), '$eow'), $e || $f) || $e
+      |      AS seg
+      |  FROM types),
+      |$rounds
+      |SELECT CAST(rank AS INT) AS rank, "left", "right", pair_count
+      |FROM ($ranks)
+      |WHERE pair_count >= 2""".stripMargin
   }
 }
