@@ -60,6 +60,8 @@ object SparkEntry {
     "q_decontaminate" -> (graft.ext.Dedup.qDecontaminate _),
     "q_contam_frac" -> (graft.ext.Dedup.qContamFrac _),
     "q_pack" -> (graft.ext.TextOps.qPack _),
+    "q_pack_boundaries" -> (graft.ext.TextOps.qPackBoundaries _),
+    "q_manifest" -> (graft.ext.TextOps.qManifest _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
     "q_stratified_sample" -> (graft.ext.TextOps.qStratifiedSample _),
@@ -131,6 +133,8 @@ object SparkEntry {
     "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
     "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
     "q_pack" -> graft.ext.TextOps.qPackSql,
+    "q_pack_boundaries" -> graft.ext.TextOps.qPackBoundariesSql,
+    "q_manifest" -> graft.ext.TextOps.qManifestSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,
     "q_stratified_sample" -> graft.ext.TextOps.qStratifiedSampleSql,

@@ -479,6 +479,87 @@ object TextOps {
       |),
       |${packAfterChunksSql()}""".stripMargin
 
+  /** Per-pack SAMPLE BOUNDARIES — the metadata a trainer needs to mask
+    * attention across packed documents: for each pack, the ordered
+    * list of (doc_id, chunk_id, start_off) with the chunk's starting
+    * token offset WITHIN the pack. Derived purely from [[qPack]]'s
+    * assignment (start_off = (cum − n) mod context); the per-pack list
+    * is array_sort over collect_list — per-GROUP work bounded by
+    * context/min-chunk, never a window, and deterministic because the
+    * (doc_id, chunk_id) order is total. */
+  def qPackBoundaries(spark: SparkSession, dir: String): DataFrame =
+    qPack(spark, dir)
+      .select(col("pack_id"),
+        struct(col("doc_id"), col("chunk_id"),
+          ((col("cum_tokens") - col("n_chunk_tokens")) %
+            packContext).as("start_off")).as("b"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_samples"),
+        array_join(transform(array_sort(collect_list(col("b"))),
+            x => concat_ws(":", x.getField("doc_id"),
+              x.getField("chunk_id"), x.getField("start_off"))),
+          ";").as("boundaries"))
+
+  val qPackBoundariesSql: String =
+    s"""WITH packed AS (
+      |${qPackSql.linesIterator.map("  " + _).mkString("\n")}
+      |)
+      |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  string_agg(
+      |    doc_id || ':' || chunk_id || ':' ||
+      |      ((cum_tokens - n_chunk_tokens) % $packContext),
+      |    ';' ORDER BY doc_id, chunk_id) AS boundaries
+      |FROM packed GROUP BY pack_id""".stripMargin
+
+  /** Corpus MANIFEST — the dataset-versioning artifact: one row with
+    * the doc/token totals and a two-level Merkle digest of the corpus
+    * content. Each doc contributes md5(text); docs hash-partition into
+    * [[manifestBuckets]] buckets whose digests are md5 over their
+    * members' digests in doc_id order; the root is md5 over bucket
+    * digests in bucket order. Two reasons this shape survives 100 TB:
+    * per-bucket concatenation is GROUPED (shuffle carries 32-hex
+    * digests, not text), and the root folds [[manifestBuckets]] small
+    * strings on one row. Any engine replays it — the driver
+    * hash-checks the root — and two corpora are byte-identical iff
+    * their roots match (mod md5 collisions). */
+  val manifestBuckets = 64
+
+  def qManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val perDoc = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(manifestBuckets.toLong)).as("bkt"),
+      md5(col("text").cast("binary")).as("dh"),
+      size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+    val buckets = perDoc.groupBy("bkt")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("dh")))),
+            x => x.getField("dh")), "").cast("binary")).as("bh"))
+    buckets
+      .select(col("n_docs"), col("n_tokens"),
+        struct(col("bkt"), col("bh")).as("b"))
+      .agg(sum("n_docs").cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("n_tokens"),
+        md5(array_join(transform(array_sort(collect_list(col("b"))),
+          x => x.getField("bh")), "").cast("binary")).as("corpus_md5"))
+  }
+
+  val qManifestSql: String =
+    s"""WITH per_doc AS (
+      |  SELECT doc_id, doc_id % $manifestBuckets AS bkt,
+      |    md5(text) AS dh,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |buckets AS (
+      |  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |    md5(string_agg(dh, '' ORDER BY doc_id)) AS bh
+      |  FROM per_doc GROUP BY bkt)
+      |SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(bh, '' ORDER BY bkt)) AS corpus_md5
+      |FROM buckets""".stripMargin
+
   /** The last meter of the pipeline: write packed sequences as training
     * SHARD files. `repartitionByRange(pack_id)` gives each shard a
     * contiguous pack range (a pack's chunks never straddle shard

@@ -451,6 +451,52 @@ class ExtSpec extends SparkSpec {
     assert(ranks === ranks.indices.map(identity))
   }
 
+  test("pack boundaries: every chunk appears exactly once, offsets inside the context") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.qPackBoundaries(spark, dir).collect()
+    val entries = rows.flatMap { r =>
+      val bs = r.getAs[String]("boundaries").split(";")
+      assert(bs.length.toLong === r.getAs[Long]("n_samples"))
+      bs.map { b =>
+        val Array(d, c, off) = b.split(":").map(_.toLong)
+        assert(off >= 0 && off < TextOps.packContext)
+        (d, c)
+      }
+    }
+    val allChunks = TextOps.qChunk(spark, dir)
+      .select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(entries.sorted.toSeq === allChunks.sorted.toSeq) // partition, no dup/loss
+  }
+
+  test("manifest: totals match the corpus and the Merkle root detects any text change") {
+    import org.apache.spark.sql.functions._
+    val m = TextOps.qManifest(spark, dir).collect().head
+    val docs = Tables(spark, dir, "documents")
+    assert(m.getAs[Long]("n_docs") === docs.count())
+    assert(m.getAs[Long]("n_tokens") ===
+      docs.select(sum(size(split(col("text"), " ")))).head().getLong(0))
+    // driver-side replay of the two-level digest — and a one-character
+    // corpus change flips the root
+    def root(texts: Map[Long, String]): String = {
+      def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val byBkt = texts.toSeq
+        .map { case (id, t) => (id % TextOps.manifestBuckets, id, md5s(t)) }
+        .groupBy(_._1)
+      val bhs = byBkt.toSeq.map { case (b, v) =>
+        b -> md5s(v.sortBy(_._2).map(_._3).mkString)
+      }.sortBy(_._1)
+      md5s(bhs.map(_._2).mkString)
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.getAs[String]("corpus_md5") === root(texts))
+    val tampered = texts.updated(texts.keys.head,
+      texts(texts.keys.head) + "x")
+    assert(root(tampered) !== m.getAs[String]("corpus_md5"))
+  }
+
   test("resolveDuplicates: keeps exactly one doc per cluster plus all singletons") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
