@@ -48,8 +48,7 @@ object CurationViews {
     val docs = graft.Tables(spark, dir, "documents")
     CorpusOps.classify(docs)
       .join(CorpusOps.qLmScore(spark, dir), Seq("doc_id"))
-      .join(docs.select(col("doc_id"),
-        TextOps.repRatioHof(col("text")).as("rep_ratio")), Seq("doc_id"))
+      .join(TextOps.qRepRatio(spark, dir), Seq("doc_id"))
       .createOrReplaceTempView("doc_scores")
     CorpusOps.qBoilerplate(spark, dir)
       .createOrReplaceTempView("corpus_boilerplate")

@@ -526,8 +526,11 @@ object TextOps {
 
   def qManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // sign-preserving % (not pmod) so the Spark, DuckDB and spec-replay
+    // formulations agree on bucket membership for ANY doc_id domain —
+    // a negative id would bucket differently under pmod vs SQL's %
     val perDoc = docs.select(col("doc_id"),
-      pmod(col("doc_id"), lit(manifestBuckets.toLong)).as("bkt"),
+      (col("doc_id") % manifestBuckets.toLong).as("bkt"),
       md5(col("text").cast("binary")).as("dh"),
       size(split(col("text"), " ")).cast("bigint").as("n_toks"))
     val buckets = perDoc.groupBy("bkt")
