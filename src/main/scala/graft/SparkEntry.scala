@@ -79,6 +79,7 @@ object SparkEntry {
     "q_group_cap" -> (graft.ext.TextOps.qGroupCap _),
     "q_vocab" -> (graft.ext.CorpusOps.qVocab _),
     "q_bpe_train" -> (graft.ext.Bpe.qBpeTrain _),
+    "q_bpe_encode" -> (graft.ext.Bpe.qBpeEncode _),
     "q_bloom_novel" -> (graft.operators.BloomProbe.qBloomNovel _),
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_group_cap" -> graft.ext.TextOps.qGroupCapSql,
     "q_vocab" -> graft.ext.CorpusOps.qVocabSql,
     "q_bpe_train" -> graft.ext.Bpe.qBpeTrainSql,
+    "q_bpe_encode" -> graft.ext.Bpe.qBpeEncodeSql,
     "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,

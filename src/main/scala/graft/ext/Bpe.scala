@@ -133,6 +133,79 @@ object Bpe {
     model.merges.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Corpus tokenization — count BPE tokens per document under the
+    * trained (memoized) model, as codegen'd STRING ops rather than the
+    * interpreted array folds of [[encode]]: the segmentation is the
+    * same delimiter-wrapped string the SQL oracle uses (every
+    * non-space char wrapped `chr(31) c chr(30)`, an `</w>` token
+    * appended per word), each merge is one `replace`, and the token
+    * count is the number of `chr(31)` markers left. Pure map, no
+    * shuffle, whole-stage codegen end to end — the encoding path you
+    * run over 100 TB, with [[encode]] kept as the array-form for
+    * callers who need the actual token list. */
+  private val symF = "\u001f" // symbol start marker
+  private val symE = "\u001e" // symbol end marker
+
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.util.SessionCache.memoize(spark, "bpe", dir) {
+      train(Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n")))
+    }
+    val eowTok = symF + eow + symE
+    // text + ' ' -> wrap every non-space char -> each space becomes the
+    // word's `</w>` token (words end up concatenated; cross-word merge
+    // matches are impossible: a trained LEFT symbol never contains
+    // `</w>` - nothing follows a word-final symbol in training - and
+    // the full-symbol delimiters force exact-symbol matches)
+    val seg0 = regexp_replace(
+      regexp_replace(concat(col("text"), lit(" ")),
+        "([^ ])", symF + "$1" + symE),
+      " ", eowTok)
+    val segN = model.merges.foldLeft(seg0) { case (s, (_, l, r, _)) =>
+      regexp_replace(s,
+        java.util.regex.Pattern.quote(symF + l + symE + symF + r + symE),
+        java.util.regex.Matcher.quoteReplacement(symF + l + r + symE))
+    }
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      (length(segN) - length(regexp_replace(segN, symF, "")))
+        .cast("bigint").as("n_bpe_tokens"))
+  }
+
+  /** SQL twin: the training CTEs supply the merges; the encode chain
+    * applies them with the identical `replace` semantics and counts
+    * the remaining symbol-start markers. Rounds past the early stop
+    * no-op by replacing a pattern (`chr(31)chr(31)`) that cannot occur
+    * in a well-formed segmentation - the accumulator appears ONCE per
+    * round, keeping the generated text linear in rounds. */
+  lazy val qBpeEncodeSql: String = {
+    val f = "chr(31)"
+    val e = "chr(30)"
+    val chain = (0 until bpeMerges).foldLeft("seg0") { (acc, i) =>
+      s"""replace($acc,
+        |  (SELECT CASE WHEN cnt >= 2
+        |     THEN $f || l || $e || $f || r || $e
+        |     ELSE $f || $f END FROM m$i),
+        |  (SELECT $f || l || r || $e FROM m$i))""".stripMargin
+    }
+    val ctePrefix = qBpeTrainSql
+      .substring(0, qBpeTrainSql.lastIndexOf("SELECT CAST(rank")).trim
+      .stripSuffix(",")
+    s"""$ctePrefix,
+      |docsegs AS (
+      |  SELECT doc_id,
+      |    replace(regexp_replace(text || ' ', '([^ ])',
+      |        $f || '\\1' || $e, 'g'),
+      |      ' ', $f || '$eow' || $e) AS seg0
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(x) - length(replace(x, $f, '')) AS BIGINT)
+      |    AS n_bpe_tokens
+      |FROM (SELECT doc_id, $chain AS x FROM docsegs)""".stripMargin
+  }
+
+
   /** FULL SQL replay of the training loop, one generated CTE group per
     * round — the technique that made winnow and simhash hash-green.
     *

@@ -115,6 +115,26 @@ class BpeSpec extends SparkSpec {
     assert(packIds.toSeq === packIds.sorted.toSeq) // monotone in stream order
   }
 
+  test("string-form corpus encoding equals the array-form token counts") {
+    import org.apache.spark.sql.functions._
+    // two independent formulations of the same tokenizer: the
+    // codegen'd replace-chain (qBpeEncode) and the aggregate-HOF fold
+    // (encode) must count identically on every document
+    val model = graft.ext.Bpe.BpeModel(referenceBpe(corpusTypes, Bpe.bpeMerges))
+    val viaString = Bpe.qBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaArray = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Bpe.encode(col("text"), model)).cast("bigint").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaString === viaArray)
+    // sanity: merges compress — fewer tokens than characters+words
+    val chars = Tables(spark, dir, "documents")
+      .select(sum(length(regexp_replace(col("text"), " ", ""))),
+        sum(size(split(col("text"), " ")))).head()
+    assert(viaString.values.sum < chars.getLong(0) + chars.getLong(1))
+  }
+
   test("train stops when no pair repeats") {
     import spark.implicits._
     val types = Seq(("ab", 1L)).toDF("word", "n")
