@@ -217,7 +217,12 @@ object ScaleCheck {
         // round-6 embedding family (embeddings scale as of harness v2):
         // semdedup's k≈√n quantizer keeps within-cell mining ~n^1.5,
         // ann_ivf's probe prunes to ~nprobe/k of the corpus
-        "q_semdedup", "q_ann_ivf")
+        "q_semdedup", "q_ann_ivf",
+        // round-6 tokenizer/versioning family: per-pass cost is the
+        // map-side work (encode replace-chain, bloom probe, digest
+        // tree) — the trained/built artifacts are memoized per dir
+        "q_bpe_encode", "q_bloom_novel", "q_pack_boundaries",
+        "q_manifest")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
