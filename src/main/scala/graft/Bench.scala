@@ -43,11 +43,20 @@ object Bench {
       // pass never pays a predecessor's collection debt
       System.gc()
     }
-    // Untimed warm-up: run everything once (codegen, classloading, file
-    // listing, broadcast build paths all get hot).
-    qs.foreach { case (_, fn) =>
+    // Warm-up: run everything once (codegen, classloading, file listing,
+    // broadcast build paths all get hot). The pass stays OUTSIDE the
+    // headline timing, but since round 7 each query's warm-up duration is
+    // published as the `cold` map: for the memoized families (the jaccard
+    // pair view, the BPE/LM models, the IVF index, decoded media
+    // features) this is the only number that includes the artifact-build
+    // cost — without it, 0.03 s cache-hit readings made round-over-round
+    // claims on those families unfalsifiable.
+    val coldTimes = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
       clean()
+      name -> t
     }
     // Min of two timed passes: a single pass is exposed to one-off GC /
     // OS noise (observed inflating a 3 s query to 12 s); the minimum of
@@ -72,15 +81,18 @@ object Bench {
     val pjson = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val cjson = coldTimes.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","queries":$qjson,"passes":$pjson,"sf":"$sfDir"}""")
-    // The driver captures the TAIL of stdout; the full line above leads with
-    // the total and ends with the long `passes` blob, so a tail capture can
-    // truncate away the total and the first queries (observed: BENCH_r04/r05
-    // both "parsed": null). Emit a second, short summary line LAST — total +
-    // per-query mins only, no passes — so any tail capture contains a
-    // complete parseable artifact.
+    // Detail first, headline LAST. The driver captures the TAIL of stdout
+    // and rounds 4-6 all lost the total to head-truncation of a multi-KB
+    // line (even round 6's "short" second line carried the full 69-entry
+    // queries map). So: full detail line (queries + raw passes + cold
+    // warm-up durations), then the per-query mins, then a FINAL line of a
+    // few dozen bytes — total only — that survives any tail window.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","queries":$qjson,"passes":$pjson,"cold":$cjson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}}""")
     spark.stop()
   }
 }

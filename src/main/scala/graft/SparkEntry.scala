@@ -80,6 +80,7 @@ object SparkEntry {
     "q_vocab" -> (graft.ext.CorpusOps.qVocab _),
     "q_bpe_train" -> (graft.ext.Bpe.qBpeTrain _),
     "q_bpe_encode" -> (graft.ext.Bpe.qBpeEncode _),
+    "q_bpe_tokenize" -> (graft.ext.Bpe.qBpeTokenize _),
     "q_bloom_novel" -> (graft.operators.BloomProbe.qBloomNovel _),
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
@@ -154,6 +155,9 @@ object SparkEntry {
     "q_vocab" -> graft.ext.CorpusOps.qVocabSql,
     "q_bpe_train" -> graft.ext.Bpe.qBpeTrainSql,
     "q_bpe_encode" -> graft.ext.Bpe.qBpeEncodeSql,
+    // the production broadcast-table tokenizer must count exactly like
+    // the replace chain — SAME oracle text, independently hash-checked
+    "q_bpe_tokenize" -> graft.ext.Bpe.qBpeEncodeSql,
     "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,

@@ -105,7 +105,20 @@ object Bpe {
   /** ENCODE a text column with a trained model: segment each word to
     * characters + `</w>` and apply every merge in rank order — the
     * tokenizer's inference path, a pure map (chained codegen folds, no
-    * shuffle, no state). Returns the token array column. */
+    * shuffle, no state). Returns the token array column.
+    *
+    * Words are the non-empty splits on spaces: leading / trailing /
+    * repeated spaces contribute NO tokens, so this form, the
+    * string-replace form ([[qBpeEncode]], which normalizes whitespace
+    * before wrapping) and the native [[encodeFast]] agree on arbitrary
+    * input, not just single-spaced corpora.
+    *
+    * SCALE CEILING (by design): one plan node per merge — exactly
+    * right at the 20-merge oracle scale, not compilable at a
+    * production vocabulary's 10⁴–10⁵ merges (64 KB JVM method limit →
+    * interpreted fallback, one pass per merge per document). The
+    * production path is [[encodeFast]]: same semantics, one plan node
+    * at any merge count. */
   def encode(text: Column, model: BpeModel): Column = {
     val word = (w: Column) => {
       val init = concat(split(w, ""), array(lit(eow)))
@@ -113,7 +126,25 @@ object Bpe {
         applyMerge(syms, l, r)
       }
     }
-    flatten(transform(split(text, " "), word))
+    flatten(transform(
+      filter(split(text, " "), w => w =!= lit("")), word))
+  }
+
+  /** Production ENCODE — [[encode]]'s semantics behind ONE native
+    * expression ([[org.apache.spark.sql.graftshim.BpeTokenize]]): the
+    * merge table travels as a BROADCAST (data, not plan), so the plan
+    * is a single whole-stage-codegen'd node whether the model has 20
+    * merges or 10⁵, and each executor pays the table transfer once.
+    * Per word it runs the sparse rank-cursor fold (O(applied·|word|))
+    * with a bounded word→tokens cache exploiting Zipf repetition.
+    * BpeSpec proves token-for-token equality with [[encode]] at the
+    * oracle scale AND with the driver-side reference fold at ≥1000
+    * trained merges. */
+  def encodeFast(spark: SparkSession, text: Column,
+                 model: BpeModel): Column = {
+    val bc = spark.sparkContext.broadcast(
+      model.merges.map { case (_, l, r, _) => (l, r) }.toArray)
+    org.apache.spark.sql.graftshim.BpeTokenize.bpeTokenize(text, bc, eow)
   }
 
   /** Driver query: the ordered merge table trained on the corpus's
@@ -146,30 +177,72 @@ object Bpe {
   private val symF = "\u001f" // symbol start marker
   private val symE = "\u001e" // symbol end marker
 
+  /** Token COUNT via the string-replace chain — the column qBpeEncode
+    * computes, exposed so BpeSpec can cross-check the string form
+    * against the array and native forms on arbitrary text (whitespace
+    * edge cases included), not just the corpus. */
+  def countTokensStringForm(text: Column, model: BpeModel): Column = {
+    val eowTok = symF + eow + symE
+    // normalize whitespace FIRST (trim + collapse runs) so each
+    // remaining space is exactly one word boundary — without this,
+    // leading/trailing/repeated spaces would each mint a spurious
+    // `</w>` token here while [[encode]]'s split-and-filter yields
+    // none, and the two formulations would disagree off the
+    // single-spaced test corpus
+    val norm = regexp_replace(trim(text), " +", " ")
+    // norm + ' ' -> wrap every non-space char -> each space becomes the
+    // word's `</w>` token (words end up concatenated; cross-word merge
+    // matches are impossible: a trained LEFT symbol never contains
+    // `</w>` - nothing follows a word-final symbol in training - and
+    // the full-symbol delimiters force exact-symbol matches). All-space
+    // or empty text has no words: empty segmentation, zero tokens.
+    val seg0 = when(norm === "", lit("")).otherwise(
+      regexp_replace(
+        regexp_replace(concat(norm, lit(" ")),
+          "([^ ])", symF + "$1" + symE),
+        " ", eowTok))
+    val segN = model.merges.foldLeft(seg0) { case (s, (_, l, r, _)) =>
+      regexp_replace(s,
+        java.util.regex.Pattern.quote(symF + l + symE + symF + r + symE),
+        java.util.regex.Matcher.quoteReplacement(symF + l + r + symE))
+    }
+    (length(segN) - length(regexp_replace(segN, symF, ""))).cast("bigint")
+  }
+
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val model = graft.util.SessionCache.memoize(spark, "bpe", dir) {
       train(Tables(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n")))
     }
-    val eowTok = symF + eow + symE
-    // text + ' ' -> wrap every non-space char -> each space becomes the
-    // word's `</w>` token (words end up concatenated; cross-word merge
-    // matches are impossible: a trained LEFT symbol never contains
-    // `</w>` - nothing follows a word-final symbol in training - and
-    // the full-symbol delimiters force exact-symbol matches)
-    val seg0 = regexp_replace(
-      regexp_replace(concat(col("text"), lit(" ")),
-        "([^ ])", symF + "$1" + symE),
-      " ", eowTok)
-    val segN = model.merges.foldLeft(seg0) { case (s, (_, l, r, _)) =>
-      regexp_replace(s,
-        java.util.regex.Pattern.quote(symF + l + symE + symF + r + symE),
-        java.util.regex.Matcher.quoteReplacement(symF + l + r + symE))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      countTokensStringForm(col("text"), model).as("n_bpe_tokens"))
+  }
+
+  /** Corpus tokenization via the PRODUCTION path — [[encodeFast]]'s
+    * single broadcast-table expression instead of qBpeEncode's
+    * per-merge replace chain. Same output by construction (BpeSpec
+    * proves token equality; this query hash-checks the counts against
+    * the identical SQL oracle as q_bpe_encode), but the plan is ONE
+    * codegen'd node at any merge count — this is the query shape you
+    * run at a 10⁵-merge production vocabulary, where the replace
+    * chain cannot compile. The broadcast is session-memoized next to
+    * the model so repeated calls reuse one executor-resident table. */
+  def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.util.SessionCache.memoize(spark, "bpe", dir) {
+      train(Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n")))
+    }
+    val bc = graft.util.SessionCache.memoize(spark, "bpe_bc", dir) {
+      spark.sparkContext.broadcast(
+        model.merges.map { case (_, l, r, _) => (l, r) }.toArray)
     }
     Tables(spark, dir, "documents").select(
       col("doc_id"),
-      (length(segN) - length(regexp_replace(segN, symF, "")))
+      size(org.apache.spark.sql.graftshim.BpeTokenize
+          .bpeTokenize(col("text"), bc, eow))
         .cast("bigint").as("n_bpe_tokens"))
   }
 
@@ -178,16 +251,24 @@ object Bpe {
     * the remaining symbol-start markers. Rounds past the early stop
     * no-op by replacing a pattern (`chr(31)chr(31)`) that cannot occur
     * in a well-formed segmentation - the accumulator appears ONCE per
-    * round, keeping the generated text linear in rounds. */
+    * round, keeping the generated text linear in rounds. Scalar
+    * subqueries over an EMPTY round table (a corpus that exhausts its
+    * merges before round `bpeMerges`) are COALESCE-guarded to the same
+    * no-op pattern, matching the engine's early stop. */
   lazy val qBpeEncodeSql: String = {
     val f = "chr(31)"
     val e = "chr(30)"
     val chain = (0 until bpeMerges).foldLeft("seg0") { (acc, i) =>
+      // COALESCE: when m$i is EMPTY (degenerate corpus fully merged
+      // before round bpeMerges) the scalar subqueries are NULL, and an
+      // unguarded replace(acc, NULL, NULL) would null the whole chain;
+      // guard to the same cannot-occur pattern as the sub-2 case so
+      // exhausted rounds no-op exactly like the training CTEs
       s"""replace($acc,
-        |  (SELECT CASE WHEN cnt >= 2
+        |  COALESCE((SELECT CASE WHEN cnt >= 2
         |     THEN $f || l || $e || $f || r || $e
-        |     ELSE $f || $f END FROM m$i),
-        |  (SELECT $f || l || r || $e FROM m$i))""".stripMargin
+        |     ELSE $f || $f END FROM m$i), $f || $f),
+        |  COALESCE((SELECT $f || l || r || $e FROM m$i), ''))""".stripMargin
     }
     val ctePrefix = qBpeTrainSql
       .substring(0, qBpeTrainSql.lastIndexOf("SELECT CAST(rank")).trim
@@ -195,10 +276,13 @@ object Bpe {
     s"""$ctePrefix,
       |docsegs AS (
       |  SELECT doc_id,
-      |    replace(regexp_replace(text || ' ', '([^ ])',
+      |    CASE WHEN t = '' THEN ''
+      |    ELSE replace(regexp_replace(t || ' ', '([^ ])',
       |        $f || '\\1' || $e, 'g'),
-      |      ' ', $f || '$eow' || $e) AS seg0
-      |  FROM documents)
+      |      ' ', $f || '$eow' || $e) END AS seg0
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(trim(text), ' +', ' ', 'g') AS t
+      |        FROM documents))
       |SELECT doc_id,
       |  CAST(length(x) - length(replace(x, $f, '')) AS BIGINT)
       |    AS n_bpe_tokens

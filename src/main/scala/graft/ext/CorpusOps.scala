@@ -150,11 +150,29 @@ object CorpusOps {
     * the threshold is "≥ 2 distinct docs", the predicate is exactly
     * `min(doc_id) ≠ max(doc_id)` over the line's occurrences — and
     * MIN/MAX partials fold map-side, so the hottest line ships ONE row
-    * per input partition through the shuffle. The anti join is a plain
-    * hash join on the long key (no cap needed — the common-line table
-    * is at most one row per distinct line, bounded by corpus size).
-    * Reassembly sorts WITHIN each doc's group (array_sort over
-    * (line_id, text) structs — per-group, never a global window). */
+    * per input partition through the shuffle. The model build is
+    * BOUNDED, not corpus-proportional: singleton lines (the unbounded,
+    * vocabulary-driven part of the line population) are dropped BEFORE
+    * the exact per-line aggregation by a bucketed pre-filter over a
+    * FIXED modulus (see [[commonLineHashes]]) — boilerplate is by
+    * definition high-docfreq, so a frequency floor loses nothing. The
+    * anti join is a plain hash join on the long key, its build side
+    * now bounded by true-common lines + collision noise rather than
+    * corpus vocabulary. Reassembly sorts WITHIN each doc's group
+    * (array_sort over (line_id, text) structs — per-group, never a
+    * global window).
+    *
+    * Exactness caveat (stated, like every hash-keyed operator here):
+    * lines are identified by their 64-bit xxhash64, while the stated
+    * semantics and the SQL oracle key on line TEXT. A hash collision
+    * conflates two distinct lines — potentially stripping a unique
+    * line whose hash twin is common. Negligible at test scale; at the
+    * 100 TB posture birthday collisions become plausible (n²/2·2⁻⁶⁴:
+    * ~3% chance of one conflated pair at 10⁹ distinct lines, ~3
+    * expected pairs at 10¹⁰), each costing at most one mis-stripped
+    * line per affected document. Where that matters, verify flagged lines
+    * by text in the anti join (text moves only for the ~common sliver,
+    * so the exactness upgrade is cheap). */
   /** The deterministic line grid over (doc_id, text):
     * (doc_id, line_id, line_text, lh) — shared by the batch operator,
     * the streaming line-stats store, and the specs. */
@@ -187,6 +205,55 @@ object CorpusOps {
     docLines(docs).groupBy("lh")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
 
+  /** Bucket modulus for [[commonLineHashes]]' pre-filter — the size
+    * the intermediate model build is bounded by, independent of corpus
+    * vocabulary. 2²¹ longs ≈ 16 MB as a broadcast candidate set. */
+  val boilerplateBuckets: Long = 1L << 21
+
+  /** The hashes of common (≥ 2 distinct docs) lines, with the exact
+    * per-line aggregation bounded by a CONSTANT instead of corpus
+    * vocabulary. Rationale: distinct lines grow with the corpus (the
+    * 100× ScaleCheck measured the old single-phase build at 15.8× time
+    * for 100× data, all of it vocabulary-driven singleton lines riding
+    * the docfreq shuffle), but boilerplate is by definition
+    * HIGH-docfreq — so a frequency floor drops the singleton mass
+    * without changing any verdict. Two phases:
+    *
+    *   1. bucket stats — `min/max(doc_id)` per `lh mod 2²¹`: map-side
+    *      combine folds each task's lines into ≤ [[boilerplateBuckets]]
+    *      partials, so the shuffle and the resulting model are both
+    *      bounded by the fixed modulus at ANY corpus size. A bucket
+    *      with mn = mx holds ONLY lines confined to one document —
+    *      every line in it is provably non-boilerplate.
+    *   2. exact stats over candidate lines only — lines in mn ≠ mx
+    *      buckets (true commons + the singleton sliver colliding with
+    *      them, ~singletons/2²¹ per common bucket) join the broadcast
+    *      candidate set and re-aggregate at full lh precision, where
+    *      genuine singletons are rejected exactly as before.
+    *
+    * Verdict equality (CorpusOpsSpec proves it, including under a
+    * forced 8-bucket modulus where every bucket collides): a ≥2-doc
+    * line always lands in a ≥2-doc bucket, so phase 1 never drops a
+    * true common; phase 2 is the original exact test. The price is a
+    * second corpus scan (docLines is map-only) — at scale that is far
+    * cheaper than shuffling the full vocabulary. */
+  private[graft] def commonLineHashes(
+      docs: DataFrame, buckets: Long = boilerplateBuckets): DataFrame = {
+    val lines = docLines(docs)
+    val bkt = pmod(col("lh"), lit(buckets))
+    val candidateBuckets = lines
+      .groupBy(bkt.as("bkt"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("bkt")
+    lines
+      .join(broadcast(candidateBuckets), bkt === col("bkt"), "left_semi")
+      .groupBy("lh")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("lh")
+  }
+
   /** Rewrite `docs` with every line in `commonLh` (a one-column `lh`
     * frame) stripped — the back half of [[boilerplate]], shared with
     * the streaming clean-corpus view (where `commonLh` comes from the
@@ -210,8 +277,7 @@ object CorpusOps {
   }
 
   def boilerplate(docs: DataFrame): DataFrame =
-    removeLines(docs,
-      lineStats(docs).filter(col("mn") =!= col("mx")).select("lh"))
+    removeLines(docs, commonLineHashes(docs))
 
   def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplate(Tables(spark, dir, "documents"))

@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions.col
   * [[graft.util.SessionCache.clear]], like any materialized view. */
 object CurationViews {
 
-  /** Register `dup_pairs`, `dup_clusters`, `corpus_dedup`, `doc_stats`,
-    * `corpus_mixture`, `corpus_shuffle`, `corpus_vocab`, `doc_scores`
-    * and `corpus_boilerplate` (plus the base tables) as temp views over
-    * `dir`. */
+  /** Register the CHEAP curation views — `dup_pairs`, `dup_clusters`,
+    * `corpus_dedup`, `doc_stats`, `corpus_mixture`, `corpus_shuffle`,
+    * `corpus_vocab`, `corpus_boilerplate` (plus the base tables) — as
+    * temp views over `dir`. Registration is lazy (plans, not jobs);
+    * the first QUERY of a view pays its build, after which the
+    * memoized artifacts (the jaccard pair view, the contraction
+    * fixpoint) serve every later reader.
+    *
+    * The MODEL-backed views (`doc_scores`, `semantic_dedup`,
+    * `bpe_merges`) are deliberately NOT here: their registration alone
+    * executes heavy builds eagerly — BPE training runs `bpeMerges`
+    * sequential Spark jobs with a driver argmax per round, SemDeDup
+    * counts the corpus and builds the IVF index, the LM view trains
+    * and checkpoints the bigram model. Callers who want them opt in
+    * via [[createModelViews]] and pay that cost knowingly, instead of
+    * it taxing every caller who only wanted `doc_stats`. */
   def createAll(spark: SparkSession, dir: String): Unit = {
     graft.Tables.registerAll(spark, dir)
     Dedup.jaccardPairs(spark, dir)
@@ -38,20 +50,27 @@ object CurationViews {
       .createOrReplaceTempView("corpus_mixture")
     TextOps.qShardShuffle(spark, dir)
       .createOrReplaceTempView("corpus_shuffle")
-    // round-6 corpus-model surface: the quality signals a SQL-first
-    // selection query joins against (classifier score + LM nll +
-    // repetition in ONE per-doc table), the vocabulary head, the
-    // rewritten corpus, the semantic-dedup verdict and the trained
-    // tokenizer merges
+    // round-6 corpus surface (cheap half): the vocabulary head and the
+    // boilerplate verdict — both plain lazy plans
     CorpusOps.qVocab(spark, dir)
       .createOrReplaceTempView("corpus_vocab")
+    CorpusOps.qBoilerplate(spark, dir)
+      .createOrReplaceTempView("corpus_boilerplate")
+  }
+
+  /** Register the MODEL-backed views: `doc_scores` (classifier score +
+    * LM nll + repetition in one per-doc table), `semantic_dedup`, and
+    * `bpe_merges`. Registering these EXECUTES the model builds (BPE
+    * training = `bpeMerges` sequential jobs, SemDeDup = corpus count +
+    * IVF k-means, LM = train + checkpoint) — each session-memoized, so
+    * the cost is paid once per (session, dir) no matter how many views
+    * or later queries touch the artifact. Call after [[createAll]]. */
+  def createModelViews(spark: SparkSession, dir: String): Unit = {
     val docs = graft.Tables(spark, dir, "documents")
     CorpusOps.classify(docs)
       .join(CorpusOps.qLmScore(spark, dir), Seq("doc_id"))
       .join(TextOps.qRepRatio(spark, dir), Seq("doc_id"))
       .createOrReplaceTempView("doc_scores")
-    CorpusOps.qBoilerplate(spark, dir)
-      .createOrReplaceTempView("corpus_boilerplate")
     graft.ext.SemDedup.qSemDedup(spark, dir)
       .createOrReplaceTempView("semantic_dedup")
     graft.ext.Bpe.qBpeTrain(spark, dir)

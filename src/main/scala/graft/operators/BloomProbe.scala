@@ -42,6 +42,20 @@ object BloomProbe {
 
   private def keyHash(c: Column): Column = xxhash64(c.cast("string"))
 
+  /** Serializes [[buildFilter]]'s conf-raise window: the clamp confs are
+    * read lazily by `BloomFilterAggregate` from the SESSION conf, so two
+    * concurrent builds on one session could clobber each other's
+    * save/restore (restoring the other build's raised value as
+    * "original"). One JVM-wide lock makes the save/raise/run/restore
+    * sequence atomic across threads. Residual caveat, documented rather
+    * than solved: UNRELATED queries on the same session that Catalyst
+    * decorates with its own injected runtime filters observe the raised
+    * caps while a build is in flight — benign in direction (a higher cap
+    * only lets the optimizer use the sizing it estimated; it never
+    * shrinks a filter), but a strict-isolation caller should build on a
+    * dedicated `spark.newSession()`. */
+  private val buildLock = new Object
+
   /** Build the serialized filter (as a 1-row, 1-column DataFrame —
     * keep it as a DataFrame to `persist`/reuse, or `collectFilter` for
     * a driver-side handle). Null keys are skipped (a null is never a
@@ -57,21 +71,23 @@ object BloomProbe {
     // the duration of the job and restore after — the confs also gate
     // Catalyst's own injected runtime filters, so they must not stay
     // raised behind the caller's back.
-    val conf = keys.sparkSession.conf
-    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val (oldBits, oldItems) = (conf.get(kBits), conf.get(kItems))
-    conf.set(kBits, math.max(bits, oldBits.toLong).toString)
-    conf.set(kItems, math.max(expectedKeys, oldItems.toLong).toString)
-    try {
-      val row = keys.filter(col(keyCol).isNotNull)
-        .agg(BloomExpressions.bloomFilterAgg(
-          keyHash(col(keyCol)), expectedKeys, bits).as("bf"))
-        .head()
-      row.getAs[Array[Byte]]("bf")
-    } finally {
-      conf.set(kBits, oldBits)
-      conf.set(kItems, oldItems)
+    buildLock.synchronized {
+      val conf = keys.sparkSession.conf
+      val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val (oldBits, oldItems) = (conf.get(kBits), conf.get(kItems))
+      conf.set(kBits, math.max(bits, oldBits.toLong).toString)
+      conf.set(kItems, math.max(expectedKeys, oldItems.toLong).toString)
+      try {
+        val row = keys.filter(col(keyCol).isNotNull)
+          .agg(BloomExpressions.bloomFilterAgg(
+            keyHash(col(keyCol)), expectedKeys, bits).as("bf"))
+          .head()
+        row.getAs[Array[Byte]]("bf")
+      } finally {
+        conf.set(kBits, oldBits)
+        conf.set(kItems, oldItems)
+      }
     }
   }
 

@@ -204,8 +204,13 @@ object Views {
       |  GROUP BY a.bkt
       |),
       |with_id AS (
+      |  -- CAST: DuckDB's SUM(BIGINT) returns HUGEINT, so without it the
+      |  -- oracle's Id (and the MinId derived from it) widens past the
+      |  -- engine's BIGINT; values are identical, but the driver's hash is
+      |  -- type-sensitive. No-op under Spark (rn + off is already BIGINT).
       |  SELECT EntryDateTime, PolicyNumber, LineNumber, VIN_A, AgencyName,
-      |         Brand, Channel, Geo, CommTotal, rn + off AS Id
+      |         Brand, Channel, Geo, CommTotal,
+      |         CAST(rn + off AS BIGINT) AS Id
       |  FROM within JOIN offsets USING (bkt)
       |),
       |with_min AS (

@@ -1,0 +1,186 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Production-scale BPE ENCODE as one native expression:
+  * `bpe_tokenize(text)` → array<string> of tokens under a broadcast,
+  * rank-ordered merge table.
+  *
+  * Why this exists next to [[graft.ext.Bpe.encode]] (the aggregate-HOF
+  * fold) and [[graft.ext.Bpe.qBpeEncode]] (the string-replace chain):
+  * both of those materialize ONE PLAN NODE PER MERGE, which is exactly
+  * right for the 20-merge oracle twin and catastrophically wrong for a
+  * production tokenizer — at the 10⁴–10⁵ merges a real vocabulary
+  * needs, a 10⁵-deep expression chain cannot compile (64 KB JVM method
+  * limit → codegen fallback → 10⁵ interpreted passes per document).
+  * Here the merge table is DATA, not plan: the expression is a single
+  * node at any merge count, the table ships once per executor as a
+  * broadcast (the task closure carries only the handle), and the plan
+  * stays whole-stage-codegen'd with one static call per row.
+  *
+  * Semantics: EXACTLY the rank-order fold of [[graft.ext.Bpe.encode]]
+  * — words are maximal runs of non-space characters (leading /
+  * trailing / repeated spaces contribute nothing), each word becomes
+  * code points + `</w>`, and merges apply in rank order, each as one
+  * left-to-right non-overlapping pass. The per-word loop implements
+  * the fold sparsely with a MONOTONE RANK CURSOR: scan current
+  * adjacent pairs for the lowest-ranked rule ABOVE the cursor, apply
+  * it, advance the cursor — identical output to folding all N rules
+  * (the skipped rules are exactly the inapplicable ones, and a merge
+  * never recreates its own pair, so one pass per rule is complete),
+  * but O(applied · |word|) instead of O(N · |word|) per word. This is
+  * also the standard greedy tokenizer loop except for the cursor,
+  * which pins the one pathological divergence (two rules producing
+  * the same token string — possible in trained models) to the fold's
+  * semantics, i.e. to what the SQL oracle replays.
+  *
+  * Words repeat Zipf-style, so a bounded per-executor cache
+  * (word → tokens, per broadcast id) short-circuits the loop for the
+  * overwhelming majority of corpus tokens — the same word-type
+  * observation that makes [[graft.ext.Bpe.train]] feasible.
+  */
+case class BpeTokenize(child: Expression,
+                       merges: Broadcast[Array[(String, String)]],
+                       eow: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bpe_tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenize.compute(input.asInstanceOf[UTF8String], merges, eow)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeMerges", merges,
+      classOf[Broadcast[Array[(String, String)]]].getName)
+    val eowRef = ctx.addReferenceObj("bpeEow", eow, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.BpeTokenize.compute(" +
+        s"$c, $bcRef, $eowRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenize = copy(child = newChild)
+}
+
+object BpeTokenize {
+
+  /** Symbol-pair lookup key separator: symbols are non-space word
+    * fragments or `</w>`, so NUL can appear in neither side. */
+  private val sep = '\u0000'
+
+  /** Per-executor model state, keyed by broadcast id: the rank-ordered
+    * pair array, the pair → rank lookup, and a bounded word → tokens
+    * cache. Built lazily on first row, shared across the executor's
+    * tasks and threads. */
+  private final class Model(val pairs: Array[(String, String)]) {
+    val ranks = new java.util.HashMap[String, Integer](pairs.length * 2)
+    pairs.iterator.zipWithIndex.foreach { case ((l, r), i) =>
+      // first writer wins — training cannot emit the same pair twice
+      // (the winning pair is merged away), but lowest-rank-rules is
+      // the right degradation if a hand-built model ever does
+      ranks.putIfAbsent(l + sep + r, i)
+    }
+    val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  }
+
+  private val cacheCap = 1 << 16
+
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[Long, Model]()
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, bc: Broadcast[Array[(String, String)]],
+              eow: String): ArrayData = {
+    val model = models.computeIfAbsent(bc.id, _ => new Model(bc.value))
+    val text = s.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (text.charAt(i) == ' ') i += 1
+      else {
+        var j = i
+        while (j < n && text.charAt(j) != ' ') j += 1
+        val word = text.substring(i, j)
+        var toks = model.cache.get(word)
+        if (toks == null) {
+          toks = encodeWord(word, model, eow)
+          if (model.cache.size < cacheCap) model.cache.put(word, toks)
+        }
+        var k = 0
+        while (k < toks.length) { out.add(toks(k)); k += 1 }
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The sparse rank-order fold over one word (see class doc). */
+  private def encodeWord(word: String, model: Model,
+                         eow: String): Array[UTF8String] = {
+    var syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    syms.add(eow)
+    var done = syms.size < 2
+    var cursor = -1
+    while (!done) {
+      // lowest-ranked applicable rule strictly above the cursor
+      var bestRank = Integer.MAX_VALUE
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = model.ranks.get(syms.get(j) + sep + syms.get(j + 1))
+        if (r != null && r > cursor && r < bestRank) bestRank = r
+        j += 1
+      }
+      if (bestRank == Integer.MAX_VALUE) done = true
+      else {
+        // one left-to-right non-overlapping pass of that rule —
+        // identical to applyMerge / SQL-replace application order
+        val (lm, rm) = model.pairs(bestRank)
+        val merged = lm + rm
+        val next = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == lm &&
+              syms.get(k + 1) == rm) {
+            next.add(merged); k += 2
+          } else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+        cursor = bestRank
+        if (syms.size < 2) done = true
+      }
+    }
+    val out = new Array[UTF8String](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      out(k) = UTF8String.fromString(syms.get(k)); k += 1
+    }
+    out
+  }
+
+  def bpeTokenize(text: Column, merges: Broadcast[Array[(String, String)]],
+                  eow: String): Column =
+    ExpressionUtils.column(
+      BpeTokenize(ExpressionUtils.expression(text), merges, eow))
+}

@@ -140,4 +140,105 @@ class BpeSpec extends SparkSpec {
     val types = Seq(("ab", 1L)).toDF("word", "n")
     assert(Bpe.train(types, rounds = 5).merges.isEmpty)
   }
+
+  /** Driver-side replay of [[Bpe.encode]]'s exact semantics: non-empty
+    * space-splits, chars + `</w>`, each merge one left-to-right
+    * non-overlapping pass in rank order. */
+  private def referenceEncode(text: String,
+      merges: Seq[(Int, String, String, Long)]): Seq[String] =
+    text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+      var syms: Vector[String] = w.split("").toVector :+ Bpe.eow
+      merges.foreach { case (_, l, r, _) =>
+        val next = Vector.newBuilder[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == l && syms(k + 1) == r) {
+            next += (l + r); k += 2
+          } else { next += syms(k); k += 1 }
+        }
+        syms = next.result()
+      }
+      syms
+    }
+
+  test("native tokenizer equals the fold encode token-for-token on the corpus") {
+    val model = graft.ext.Bpe.BpeModel(referenceBpe(corpusTypes, Bpe.bpeMerges))
+    val both = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.encode(col("text"), model).as("fold"),
+        Bpe.encodeFast(spark, col("text"), model).as("fast"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("native tokenizer matches the rank-order fold at >=1000 trained merges") {
+    import spark.implicits._
+    // the real corpus has 31 word types (105 sustainable merges), so a
+    // production-sized model needs a synthetic vocabulary: seeded
+    // pseudo-words with Zipf-ish counts, trained by the driver-side
+    // reference — the same trainer the distributed loop is proven
+    // against — to past 1000 merges
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 2500).map { i =>
+      val len = 4 + rnd.nextInt(9)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val types = words.zipWithIndex
+      .map { case (w, i) => w -> (1L + 5000L / (i + 1)) }.toMap
+    val merges = referenceBpe(types, 1200)
+    assert(merges.size >= 1000, s"only ${merges.size} merges sustained")
+    val model = graft.ext.Bpe.BpeModel(merges)
+    // synthetic docs over that vocabulary; the native expression (one
+    // plan node carrying the 1000+-rule broadcast — the shape the fold
+    // Column could never compile at) must reproduce the driver fold
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 30).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    val got = docs
+      .select(col("id"), col("text"),
+        Bpe.encodeFast(spark, col("text"), model).as("toks"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](2) === referenceEncode(r.getString(1), merges),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("all three encode forms agree on whitespace edge cases") {
+    import spark.implicits._
+    val model = graft.ext.Bpe.BpeModel(referenceBpe(corpusTypes, Bpe.bpeMerges))
+    // words drawn from the trained vocabulary, abused with leading /
+    // trailing / repeated / all-space / empty whitespace
+    val ws = corpusTypes.keys.toSeq.sorted.take(3)
+    val texts = Seq(
+      s"${ws(0)}  ${ws(1)}", s" ${ws(0)}", s"${ws(1)} ", "", " ", "   ",
+      s"  ${ws(0)}   ${ws(1)}  ${ws(2)} ", ws.mkString(" "))
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        size(Bpe.encode(col("text"), model)).cast("bigint").as("via_fold"),
+        size(Bpe.encodeFast(spark, col("text"), model)).cast("bigint")
+          .as("via_native"),
+        Bpe.countTokensStringForm(col("text"), model).as("via_string"))
+      .collect()
+    rows.foreach { r =>
+      val (t, a, b, c) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(a === b, s"fold vs native on '$t'")
+      assert(a === c, s"fold vs string-form on '$t'")
+      // driver-side reference agrees too
+      assert(a === referenceEncode(t, model.merges).size.toLong,
+        s"reference on '$t'")
+    }
+    // the multi-space text really exercises the normalization: same
+    // tokens as its single-spaced twin
+    val pair = Seq(s"${ws(0)}  ${ws(1)}", s"${ws(0)} ${ws(1)}").toDF("text")
+      .select(Bpe.encodeFast(spark, col("text"), model).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    assert(pair(0) === pair(1))
+  }
 }

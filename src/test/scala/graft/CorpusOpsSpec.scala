@@ -90,6 +90,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) === s"$rep $rep") // docfreq 1 → kept, both copies
   }
 
+  test("bounded common-line build: verdict-equal to the exact single-phase " +
+    "store, even under a collision-saturated 8-bucket modulus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = CorpusOps.lineStats(docs)
+      .filter(col("mn") =!= col("mx")).select("lh")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty) // the corpus actually has shared lines
+    // default modulus (the production sizing)
+    val bounded = CorpusOps.commonLineHashes(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(bounded === exact)
+    // 8 buckets: every bucket is a candidate, phase 2 must still
+    // reject each singleton exactly — proves the pre-filter can only
+    // ever ADD candidates, never change a verdict
+    val collided = CorpusOps.commonLineHashes(docs, buckets = 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(collided === exact)
+  }
+
   test("lm score: add-1 bigram arithmetic, OOV counting, short docs") {
     val docs = docsOf(
       (1L, "a b a b", "en"),   // train: bigrams ab, ba, ab

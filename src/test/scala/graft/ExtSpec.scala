@@ -396,6 +396,7 @@ class ExtSpec extends SparkSpec {
 
   test("curation views: SQL-first surface composes over the registered artifacts") {
     graft.ext.CurationViews.createAll(spark, dir)
+    graft.ext.CurationViews.createModelViews(spark, dir)
     // composed SQL: survivors of each cluster joined back to documents
     val canon = spark.sql(
       """SELECT c.cluster_id, d.n_chars

@@ -20,6 +20,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_kind(dtype) -> str:
+    """Coarse dtype class for the type-sensitivity check: the driver's
+    hash distinguishes integer from float from everything else (round 6's
+    one red row was DuckDB HUGEINT/float64 vs Spark BIGINT with identical
+    values), so the replica must too. NULL-bearing int columns come back
+    as object/float in pandas depending on the engine, so we only class
+    the kinds that provably diverge in the driver's hash."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
+def dtype_mismatches(s: pd.DataFrame, d: pd.DataFrame) -> list:
+    """Columns whose dtype KIND differs between the Spark dump and the
+    DuckDB result — int-vs-float (or numeric-vs-other) means the driver
+    hashes different byte strings even when every value matches."""
+    bad = []
+    for c in sorted(set(s.columns) & set(d.columns)):
+        ks, kd = dtype_kind(s[c].dtype), dtype_kind(d[c].dtype)
+        if ks != kd:
+            # 'other' may be a nullable-int masquerading as object; only
+            # flag the unambiguous numeric-kind divergences.
+            if "other" in (ks, kd):
+                continue
+            bad.append((c, ks, kd))
+    return bad
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize cell values to comparable strings
@@ -62,6 +95,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        kinds = dtype_mismatches(spark_df, duck_df)
+        if kinds:
+            print(f"FAIL {name}: dtype kind mismatch "
+                  + ", ".join(f"{c} spark={ks} duck={kd}"
+                              for c, ks, kd in kinds))
             failures += 1
             continue
         s, d = norm(spark_df), norm(duck_df)
