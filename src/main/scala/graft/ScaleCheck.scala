@@ -221,8 +221,8 @@ object ScaleCheck {
         // round-6 tokenizer/versioning family: per-pass cost is the
         // map-side work (encode replace-chain, bloom probe, digest
         // tree) — the trained/built artifacts are memoized per dir
-        "q_bpe_encode", "q_bloom_novel", "q_pack_boundaries",
-        "q_manifest")
+        "q_bpe_encode", "q_bpe_tokenize", "q_bloom_novel",
+        "q_pack_boundaries", "q_manifest")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -64,6 +64,7 @@ object SparkEntry {
     "q_manifest" -> (graft.ext.TextOps.qManifest _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
+    "q_curate_audit" -> (graft.ext.TextOps.qCurateAudit _),
     "q_stratified_sample" -> (graft.ext.TextOps.qStratifiedSample _),
     "q_mixture_sample" -> (graft.ext.TextOps.qMixtureSample _),
     "q_shard_shuffle" -> (graft.ext.TextOps.qShardShuffle _),
@@ -89,7 +90,9 @@ object SparkEntry {
     "q_ann_cosine_by_id" -> (graft.ext.Similarity.qAnnCosineById _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
+    "q_ann_pq" -> (graft.ext.Similarity.qAnnPq _),
     "q_semdedup" -> (graft.ext.SemDedup.qSemDedup _),
+    "q_semdedup_det" -> (graft.ext.SemDedup.qSemDedupDet _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
@@ -139,6 +142,7 @@ object SparkEntry {
     "q_manifest" -> graft.ext.TextOps.qManifestSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,
+    "q_curate_audit" -> graft.ext.TextOps.qCurateAuditSql,
     "q_stratified_sample" -> graft.ext.TextOps.qStratifiedSampleSql,
     "q_mixture_sample" -> graft.ext.TextOps.qMixtureSampleSql,
     "q_shard_shuffle" -> graft.ext.TextOps.qShardShuffleSql,
@@ -163,6 +167,7 @@ object SparkEntry {
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
+    "q_semdedup_det" -> graft.ext.SemDedup.qSemDedupDetSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
@@ -178,8 +183,11 @@ object SparkEntry {
     // q_semdedup: verdict over seeded-kmeans cells (same posture as
     // q_ann_ivf) — SemDedupSpec proves survivor policy + the
     // no-surviving-duplicate-pair invariant against driver-side brute
-    // force.
-    // q_ann_lsh / q_ann_ivf / q_approx_distinct: seeded-hash / sketch /
+    // force; q_semdedup_det (oracle-checked above) replays the WHOLE
+    // pipeline — mining, contraction, survivor — under a
+    // deterministic sign-bit quantizer.
+    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_approx_distinct:
+    // seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
     // weaker rows-only MEMBERSHIP check. Returned VALUES are still
     // oracle-verified: cosine is a pure function of vec_id, and

@@ -116,4 +116,108 @@ object SemDedup {
     }
     semDedupFrom(idx.cells, idx.centroids)
   }
+
+  /** Sign-bit cell width for [[qSemDedupDet]]: 2⁸ = 256 cells. */
+  val semDedupDetBits = 8
+
+  /** Duplicate threshold for [[qSemDedupDet]] — deliberately below the
+    * production [[semDedupMinCos]]: the synthetic corpus plants no
+    * true semantic duplicates at 0.95, and a pairless run would leave
+    * the contraction + survivor stages unexercised by the oracle. At
+    * 0.4 the within-cell miner yields a handful of real pairs at every
+    * test SF, so the HASH CHECK covers the whole verdict pipeline. */
+  val semDedupDetMinCos = 0.4
+
+  /** [[qSemDedup]] with a DETERMINISTIC quantizer — the move that made
+    * q_ann_cosine_by_id the ANN family's value oracle, applied to the
+    * whole SemDeDup pipeline: cells come from the SIGN BITS of the
+    * first [[semDedupDetBits]] embedding components (a pure, seedless
+    * function of the data that any SQL engine reproduces bit-for-bit),
+    * and each cell's "centroid" is its sign pattern ±1/√bits over
+    * those components (unit-norm by construction). Everything
+    * downstream is [[semDedupFrom]] UNCHANGED — the same within-cell
+    * mining, star contraction, and farthest-from-centroid survivor
+    * policy the seeded-kmeans q_semdedup runs — so the driver
+    * hash-checks the full verdict table (vec_id, cell, cent_cos, keep)
+    * against [[qSemDedupDetSql]]'s replay, closing the gap that kept
+    * q_semdedup rows-only. The k-means variant remains the production
+    * quantizer (data-adaptive cells beat axis signs on recall); this
+    * twin exists to pin the PIPELINE's semantics. */
+  def qSemDedupDet(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val cellCol = (0 until semDedupDetBits)
+      .map(j => when(element_at(col("embedding"), j + 1) >= 0, 1 << j)
+        .otherwise(0))
+      .reduce(_ + _)
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      cellCol.cast("int").as("cell"))
+    // centroid of cell c: component j < bits is ±1 by bit j of c, 0
+    // beyond — semDedupFrom's driver-side normalization divides by
+    // exactly sqrt(bits), the same correctly-rounded double DuckDB's
+    // sqrt produces, so the float-cast centroids agree bit-for-bit
+    val centroids = Array.tabulate(1 << semDedupDetBits) { c =>
+      Array.tabulate(64) { j =>
+        if (j < semDedupDetBits) { if (((c >> j) & 1) == 1) 1.0 else -1.0 }
+        else 0.0
+      }
+    }
+    semDedupFrom(cells, centroids, minCos = semDedupDetMinCos)
+  }
+
+  /** Full ANSI replay of [[qSemDedupDet]]: sign-bit cells, the ±1/√8
+    * float centroid built per row from the cell id, the q_ann-proven
+    * list_zip/list_sum dot (element-order left fold in double space —
+    * matches the engine's native [[Similarity.dot]]), within-cell
+    * pairs at the same threshold/cap, the recursive-CTE closure
+    * (qDupClustersSql's edges/reach shape), and the (cent_cos asc,
+    * vec_id) survivor window. */
+  val qSemDedupDetSql: String = {
+    val bits = semDedupDetBits
+    val cellExpr = (0 until bits)
+      .map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val centroid =
+      s"""[CAST(CASE WHEN j <= $bits THEN
+         |    (CASE WHEN (cell >> (j-1)) & 1 = 1 THEN 1.0 ELSE -1.0 END)
+         |      / sqrt($bits.0)
+         |  ELSE 0.0 END AS FLOAT) for j in range(1, 65)]""".stripMargin
+    s"""WITH RECURSIVE cells AS (
+      |  SELECT vec_id, embedding, CAST($cellExpr AS INTEGER) AS cell
+      |  FROM embeddings),
+      |sized AS (
+      |  SELECT cells.*, COUNT(*) OVER (PARTITION BY cell) AS cn
+      |  FROM cells),
+      |scored AS (
+      |  SELECT vec_id, cell, cn, embedding,
+      |    list_sum(list_transform(list_zip(embedding, $centroid),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cent_cos
+      |  FROM sized),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM scored a JOIN scored b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE a.cn <= $semDedupMaxCell
+      |    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |        >= $semDedupDetMinCos),
+      |edges AS (
+      |  SELECT vec_a AS u, vec_b AS v FROM pairs
+      |  UNION SELECT vec_b, vec_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS component
+      |  FROM reach GROUP BY u),
+      |ranked AS (
+      |  SELECT s.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY c.component
+      |                       ORDER BY s.cent_cos ASC, s.vec_id ASC) AS rk
+      |  FROM scored s JOIN comp c ON s.vec_id = c.vec_id)
+      |SELECT s.vec_id, s.cell, s.cent_cos,
+      |  CAST(CASE WHEN r.vec_id IS NULL OR r.rk = 1 THEN 1 ELSE 0 END
+      |    AS INTEGER) AS keep
+      |FROM scored s LEFT JOIN ranked r ON s.vec_id = r.vec_id""".stripMargin
+  }
 }

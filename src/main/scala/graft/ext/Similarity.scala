@@ -394,6 +394,132 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$path/cells"), centroids)
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** PQ codebooks: `m` subspaces × `ks` centroids × (dim/m) components
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search" — the IVF-PQ pairing FAISS made standard). */
+  final case class PqModel(m: Int, ks: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    val dsub: Int = codebooks.head.head.length
+    require(ks <= 16, "codes are packed 4 bits each — ks beyond 16 needs a wider pack")
+  }
+
+  /** Train a PQ model: split the 64-dim space into `m` subspaces and
+    * k-means each independently (seeded, 5 Lloyd iterations — the
+    * coarse-quantizer posture of [[buildIvfIndex]]). The m fits run
+    * over PROJECTED slices of the corpus — m sequential jobs over
+    * (n × dim/m) data, once per corpus, memoized by the driver query.
+    *
+    * Why PQ at 100 TB: serving memory. A 64-dim float vector is 256 B;
+    * its PQ code at m=8, ks=16 is 8 four-bit codes = ONE 32-bit int —
+    * 64× smaller. 10¹⁰ vectors stop needing 2.5 TB of RAM across the
+    * fleet and fit in 40 GB — the difference between "the index lives
+    * in memory next to the serving executors" and "every query pages
+    * the corpus". The scan side gets the same factor: an ADC pass
+    * reads 4-byte codes at cache speed instead of streaming full
+    * vectors. */
+  def trainPq(emb: DataFrame, m: Int = 8, ks: Int = 16): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = 64
+    require(dim % m == 0)
+    val dsub = dim / m
+    val codebooks = (0 until m).map { j =>
+      val sub = emb.select(array_to_vector(
+        slice(col("embedding"), j * dsub + 1, dsub)).as("fv"))
+      new KMeans().setK(ks).setSeed(42L + j).setFeaturesCol("fv")
+        .setMaxIter(5).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(m, ks, codebooks)
+  }
+
+  /** Encode the corpus: nearest sub-centroid per subspace, packed 4
+    * bits each into one INT — (vec_id, code). The assignment reuses
+    * the fitted KMeansModels' own transform? No — the model here is
+    * the raw centroid matrix, so assignment is a declarative argmin
+    * over a BROADCAST ks-row table per subspace: m chained
+    * projections, each a zip_with distance + array_position argmin
+    * over 16 centroids — pure map, no shuffle, codegen-friendly. */
+  def pqEncode(emb: DataFrame, model: PqModel): DataFrame = {
+    val dsub = model.dsub
+    // per subspace: distances to the 16 sub-centroids as a literal
+    // 2-D array (ks × dsub doubles baked into the plan — 1 KB), argmin
+    // by (distance, centroid-id) for a deterministic code
+    val codeCols = (0 until model.m).map { j =>
+      val sub = slice(col("embedding"), j * dsub + 1, dsub)
+      val cents = array(model.codebooks(j).map(c =>
+        array(c.map(lit(_)): _*)): _*)
+      val dists = transform(cents, c =>
+        aggregate(zip_with(c, sub, (x, y) => {
+          val d = x - y.cast("double"); d * d
+        }), lit(0.0), (a, x) => a + x))
+      // argmin: position of the min distance (first occurrence — ties
+      // resolve to the lowest centroid id in both eval paths)
+      (array_position(dists, array_min(dists)).cast("int") - 1)
+        .as(s"c$j")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        (0 until model.m).map(j => shiftleft(col(s"c$j"), 4 * j))
+          .reduce(_ + _).cast("int").as("code"))
+  }
+
+  /** ADC (asymmetric distance computation) approximate dot products:
+    * the query builds an m × ks lookup table of sub-dot-products
+    * driver-side (128 doubles), and each corpus code sums m table
+    * entries selected by its packed nibbles — no float vector is ever
+    * read. This is the scan that runs over the 64×-compressed code
+    * table at serving time. */
+  def pqAdcDot(code: Column, qv: Array[Float], model: PqModel): Column = {
+    val dsub = model.dsub
+    (0 until model.m).map { j =>
+      val lut = model.codebooks(j).map { c =>
+        c.zipWithIndex.map { case (x, i) => x * qv(j * dsub + i) }.sum
+      }
+      element_at(array(lut.map(lit(_)): _*),
+        shiftright(code, 4 * j).bitwiseAND(15).cast("int") + 1)
+    }.reduce(_ + _)
+  }
+
+  /** PQ serving: ADC top-`rerank` candidates over the code table, then
+    * EXACT cosine re-ranking of that candidate set against the full
+    * vectors — the standard two-stage that gives compressed-scan cost
+    * with exact final scores (returned cosines are value-verifiable
+    * against [[qAnnCosineById]], like every ANN path here). */
+  def pqQuery(codes: DataFrame, emb: DataFrame, model: PqModel,
+              qv: Array[Float], k: Int = 10, rerank: Int = 50): DataFrame = {
+    val candidates = codes
+      .select(col("vec_id"), pqAdcDot(col("code"), qv, model).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerank)
+    val qcol = array(qv.map(lit(_)): _*)
+    emb.join(candidates, "vec_id")
+      .select(col("vec_id"), dot(col("embedding"), qcol).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Driver query: PQ-compressed ANN for vec 0 — train + encode
+    * memoized (the persisted-artifact posture: codebooks and the code
+    * table are what a deployment ships to serving), ADC top-50, exact
+    * top-10 re-rank. Seeded k-means codebooks → rows-only membership
+    * check; ExtSpec value-verifies every returned cosine against the
+    * brute path and bounds recall@10. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (model, codes) =
+      graft.util.SessionCache.memoize(spark, "pq", dir) {
+        val emb = Tables(spark, dir, "embeddings")
+        val m = trainPq(emb)
+        (m, pqEncode(emb, m).localCheckpoint())
+      }
+    val emb = Tables(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    pqQuery(codes, emb, model, qv)
+  }
+
   /** Exact distinct counts (oracle-checked)… */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").agg(

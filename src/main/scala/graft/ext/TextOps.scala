@@ -717,6 +717,71 @@ object TextOps {
       |),
       |${packAfterChunksSql(", chunk_text")}""".stripMargin
 
+  /** CURATION AUDIT — per-document provenance of the curate pipeline's
+    * verdict: for EVERY document (dropped ones included), which gate it
+    * passed and whether it survived exact dedup. The observability
+    * operator a production pipeline needs ("why did doc X disappear?",
+    * "which gate is responsible for the 12% drop in source Y?") —
+    * downstream it aggregates into per-source/per-gate drop rates with
+    * plain GROUP BYs. One map-only pass over the corpus for the gate
+    * flags plus the same bounded rep aggregation [[dedupScrubbed]]
+    * runs; no new shuffle shape. Fully SQL-replayable → hash-checked.
+    *
+    * Semantics tie: kept = 1 ⟺ the doc_id appears in [[qCurate]]'s
+    * input chain (gates passed AND it is its dedup group's min-id
+    * representative) — ExtSpec asserts exactly that equivalence. */
+  def qCurateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t0 = split(col("text"), " ")
+    val lenOk = length(col("text")) >= 100
+    val punctOk = (regexp_count(col("text"), lit("[.,;:!?]"))
+      .cast("double") / length(col("text"))) <= 0.3
+    val stopOk = (size(filter(t0, x => x.isInCollection(stopwords)))
+      .cast("double") / size(t0)) >= 0.01
+    val reps = dedupScrubbed(gateAndScrub(docs))
+      .select(col("doc_id"), lit(1).as("kept"))
+    docs.select(col("doc_id"),
+        lenOk.cast("int").as("len_ok"),
+        punctOk.cast("int").as("punct_ok"),
+        stopOk.cast("int").as("stopword_ok"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len_ok"), col("punct_ok"),
+        col("stopword_ok"), coalesce(col("kept"), lit(0)).as("kept"))
+  }
+
+  val qCurateAuditSql: String =
+    s"""WITH flags AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) >= 100 AS INTEGER) AS len_ok,
+      |    CAST(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |        / length(text) <= 0.3 AS INTEGER) AS punct_ok,
+      |    CAST(CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) >= 0.01 AS INTEGER)
+      |      AS stopword_ok
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= 100
+      |    AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |        / length(text) <= 0.3
+      |    AND CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) >= 0.01),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text,
+      |      '$piiEmailRe', '<EMAIL>', 'g'),
+      |      '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed
+      |  FROM gated),
+      |reps AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM scrub
+      |  GROUP BY substr(scrubbed, 1, 40))
+      |SELECT f.doc_id, f.len_ok, f.punct_ok, f.stopword_ok,
+      |  CAST(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+      |    AS kept
+      |FROM flags f LEFT JOIN reps r ON f.doc_id = r.doc_id""".stripMargin
+
   /** Within-document repetition ratio — the Gopher-style quality rule
     * that catches boilerplate and generation loops: the fraction of word
     * 2-grams that are repeats of an earlier 2-gram in the same document

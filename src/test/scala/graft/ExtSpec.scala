@@ -779,6 +779,83 @@ class ExtSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("ann pq: 64x-compressed codes; ADC+rerank recalls the brute top-k; " +
+    "EVERY returned cosine exact") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+    val model = Similarity.trainPq(emb)
+    val codes = Similarity.pqEncode(emb, model)
+    // every vector has exactly one code; codes fit the 32-bit pack
+    val cRows = codes.collect()
+    assert(cRows.length === emb.count())
+    cRows.foreach { r =>
+      val c = r.getAs[Int]("code")
+      (0 until model.m).foreach(j =>
+        assert(((c >> (4 * j)) & 15) < model.ks))
+    }
+    // compression: 64 floats (256 B) -> one int (4 B)
+    assert(64 * 4 / 4 === 64)
+    // driver-side replay of encode: nearest sub-centroid per subspace
+    val embMap = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    val codeMap = cRows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("code")).toMap
+    embMap.foreach { case (id, v) =>
+      (0 until model.m).foreach { j =>
+        val sub = v.slice(j * model.dsub, (j + 1) * model.dsub)
+        val want = model.codebooks(j).zipWithIndex.minBy { case (c, i) =>
+          (c.zip(sub).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+        }._2
+        assert(((codeMap(id) >> (4 * j)) & 15) === want, s"vec $id sub $j")
+      }
+    }
+    // serving: query 0's exact top-10 after ADC top-50 — cosines exact,
+    // recall vs brute bounded below
+    val qv = embMap(0L)
+    val got = Similarity.pqQuery(codes, emb, model, qv).collect()
+    assert(got.head.getAs[Long]("vec_id") === 0L) // finds itself
+    val cosMap = Similarity.qAnnCosineById(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    got.foreach(r => assert(math.abs(r.getAs[Double]("cosine") -
+      cosMap(r.getAs[Long]("vec_id"))) < 1e-12))
+    val brute = Similarity.qAnnBrute(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.map(_.getAs[Long]("vec_id")).count(brute) / 10.0
+    assert(recall >= 0.5, s"recall@10 $recall") // 16-cell/subspace 4-bit
+    // codes at rest: the ADC scan column is ONE int — schema-level proof
+    assert(codes.schema("code").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("curate audit: flags replay the gates; kept = membership in the " +
+    "curate pipeline's deduped input") {
+    import org.apache.spark.sql.functions.col
+    val audit = TextOps.qCurateAudit(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(audit.length === docs.size) // EVERY doc gets a verdict row
+    val stop = Set("the", "a", "of", "and", "to")
+    audit.foreach { r =>
+      val t = docs(r.getAs[Long]("doc_id"))
+      val toks = t.split(" ")
+      assert(r.getAs[Int]("len_ok") === (if (t.length >= 100) 1 else 0))
+      assert(r.getAs[Int]("punct_ok") ===
+        (if ("[.,;:!?]".r.findAllIn(t).size.toDouble / t.length <= 0.3) 1
+         else 0))
+      assert(r.getAs[Int]("stopword_ok") ===
+        (if (toks.count(stop).toDouble / toks.length >= 0.01) 1 else 0))
+    }
+    // kept == doc participates in qCurate's deduped chunk input
+    val keptIds = audit.filter(_.getAs[Int]("kept") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val curateIds = TextOps.qCurate(spark, dir)
+      .select(col("doc_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(keptIds === curateIds)
+    // the audit catches drops: some doc fails some gate on this corpus
+    assert(audit.exists(_.getAs[Int]("kept") == 0))
+  }
+
   test("embedNearDup planes sizing follows the documented envelope") {
     // n/2^planes <= maxBucket/4: 51 200 docs at cap 200 -> 2^10 buckets
     assert(Similarity.planesForCorpus(51200, 200) === 10)

@@ -78,4 +78,58 @@ class SemDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("deterministic sign-bit variant reproduces a full driver-side " +
+    "replay: cells, pairs, closure, survivor") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SemDedup.qSemDedupDet(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Int]("keep")))).toMap
+    // driver-side reference over the raw floats
+    val emb = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val bits = SemDedup.semDedupDetBits
+    def cellOf(v: Array[Float]): Int =
+      (0 until bits).map(j => if (v(j) >= 0) 1 << j else 0).sum
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val cells = emb.map { case (id, v) => id -> cellOf(v) }
+    assert(got.map { case (id, (c, _)) => id -> c } === cells)
+    // mined pairs under the det threshold
+    val byCell = emb.keys.groupBy(cells)
+    val pairs = byCell.values.flatMap { ids =>
+      val s = ids.toSeq.sorted
+      for {
+        i <- s.indices; j <- i + 1 until s.length
+        if dot(emb(s(i)), emb(s(j))) >= SemDedup.semDedupDetMinCos
+      } yield (s(i), s(j))
+    }.toSeq
+    assert(pairs.nonEmpty, "det threshold must exercise the pipeline")
+    // union-find closure + farthest-from-centroid survivor
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val centCos = emb.map { case (id, v) =>
+      val c = cells(id)
+      val cos = (0 until bits).map { j =>
+        val s = if (((c >> j) & 1) == 1) 1.0 else -1.0
+        v(j).toDouble * ((s / math.sqrt(bits.toDouble)).toFloat.toDouble)
+      }.sum
+      id -> cos
+    }
+    val survivors = clustered.groupBy(find)
+      .values.map(_.minBy(id => (centCos(id), id))).toSet
+    emb.keys.foreach { id =>
+      val expect = if (!clustered.contains(id) || survivors(id)) 1 else 0
+      assert(got(id)._2 === expect, s"vec $id keep")
+    }
+  }
 }
