@@ -200,7 +200,16 @@ object ScaleCheck {
       // round-6: cluster resolution — pair mining + star contraction;
       // the perturbed corpus keeps clusters small, so rounds stay
       // constant and cost tracks the pair set (~factor×)
-      "q_dup_clusters" -> (ext.Dedup.qDupClusters _)) ++
+      "q_dup_clusters" -> (ext.Dedup.qDupClusters _),
+      // UNMEMOIZED trainer: the driver query memoizes the model per
+      // dir, which would make pass 2 a cache hit — here the point is
+      // the TRAINING cost's slope, so every pass retrains
+      "q_classifier_train" -> ((s: SparkSession, d: String) => {
+        val m = ext.CorpusOps.trainClassifier(Tables(s, d, "documents"))
+        import s.implicits._
+        m.rounds.map(r => (r.round, r.nMistakes, r.wL1))
+          .toDF("round", "n_mistakes", "w_l1")
+      })) ++
       Seq("q_view_transactions", "q_view_transactions_scaled",
         "q_view_auto_optiom", "q_view_retention",
         "q_sessionize", "q_events_window", "q_asof_join", "q_range_join",
@@ -222,7 +231,13 @@ object ScaleCheck {
         // map-side work (encode replace-chain, bloom probe, digest
         // tree) — the trained/built artifacts are memoized per dir
         "q_bpe_encode", "q_bpe_tokenize", "q_bloom_novel",
-        "q_pack_boundaries", "q_manifest")
+        "q_pack_boundaries", "q_manifest",
+        // round-7 family: PQ serving (ADC scan over the 4-byte code
+        // column; codebooks/codes memoized like the IVF index) and the
+        // deterministic twins (sign-bucket ANN probe, position-join
+        // bloom — map-only probes over bounded broadcast state);
+        // classifier training is timed unmemoized above
+        "q_ann_pq", "q_ann_lsh_det", "q_bloom_novel_det")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

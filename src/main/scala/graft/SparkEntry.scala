@@ -83,12 +83,15 @@ object SparkEntry {
     "q_bpe_encode" -> (graft.ext.Bpe.qBpeEncode _),
     "q_bpe_tokenize" -> (graft.ext.Bpe.qBpeTokenize _),
     "q_bloom_novel" -> (graft.operators.BloomProbe.qBloomNovel _),
+    "q_bloom_novel_det" -> (graft.operators.BloomProbe.qBloomNovelDet _),
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
+    "q_classifier_train" -> (graft.ext.CorpusOps.qClassifierTrain _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_cosine_by_id" -> (graft.ext.Similarity.qAnnCosineById _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
+    "q_ann_lsh_det" -> (graft.ext.Similarity.qAnnLshDet _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
     "q_ann_pq" -> (graft.ext.Similarity.qAnnPq _),
     "q_semdedup" -> (graft.ext.SemDedup.qSemDedup _),
@@ -162,11 +165,14 @@ object SparkEntry {
     // the production broadcast-table tokenizer must count exactly like
     // the replace chain — SAME oracle text, independently hash-checked
     "q_bpe_tokenize" -> graft.ext.Bpe.qBpeEncodeSql,
+    "q_bloom_novel_det" -> graft.operators.BloomProbe.qBloomNovelDetSql,
     "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
+    "q_classifier_train" -> graft.ext.CorpusOps.qClassifierTrainSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
+    "q_ann_lsh_det" -> graft.ext.Similarity.qAnnLshDetSql,
     "q_semdedup_det" -> graft.ext.SemDedup.qSemDedupDetSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
@@ -175,7 +181,9 @@ object SparkEntry {
     // q_bloom_novel: bloom bit positions are engine-hash internals →
     // rows-only; BloomProbeSpec proves the one-sided contract (zero
     // false negatives, bounded false positives) and the plan (native
-    // might_contain, no UDF).
+    // might_contain, no UDF). q_bloom_novel_det (oracle-checked above)
+    // replays full bloom SEMANTICS — md5-derived bit positions, build,
+    // probe, false positives included — in the driver gate.
     // q_bpe_train IS oracle-checked above — the iterative training
     // loop unrolls into generated per-round CTEs (qBpeTrainSql), the
     // winnow/simhash full-replay technique; BpeSpec additionally
@@ -189,7 +197,10 @@ object SparkEntry {
     // q_ann_lsh / q_ann_ivf / q_ann_pq / q_approx_distinct:
     // seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
-    // weaker rows-only MEMBERSHIP check. Returned VALUES are still
+    // weaker rows-only MEMBERSHIP check; q_ann_lsh_det (oracle-checked
+    // above) hash-checks the LSH serving pipeline — buckets, Hamming-1
+    // probe shell, top-k — under a deterministic sign-bit bucket
+    // function. Returned VALUES are still
     // oracle-verified: cosine is a pure function of vec_id, and
     // q_ann_cosine_by_id hash-checks the full (vec_id, cosine) table any
     // ANN row must come from; ExtSpec recomputes every cosine the

@@ -146,6 +146,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-bit bucket width for [[qAnnLshDet]]: 2⁸ = 256 buckets, the
+    * same 8-bit budget as [[qAnnLsh]]'s hyperplane band. */
+  val annLshDetBits = 8
+
+  /** [[qAnnLsh]] with a DETERMINISTIC bucket function — the
+    * q_semdedup_det move applied to the ANN serving path: buckets come
+    * from the SIGN BITS of the first [[annLshDetBits]] embedding
+    * components (a pure, seedless function of the data any SQL engine
+    * reproduces bit-for-bit) instead of hashed pseudo-random
+    * hyperplanes, and the probe set is the same Hamming-1 shell —
+    * derived IN-PLAN from a 1-row broadcast of the query's bucket, no
+    * driver lookup at all. Everything that makes the production path
+    * scale is unchanged: bucket is a map-only projection, candidates
+    * are ~9/256 of the corpus, exact cosine + TakeOrderedAndProject
+    * top-k. What changes is checkability: membership itself (which
+    * buckets, which Hamming shell, which ties) is hash-checked against
+    * [[qAnnLshDetSql]]'s full ANSI replay, closing the loop the
+    * rows-only q_ann_lsh documents. Axis-sign buckets trade recall vs
+    * data-adaptive or hashed planes (components are not isotropic), so
+    * the seeded path stays the production default; this twin pins the
+    * PIPELINE's semantics — probe-shell derivation included — in the
+    * driver gate. */
+  def qAnnLshDet(spark: SparkSession, dir: String): DataFrame = {
+    val bits = annLshDetBits
+    val emb = Tables(spark, dir, "embeddings")
+    val bucketCol = (0 until bits)
+      .map(j => when(element_at(col("embedding"), j + 1) >= 0, 1 << j)
+        .otherwise(0))
+      .reduce(_ + _).cast("int")
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      bucketCol.as("bucket"))
+    val q = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qb"))
+    // Hamming distance between bucket ids as a sum of per-bit CASEs —
+    // the formulation the oracle replays term-for-term; ≤ 1 selects the
+    // home bucket plus its 8-bucket shell
+    def hamming(a: Column, b: Column): Column = (0 until bits)
+      .map(j => when(shiftright(a, j).bitwiseAND(1) =!=
+        shiftright(b, j).bitwiseAND(1), 1).otherwise(0))
+      .reduce(_ + _)
+    bucketed.crossJoin(broadcast(q))
+      .filter(hamming(col("bucket"), col("qb")) <= 1)
+      .select(col("vec_id"), col("bucket"),
+        dot(col("embedding"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Full ANSI replay of [[qAnnLshDet]]: sign-bit buckets, the scalar
+    * query row, the per-bit Hamming ≤ 1 probe filter, the q_ann-proven
+    * list_zip/list_sum dot, and the (cosine desc, vec_id) top-10. */
+  val qAnnLshDetSql: String = {
+    val bits = annLshDetBits
+    val bucketExpr = (0 until bits)
+      .map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val hamming = (0 until bits)
+      .map(j => s"(CASE WHEN (b.bucket >> $j) & 1 <> (q.qb >> $j) & 1 " +
+        "THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (
+      |  SELECT vec_id, embedding, CAST($bucketExpr AS INTEGER) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+      |SELECT b.vec_id, b.bucket,
+      |  list_sum(list_transform(list_zip(b.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
+      |FROM b, q
+      |WHERE $hamming <= 1
+      |ORDER BY cosine DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+  }
+
   /** Pair-mining near-dup over the REAL embedding column — the
     * embedding-space twin of the n-gram dedup family: bucket all
     * vectors by [[signBucket]] sign-LSH (map-only, no stored model),

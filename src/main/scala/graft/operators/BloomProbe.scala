@@ -131,4 +131,90 @@ object BloomProbe {
       docs.withColumn("fp", md5(col("text").cast("binary"))), "fp", filter)
       .select("doc_id", "lang", "source")
   }
+
+  /** Bit-array size of the DETERMINISTIC bloom twin: fixed 2²⁰ (the
+    * oracle SQL needs a literal modulus). The production path sizes via
+    * [[numBits]]; at the reference-set sizes this twin pins (3 probes ×
+    * n keys set bits), 2²⁰ holds the spec's sub-1% FP regime up to
+    * ~10⁵ keys. */
+  val detBloomBits = 1 << 20
+
+  /** Probe positions per key for the deterministic twin (k = 3). */
+  val detBloomProbes = 3
+
+  /** Bit position `i` of `key` in the deterministic twin: first 8 hex
+    * digits of md5(key‖'#'‖i) Horner-parsed mod [[detBloomBits]] — the
+    * q_winnow/q_dedup_simhash technique, chosen over seeded xxhash64
+    * PRECISELY so both engines derive identical positions. */
+  private def detBit(key: Column, i: Int): Column = pmod(
+    conv(substring(md5(concat(key, lit(s"#$i")).cast("binary")), 1, 8),
+      16, 10).cast("bigint"),
+    lit(detBloomBits.toLong))
+
+  /** [[qBloomNovel]] with FULLY REPLAYABLE bloom semantics — the
+    * q_semdedup_det move applied to the sketch family: instead of
+    * Spark's opaque `BloomFilterAggregate` blob, the filter IS a
+    * DataFrame of distinct set bit positions (md5-derived, k = 3,
+    * m = 2²⁰), bounded by m regardless of corpus size — so the bit
+    * table BROADCASTS (≤ 8 MB of longs) and the probe is three
+    * broadcast left joins, one per position: map-only, no shuffle, the
+    * same plan shape as the production `might_contain` probe. A row is
+    * definitely-novel iff ANY of its three positions is unset — which
+    * an oracle can replay bit-for-bit, FALSE POSITIVES INCLUDED: the
+    * driver hash-checks not just "novel ⊆ truly-novel" but the exact
+    * saturation behavior of a 3-hash bloom at this fill factor,
+    * something the rows-only q_bloom_novel can only spec-check. The
+    * production path keeps `BloomFilterAggregate` (bits as ONE blob
+    * beats 3n position rows through the build aggregation, and probing
+    * needs no join at all); this twin pins the bloom CONTRACT in the
+    * driver gate. Same snapshot split and output columns as
+    * [[qBloomNovel]]. */
+  def qBloomNovelDet(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+    val cutoff = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val fp = docs.withColumn("fp", md5(col("text").cast("binary")))
+    val bits = fp.filter(col("doc_id") <= cutoff)
+      .select(explode(array(
+        (1 to detBloomProbes).map(i => detBit(col("fp"), i)): _*)).as("bit"))
+      .distinct()
+    val probed = (1 to detBloomProbes).foldLeft(
+      fp.withColumns((1 to detBloomProbes)
+        .map(i => s"p$i" -> detBit(col("fp"), i)).toMap)) { (df, i) =>
+      df.join(broadcast(bits.withColumnRenamed("bit", s"b$i")),
+        col(s"p$i") === col(s"b$i"), "left")
+    }
+    probed.filter((1 to detBloomProbes)
+        .map(i => col(s"b$i").isNull).reduce(_ || _))
+      .select("doc_id", "lang", "source")
+  }
+
+  /** Full ANSI replay of [[qBloomNovelDet]]: the md5-Horner bit
+    * positions, the distinct-bit build over the snapshot half, and the
+    * any-bit-unset novelty test. */
+  val qBloomNovelDetSql: String = {
+    val m = detBloomBits
+    def pos(i: Int) =
+      s"CAST(CAST('0x' || substr(md5(f || '#$i'), 1, 8) AS UBIGINT) " +
+        s"% $m AS BIGINT)"
+    val posCols = (1 to detBloomProbes)
+      .map(i => s"    ${pos(i)} AS p$i").mkString(",\n")
+    val novel = (1 to detBloomProbes)
+      .map(i => s"p$i NOT IN (SELECT bit FROM bits)").mkString("\n   OR ")
+    s"""WITH fp AS (
+      |  SELECT doc_id, lang, source, md5(text) AS f FROM documents),
+      |cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents),
+      |bits AS (
+      |  SELECT DISTINCT CAST(CAST('0x' || substr(md5(f || '#' || i), 1, 8)
+      |      AS UBIGINT) % $m AS BIGINT) AS bit
+      |  FROM fp, cut,
+      |    (SELECT unnest(range(1, ${detBloomProbes + 1})) AS i)
+      |  WHERE doc_id <= c),
+      |probe AS (
+      |  SELECT doc_id, lang, source,
+      |$posCols
+      |  FROM fp)
+      |SELECT doc_id, lang, source FROM probe
+      |WHERE $novel""".stripMargin
+  }
 }

@@ -67,6 +67,46 @@ class BloomProbeSpec extends SparkSpec {
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong <= 67108864L)
   }
 
+  test("deterministic twin: exact bit-level replay incl. false positives; " +
+    "zero false negatives; probe side is broadcast joins, no shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val got = BloomProbe.qBloomNovelDet(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // full driver-side replay of the md5-Horner bloom
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pos(f: String, i: Int): Long =
+      java.lang.Long.parseLong(md5hex(f + "#" + i).take(8), 16) %
+        BloomProbe.detBloomBits
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cutoff = docs.map(_._1).max / 2
+    val bits = docs.filter(_._1 <= cutoff).flatMap { case (_, t) =>
+      val f = md5hex(t)
+      (1 to BloomProbe.detBloomProbes).map(i => pos(f, i))
+    }.toSet
+    val expect = docs.filter { case (_, t) =>
+      val f = md5hex(t)
+      (1 to BloomProbe.detBloomProbes).exists(i => !bits(pos(f, i)))
+    }.map(_._1).toSet
+    assert(got === expect) // bit-for-bit, FALSE POSITIVES INCLUDED
+    // one-sided contract: no seen text ever surfaces as novel
+    val seenTexts = docs.filter(_._1 <= cutoff).map(_._2).toSet
+    val textOf = docs.toMap
+    assert(got.forall(id => !seenTexts(textOf(id))))
+    // and FPs (truly-novel docs the bloom drops) stay rare at this fill
+    val trulyNovel = docs.filter { case (_, t) => !seenTexts(t) }
+      .map(_._1).toSet
+    val fps = (trulyNovel -- got).size
+    assert(fps <= math.max(5, trulyNovel.size / 20), s"fp count $fps")
+    // scale shape: the probe is three BroadcastHashJoins — no exchange
+    // between the scan and the novelty filter
+    val plan = BloomProbe.qBloomNovelDet(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("probe is native codegen, not a UDF") {
     import spark.implicits._
     val reference = (0L until 100L).map(i => s"k$i").toDF("key")

@@ -150,4 +150,58 @@ class CorpusOpsSpec extends SparkSpec {
     // top-1 really is the max count
     assert(got.head.getLong(1) === brute.values.max)
   }
+
+  test("classifier train: batch-perceptron trace and final weights match " +
+    "a driver-side replay; the distilled model learns the gate") {
+    val model = CorpusOps.trainClassifier(Tables(spark, dir, "documents"))
+    // independent replay over collected docs — same md5 bucketing, same
+    // gate labels, same mistake-driven integer updates
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val stop = Set("the", "a", "of", "and", "to")
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val feats = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).groupBy(w =>
+        md5hex8(w) % CorpusOps.classifierBuckets)
+        .map { case (b, ws) => b -> ws.length.toLong }
+    }.toMap
+    val labels = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val y = t.length >= 100 &&
+        "[.,;:!?]".r.findAllIn(t).size.toDouble / t.length <= 0.3 &&
+        toks.count(stop).toDouble / toks.length >= 0.01
+      id -> (if (y) 1L else 0L)
+    }.toMap
+    var w = Map.empty[Long, Long]
+    val trace = (1 to CorpusOps.classifierTrainRounds).map { r =>
+      val errs = docs.map(_._1).map { id =>
+        val margin = feats(id).map { case (b, c) =>
+          c * w.getOrElse(b, 0L) }.sum
+        id -> (labels(id) - (if (margin > 0) 1L else 0L))
+      }.filter(_._2 != 0L)
+      errs.foreach { case (id, e) =>
+        feats(id).foreach { case (b, c) =>
+          w = w.updated(b, w.getOrElse(b, 0L) + c * e)
+        }
+      }
+      (r, errs.length.toLong, w.valuesIterator.map(math.abs).sum)
+    }
+    assert(model.rounds.map(r => (r.round, r.nMistakes, r.wL1)) === trace)
+    // final weights agree under default-0 semantics (a bucket whose
+    // updates cancel may be present as 0 in one map, absent in the other)
+    (model.weights.keySet ++ w.keySet).foreach { b =>
+      assert(model.weights.getOrElse(b, 0L) === w.getOrElse(b, 0L), s"w[$b]")
+    }
+    // distillation converges toward the gate on this corpus: the final
+    // round's mistakes are strictly below round 1's (which mispredicts
+    // every positive under the zero model)
+    assert(model.rounds.last.nMistakes < model.rounds.head.nMistakes)
+    // labels are non-degenerate — both classes present, or the task
+    // would prove nothing
+    assert(labels.values.toSet === Set(0L, 1L))
+  }
 }

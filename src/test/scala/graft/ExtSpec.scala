@@ -827,6 +827,35 @@ class ExtSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("ann lsh det: sign-bit buckets and the Hamming-1 probe shell " +
+    "replayed driver-side; every cosine exact") {
+    val got = Similarity.qAnnLshDet(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("bucket"),
+        r.getAs[Double]("cosine")))
+    val emb = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    val bits = Similarity.annLshDetBits
+    def bucket(v: Array[Float]): Int =
+      (0 until bits).map(j => if (v(j) >= 0) 1 << j else 0).sum
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val qb = bucket(emb(0L))
+    val expect = emb.toSeq
+      .filter { case (_, v) => Integer.bitCount(bucket(v) ^ qb) <= 1 }
+      .map { case (id, v) => (id, bucket(v), dot(v, emb(0L))) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(10)
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case ((gi, gb, gc), (ei, eb, ec)) =>
+      assert(gi === ei); assert(gb === eb)
+      assert(math.abs(gc - ec) < 1e-12, s"vec $gi cosine")
+    }
+    // the probe shell genuinely restricts the scan: candidates are a
+    // strict subset of the corpus, and the query finds itself first
+    assert(got.head._1 === 0L)
+    assert(emb.count { case (_, v) =>
+      Integer.bitCount(bucket(v) ^ qb) <= 1 } < emb.size)
+  }
+
   test("curate audit: flags replay the gates; kept = membership in the " +
     "curate pipeline's deduped input") {
     import org.apache.spark.sql.functions.col
