@@ -201,6 +201,9 @@ object ScaleCheck {
       // the perturbed corpus keeps clusters small, so rounds stay
       // constant and cost tracks the pair set (~factor×)
       "q_dup_clusters" -> (ext.Dedup.qDupClusters _),
+      // round-7: the cluster-keyed split rides the same memoized pair
+      // view; its own work is the contraction + a broadcastable join
+      "q_split_leakfree" -> (ext.Dedup.qSplitLeakfree _),
       // UNMEMOIZED trainer: the driver query memoizes the model per
       // dir, which would make pass 2 a cache hit — here the point is
       // the TRAINING cost's slope, so every pass retrains

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (graft.ext.Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (graft.ext.Dedup.qDedupEmbed _),
     "q_dup_clusters" -> (graft.ext.Dedup.qDupClusters _),
+    "q_split_leakfree" -> (graft.ext.Dedup.qSplitLeakfree _),
     "q_decontaminate" -> (graft.ext.Dedup.qDecontaminate _),
     "q_contam_frac" -> (graft.ext.Dedup.qContamFrac _),
     "q_pack" -> (graft.ext.TextOps.qPack _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_bloom_novel_det" -> (graft.operators.BloomProbe.qBloomNovelDet _),
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
     "q_classifier_train" -> (graft.ext.CorpusOps.qClassifierTrain _),
+    "q_classifier_infer" -> (graft.ext.CorpusOps.qClassifierInfer _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
@@ -94,6 +96,7 @@ object SparkEntry {
     "q_ann_lsh_det" -> (graft.ext.Similarity.qAnnLshDet _),
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
     "q_ann_pq" -> (graft.ext.Similarity.qAnnPq _),
+    "q_ann_ivf_pq" -> (graft.ext.Similarity.qAnnIvfPq _),
     "q_semdedup" -> (graft.ext.SemDedup.qSemDedup _),
     "q_semdedup_det" -> (graft.ext.SemDedup.qSemDedupDet _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
@@ -138,6 +141,7 @@ object SparkEntry {
     "q_dedup_simhash" -> graft.ext.Dedup.qDedupSimhashSql,
     "q_dedup_embed" -> graft.ext.Dedup.qDedupEmbedSql,
     "q_dup_clusters" -> graft.ext.Dedup.qDupClustersSql,
+    "q_split_leakfree" -> graft.ext.Dedup.qSplitLeakfreeSql,
     "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
     "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
     "q_pack" -> graft.ext.TextOps.qPackSql,
@@ -168,6 +172,7 @@ object SparkEntry {
     "q_bloom_novel_det" -> graft.operators.BloomProbe.qBloomNovelDetSql,
     "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
     "q_classifier_train" -> graft.ext.CorpusOps.qClassifierTrainSql,
+    "q_classifier_infer" -> graft.ext.CorpusOps.qClassifierInferSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
@@ -194,7 +199,8 @@ object SparkEntry {
     // force; q_semdedup_det (oracle-checked above) replays the WHOLE
     // pipeline — mining, contraction, survivor — under a
     // deterministic sign-bit quantizer.
-    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_approx_distinct:
+    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_ann_ivf_pq /
+    // q_approx_distinct:
     // seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
     // weaker rows-only MEMBERSHIP check; q_ann_lsh_det (oracle-checked

@@ -238,6 +238,14 @@ object CorpusOps {
     * under empty weights, so err = y). Internal sums may widen to
     * HUGEINT in DuckDB; every surfaced column is CAST explicitly. */
   val qClassifierTrainSql: String = {
+    s"${classifierTrainCtes}\n${classifierTrainMetricsSelect}"
+  }
+
+  /** The shared WITH-chain (feats, labels, and per-round e/u/w CTE
+    * generations through w[[classifierTrainRounds]]) — the training
+    * unroll both [[qClassifierTrainSql]] (metrics tail) and
+    * [[qClassifierInferSql]] (scoring tail) select from. */
+  private lazy val classifierTrainCtes: String = {
     val b = classifierBuckets
     val gate =
       """(length(text) >= 100
@@ -282,13 +290,72 @@ object CorpusOps {
         |    SELECT bucket, wgt AS v FROM w$p
         |    UNION ALL SELECT bucket, d FROM u$t) GROUP BY 1)""".stripMargin
     }.mkString
-    val metrics = (1 to classifierTrainRounds).map { t =>
+    s"$header$later"
+  }
+
+  private lazy val classifierTrainMetricsSelect: String =
+    (1 to classifierTrainRounds).map { t =>
       s"""SELECT CAST($t AS INTEGER) AS round,
         |  CAST((SELECT COUNT(*) FROM e$t) AS BIGINT) AS n_mistakes,
         |  CAST((SELECT COALESCE(SUM(ABS(wgt)), 0) FROM w$t) AS BIGINT)
         |    AS w_l1""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"$header$later\n$metrics"
+
+  /** Inference with TRAINED weights — [[classify]]'s scan-speed shape
+    * over a real model instead of the md5 stand-in: the weight map
+    * travels as ONE plan literal (bounded by [[classifierBuckets]]
+    * entries; at B = 2²⁰ a deployment broadcasts instead), and the
+    * score is a single codegen'd `aggregate` fold over the token
+    * array — no explode, no join, no shuffle. Pure map at any corpus
+    * size: the serving path a 100 TB scoring pass actually runs. */
+  def classifyWith(docs: DataFrame, weights: Map[Long, Long]): DataFrame = {
+    val nonzero = weights.filter(_._2 != 0L)
+    val wmap =
+      if (nonzero.isEmpty) typedLit(Map(-1L -> 0L)) // never-matching key:
+      else typedLit(nonzero)                        // element_at → null → 0
+    val t = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      aggregate(t, lit(0L), (acc, w) =>
+        acc + coalesce(element_at(wmap, wordBucket(w)), lit(0L)))
+        .as("score"))
+      .withColumn("pred", (col("score") > 0).cast("int"))
+  }
+
+  /** Driver query closing the TRAIN → SERVE loop: score every document
+    * with the round-[[classifierTrainRounds]] trained weights (memoized
+    * — same artifact [[qClassifierTrain]] builds) and surface the gate
+    * label beside the prediction. Hash-checked end to end: the oracle
+    * replays the ENTIRE training unroll and then the scoring join, so
+    * a divergence anywhere in training surfaces here too. */
+  def qClassifierInfer(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val model = graft.util.SessionCache.memoize(spark, "clftrain", dir) {
+      trainClassifier(docs)
+    }
+    val t = split(col("text"), " ")
+    classifyWith(docs, model.weights)
+      .join(docs.select(col("doc_id"),
+        (length(col("text")) >= 100 &&
+          (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+            length(col("text"))) <= 0.3 &&
+          (size(filter(t, x => x.isInCollection(
+            Seq("the", "a", "of", "and", "to")))).cast("double") /
+            size(t)) >= 0.01).cast("int").as("y")), Seq("doc_id"))
+  }
+
+  /** [[classifierTrainCtes]] + a scoring tail: margins under the final
+    * weight generation, pred = margin > 0, the gate label from `lab`. */
+  val qClassifierInferSql: String = {
+    val wT = s"w$classifierTrainRounds"
+    s"""$classifierTrainCtes,
+      |final_score AS (
+      |  SELECT f.doc_id, SUM(f.cnt * COALESCE(w.wgt, 0)) AS s
+      |  FROM feats f LEFT JOIN $wT w USING (bucket) GROUP BY 1)
+      |SELECT s.doc_id, CAST(s.s AS BIGINT) AS score,
+      |  CAST(CASE WHEN s.s > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
+      |  CAST(l.y AS INTEGER) AS y
+      |FROM final_score s JOIN lab l USING (doc_id)""".stripMargin
   }
 
   // ---------------------------------------------------------- boilerplate

@@ -679,6 +679,62 @@ object Dedup {
       |       u = LEAST(u, MIN(v)) AS is_canonical
       |FROM reach GROUP BY u""".stripMargin
 
+  /** LEAKAGE-FREE train/eval split — the dedup graph applied to
+    * SPLITTING rather than dropping: a plain per-document hash split
+    * (q_hash_sample's md5 rule) puts near-duplicate documents on
+    * OPPOSITE sides ~2·p·(1−p) of the time, which is precisely the
+    * train→eval leakage decontamination exists to prevent — the eval
+    * half of a near-dup pair is effectively training data. The fix
+    * (Lee et al. 2022's deduplicate-across-splits guidance): flip the
+    * md5 coin on each document's duplicate-CLUSTER representative
+    * (min-id member; singletons are their own), so every member of a
+    * cluster inherits ONE verdict and no near-dup pair can straddle
+    * the split. Composes the memoized pair view + star contraction
+    * with the established first-hex-digit rule — eval ≈ 12.5%, in
+    * cluster-sized units.
+    *
+    * Scale shape: the component table is DUPLICATE-BOUNDED (only
+    * clustered docs appear), so the left join against the corpus
+    * broadcasts in the common regime; the coin is one md5 over the
+    * representative id — map-only. Nothing here shuffles the corpus.
+    * Output: (doc_id, split_key, split) — hash-checked end to end via
+    * the recursive-CTE closure. */
+  def qSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_key"))
+      .withColumn("split",
+        when(substring(md5(col("split_key").cast("string").cast("binary")),
+          1, 1).isin("0", "1"), lit("eval")).otherwise(lit("train")))
+  }
+
+  /** [[qDupClustersSql]]'s closure + the coin on the representative. */
+  val qSplitLeakfreeSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.2)}) jp),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      |  FROM reach GROUP BY u)
+      |SELECT d.doc_id,
+      |  COALESCE(c.component, d.doc_id) AS split_key,
+      |  CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+      |      AS VARCHAR)), 1, 1) IN ('0', '1')
+      |    THEN 'eval' ELSE 'train' END AS split
+      |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+
   /** Full SQL replay of [[qDedupSimhash]] — the whole operator, not an
     * output-equivalence proxy: 3-gram shingles (identical construction
     * to the Jaccard oracle), md5 → 15-hex-digit Horner parse (= the

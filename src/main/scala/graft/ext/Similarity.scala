@@ -574,6 +574,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ COMPOSED serving — the FAISS IVFPQ architecture, from the
+    * two artifacts this engine already builds: the IVF coarse
+    * quantizer prunes the scan to `nprobe` cells, the ADC pass ranks
+    * only the survivors' 4-byte codes, and the top-`rerank` candidates
+    * re-rank by exact cosine. The serving table is `(cell, vec_id,
+    * code)` — code CO-LOCATED with cell, which is what a deployment
+    * persists partitioned by cell ([[saveIvfIndex]]'s layout plus one
+    * int column): the cell filter becomes partition pruning, the ADC
+    * scan reads ~nprobe/k of a 4-byte-per-vector table (the 64×
+    * compression × the 4/16 pruning ≈ 250× less IO than brute), and
+    * the exact re-rank touches `rerank` full vectors, not the corpus.
+    * Returned cosines stay value-verifiable against
+    * [[qAnnCosineById]] — ExtSpec does, and bounds recall vs brute. */
+  def ivfPqQuery(cellCodes: DataFrame, emb: DataFrame, model: PqModel,
+                 centroids: Array[Array[Double]], qv: Array[Float],
+                 k: Int = 10, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val cand = cellCodes.filter(col("cell").isInCollection(probed.toSeq))
+      .select(col("vec_id"), pqAdcDot(col("code"), qv, model).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerank)
+    val qcol = array(qv.map(lit(_)): _*)
+    emb.join(cand, "vec_id")
+      .select(col("vec_id"), dot(col("embedding"), qcol).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Driver query: IVF-PQ ANN for vec 0 — reuses BOTH memoized
+    * artifacts (the IVF index and the PQ model/codes, shared with
+    * q_ann_ivf / q_ann_pq — one build each per corpus, the composed
+    * index is a join away) and serves through [[ivfPqQuery]]. Seeded
+    * k-means on both stages → rows-only membership check; every
+    * returned cosine is value-verified in ExtSpec. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.util.SessionCache.memoize(spark, "ivf", dir) {
+      buildIvfIndex(spark, dir)
+    }
+    val (model, codes) =
+      graft.util.SessionCache.memoize(spark, "pq", dir) {
+        val emb = Tables(spark, dir, "embeddings")
+        val m = trainPq(emb)
+        (m, pqEncode(emb, m).localCheckpoint())
+      }
+    val cellCodes = graft.util.SessionCache.memoize(spark, "ivfpq", dir) {
+      idx.cells.select(col("cell"), col("vec_id"))
+        .join(codes, "vec_id").localCheckpoint()
+    }
+    val emb = Tables(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    ivfPqQuery(cellCodes, emb, model, idx.centroids, qv)
+  }
+
   /** Driver query: PQ-compressed ANN for vec 0 — train + encode
     * memoized (the persisted-artifact posture: codebooks and the code
     * table are what a deployment ships to serving), ADC top-50, exact

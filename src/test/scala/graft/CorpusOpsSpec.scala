@@ -203,5 +203,23 @@ class CorpusOpsSpec extends SparkSpec {
     // labels are non-degenerate — both classes present, or the task
     // would prove nothing
     assert(labels.values.toSet === Set(0L, 1L))
+
+    // TRAIN → SERVE: literal-map inference reproduces the replay's
+    // margins under the final weights, and the plan is map-only (no
+    // join, no exchange between scan and score)
+    val served = CorpusOps.classifyWith(
+      Tables(spark, dir, "documents"), model.weights).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("score"),
+        r.getAs[Int]("pred")))).toMap
+    docs.foreach { case (id, _) =>
+      val margin = feats(id).map { case (b, c) =>
+        c * w.getOrElse(b, 0L) }.sum
+      assert(served(id) === ((margin, if (margin > 0) 1 else 0)), s"doc $id")
+    }
+    val plan = CorpusOps.classifyWith(
+      Tables(spark, dir, "documents"), model.weights)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(600))
   }
 }

@@ -827,6 +827,61 @@ class ExtSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("ivf-pq composed serving: cell pruning + ADC + exact re-rank; " +
+    "every cosine exact; query found") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.qAnnIvfPq(spark, dir).collect()
+    assert(got.length === 10)
+    assert(got.head.getAs[Long]("vec_id") === 0L) // finds itself
+    val cosMap = Similarity.qAnnCosineById(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    got.foreach(r => assert(math.abs(r.getAs[Double]("cosine") -
+      cosMap(r.getAs[Long]("vec_id"))) < 1e-12))
+    // composition sanity vs its two parents on the near-orthogonal
+    // corpus: candidates are a subset of the probed IVF cells, so
+    // results agree with plain IVF wherever ADC ranks faithfully —
+    // bound recall vs the exact-within-probed-cells path
+    val ivf = Similarity.qAnnIvf(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.map(_.getAs[Long]("vec_id")).count(ivf) / 10.0
+    assert(recall >= 0.5, s"recall vs ivf $recall")
+  }
+
+  test("leakage-free split: no near-dup pair straddles train/eval; " +
+    "singletons follow the plain hash rule; every doc split exactly once") {
+    val split = Dedup.qSplitLeakfree(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("split_key"), r.getAs[String]("split")))).toMap
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(split.size.toLong === nDocs) // total function of the corpus
+    // THE invariant this operator exists for: both ends of every mined
+    // near-dup pair land on the same side
+    val pairs = Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles")
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) key differs")
+    }
+    // unclustered docs: key = own id and the md5 first-hex-digit rule
+    def evalCoin(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val d = "%02x".format(h(0)).charAt(0)
+      d == '0' || d == '1'
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.foreach { case (id, (key, s)) =>
+      if (!clustered.contains(id)) {
+        assert(key === id)
+        assert(s === (if (evalCoin(id)) "eval" else "train"))
+      } else assert(s === (if (evalCoin(key)) "eval" else "train"))
+    }
+    // both sides populated at this SF (~12.5% eval)
+    val evalFrac = split.values.count(_._2 == "eval").toDouble / split.size
+    assert(evalFrac > 0.02 && evalFrac < 0.35, s"eval fraction $evalFrac")
+  }
+
   test("ann lsh det: sign-bit buckets and the Hamming-1 probe shell " +
     "replayed driver-side; every cosine exact") {
     val got = Similarity.qAnnLshDet(spark, dir).collect()
