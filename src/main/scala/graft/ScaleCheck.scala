@@ -240,7 +240,7 @@ object ScaleCheck {
         // deterministic twins (sign-bucket ANN probe, position-join
         // bloom — map-only probes over bounded broadcast state);
         // classifier training is timed unmemoized above
-        "q_ann_pq", "q_ann_lsh_det", "q_bloom_novel_det")
+        "q_ann_pq", "q_ann_ivf_pq", "q_ann_lsh_det", "q_bloom_novel_det")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

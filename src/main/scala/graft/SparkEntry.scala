@@ -66,6 +66,8 @@ object SparkEntry {
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
     "q_curate_audit" -> (graft.ext.TextOps.qCurateAudit _),
+    "q_curate_report" -> (graft.ext.TextOps.qCurateReport _),
+    "q_snapshot_diff" -> (graft.ext.TextOps.qSnapshotDiff _),
     "q_stratified_sample" -> (graft.ext.TextOps.qStratifiedSample _),
     "q_mixture_sample" -> (graft.ext.TextOps.qMixtureSample _),
     "q_shard_shuffle" -> (graft.ext.TextOps.qShardShuffle _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "q_semdedup_det" -> (graft.ext.SemDedup.qSemDedupDet _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
+    "q_approx_distinct_det" -> (graft.ext.Similarity.qApproxDistinctDet _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -150,6 +153,8 @@ object SparkEntry {
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,
     "q_curate_audit" -> graft.ext.TextOps.qCurateAuditSql,
+    "q_curate_report" -> graft.ext.TextOps.qCurateReportSql,
+    "q_snapshot_diff" -> graft.ext.TextOps.qSnapshotDiffSql,
     "q_stratified_sample" -> graft.ext.TextOps.qStratifiedSampleSql,
     "q_mixture_sample" -> graft.ext.TextOps.qMixtureSampleSql,
     "q_shard_shuffle" -> graft.ext.TextOps.qShardShuffleSql,
@@ -180,6 +185,7 @@ object SparkEntry {
     "q_ann_lsh_det" -> graft.ext.Similarity.qAnnLshDetSql,
     "q_semdedup_det" -> graft.ext.SemDedup.qSemDedupDetSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
+    "q_approx_distinct_det" -> graft.ext.Similarity.qApproxDistinctDetSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql
@@ -199,8 +205,11 @@ object SparkEntry {
     // force; q_semdedup_det (oracle-checked above) replays the WHOLE
     // pipeline — mining, contraction, survivor — under a
     // deterministic sign-bit quantizer.
-    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_ann_ivf_pq /
-    // q_approx_distinct:
+    // q_approx_distinct: HLL register layout is engine-internal →
+    // rows-only; q_approx_distinct_det (oracle-checked above) pins
+    // approximate-distinct semantics via the KMV bottom-k sketch,
+    // whose md5-hash state is engine-portable.
+    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_ann_ivf_pq:
     // seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
     // weaker rows-only MEMBERSHIP check; q_ann_lsh_det (oracle-checked

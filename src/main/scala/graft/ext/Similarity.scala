@@ -671,4 +671,54 @@ object Similarity {
     Tables(spark, dir, "documents").agg(
       approx_count_distinct(col("text")).as("approx_texts"),
       approx_count_distinct(col("source")).as("approx_sources"))
+
+  /** Sketch size for [[qApproxDistinctDet]] — relative error
+    * ≈ 1/√k ≈ 12.5%; production sizes k to its error budget. */
+  val kmvK = 64
+
+  /** DETERMINISTIC distinct-count sketch — KMV / bottom-k (Bar-Yossef
+    * et al. 2002), the q_semdedup_det move applied to the sketch
+    * family: where HLL's register layout is engine-internal
+    * (q_approx_distinct is rows-only), KMV's state is just the k
+    * SMALLEST distinct hash values of the keys, and with md5-Horner
+    * hashes (60 bits) that state — and therefore the estimate — is
+    * bit-identical in any engine: the driver hash-checks the sketch
+    * AND the estimator, pinning approximate-distinct semantics the way
+    * the bloom det twin pins membership.
+    *
+    * Scale shape: distinct-hash then `ORDER BY h LIMIT k` plans as
+    * partial-aggregate + TakeOrderedAndProject — every partition keeps
+    * its own k-minimum heap and the driver merges k-row slices, which
+    * is exactly the KMV MERGE operation (union sketches = k smallest
+    * of the union): mergeable across partitions, snapshots, or days,
+    * like the production HLL it stands beside. Estimator: k < kmvK ⇒
+    * the sketch IS the exact distinct count; else (k−1)·2⁶⁰ / h_k —
+    * one IEEE division, no order-dependent float sums. */
+  def qApproxDistinctDet(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir, "documents")
+      .select(conv(substring(md5(col("text").cast("binary")), 1, 15),
+        16, 10).cast("bigint").as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(kmvK)
+    h.agg(count(lit(1)).cast("bigint").as("k_used"), max(col("h")).as("kth"))
+      .select(col("k_used"), col("kth"),
+        when(col("k_used") < kmvK, col("k_used").cast("double"))
+          .otherwise((col("k_used").cast("double") - 1.0) *
+            lit(1152921504606846976.0) / col("kth").cast("double"))
+          .as("est"))
+  }
+
+  /** Full ANSI replay of [[qApproxDistinctDet]]. */
+  val qApproxDistinctDetSql: String =
+    s"""WITH h AS (
+      |  SELECT DISTINCT CAST(CAST('0x' || substr(md5(text), 1, 15)
+      |    AS UBIGINT) AS BIGINT) AS h
+      |  FROM documents),
+      |k AS (SELECT h FROM h ORDER BY h LIMIT $kmvK),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth FROM k)
+      |SELECT k_used, kth,
+      |  CASE WHEN k_used < $kmvK THEN CAST(k_used AS DOUBLE)
+      |    ELSE (CAST(k_used AS DOUBLE) - 1.0) * 1152921504606846976.0
+      |      / CAST(kth AS DOUBLE) END AS est
+      |FROM s""".stripMargin
 }

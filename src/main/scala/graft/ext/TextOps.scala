@@ -563,6 +563,69 @@ object TextOps {
       |  md5(string_agg(bh, '' ORDER BY bkt)) AS corpus_md5
       |FROM buckets""".stripMargin
 
+  /** SNAPSHOT DIFF — corpus versioning's workhorse: classify every
+    * document across two snapshots as added / removed / changed /
+    * unchanged by content fingerprint. The operator behind "what moved
+    * between yesterday's crawl and today's?" and the audit trail a
+    * reproducible-training-set policy needs. Generic over any two
+    * frames sharing an id + content column.
+    *
+    * Scale shape: ONE full-outer shuffle join keyed on the id — both
+    * sides co-partition, fingerprints are 32-byte md5 strings computed
+    * map-side (text never crosses the shuffle), output is
+    * corpus-sized but each row is (id, 9-char status). At 100 TB, run
+    * the [[qManifest]] Merkle compare FIRST: identical roots skip the
+    * diff outright, and per-bucket root comparison narrows the join to
+    * the buckets that actually changed (the manifest's bucket ids are
+    * `doc_id % manifestBuckets` — a deterministic partition of any
+    * future snapshot too). */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+                   idCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    val fa = a.select(col(idCol), md5(col(contentCol).cast("binary")).as("fa"))
+    val fb = b.select(col(idCol), md5(col(contentCol).cast("binary")).as("fb"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fa").isNull, lit("added"))
+          .when(col("fb").isNull, lit("removed"))
+          .when(col("fa") =!= col("fb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Driver query: two deterministic snapshot VIEWS of the documents
+    * table (A drops every 3rd doc and truncates every 5th's text —
+    * yesterday's smaller, older-extraction crawl; B drops every 4th —
+    * today's), diffed. Derivation-from-one-table is the q_bloom_novel
+    * posture: the OPERATOR is generic, the snapshots just need to be
+    * reproducible in the oracle. All four statuses occur at every SF
+    * by construction (ids ≡ 0 mod 12 exist → added; mod patterns
+    * guarantee the rest). */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val snapA = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, substring(col("text"), 1, 50))
+          .otherwise(col("text")).as("text"))
+    val snapB = docs.filter(col("doc_id") % 4 =!= 0)
+    snapshotDiff(snapA, snapB)
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 50)
+      |        ELSE text END) AS fa
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |b AS (
+      |  SELECT doc_id, md5(text) AS fb
+      |  FROM documents WHERE doc_id % 4 <> 0)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.fa <> b.fb THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
   /** The last meter of the pipeline: write packed sequences as training
     * SHARD files. `repartitionByRange(pack_id)` gives each shard a
     * contiguous pack range (a pack's chunks never straddle shard
@@ -781,6 +844,49 @@ object TextOps {
       |  CAST(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
       |    AS kept
       |FROM flags f LEFT JOIN reps r ON f.doc_id = r.doc_id""".stripMargin
+
+  /** PER-SOURCE CURATION REPORT — [[qCurateAudit]] aggregated to the
+    * table an operator actually watches: per source, how many docs
+    * failed each gate, how many passed the gates but lost dedup, and
+    * the end-to-end keep rate. The "which gate is responsible for the
+    * 12% drop in source Y?" dashboard, as one GROUP BY over the audit
+    * (map-only flags → partial-agg shuffle keyed by source — source
+    * cardinality-sized output, nothing corpus-sized moves). keep_rate
+    * is ONE division per output row (portable IEEE), all counts
+    * BIGINT. */
+  def qCurateReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    qCurateAudit(spark, dir)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(lit(1) - col("len_ok")).cast("bigint").as("len_fail"),
+        sum(lit(1) - col("punct_ok")).cast("bigint").as("punct_fail"),
+        sum(lit(1) - col("stopword_ok")).cast("bigint").as("stop_fail"),
+        sum(when(col("len_ok") === 1 && col("punct_ok") === 1 &&
+          col("stopword_ok") === 1 && col("kept") === 0, 1L).otherwise(0L))
+          .cast("bigint").as("dedup_drop"),
+        sum(col("kept")).cast("bigint").as("kept"))
+      .withColumn("keep_rate",
+        col("kept").cast("double") / col("n_docs").cast("double"))
+  }
+
+  val qCurateReportSql: String =
+    s"""SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(1 - a.len_ok) AS BIGINT) AS len_fail,
+      |  CAST(SUM(1 - a.punct_ok) AS BIGINT) AS punct_fail,
+      |  CAST(SUM(1 - a.stopword_ok) AS BIGINT) AS stop_fail,
+      |  CAST(SUM(CASE WHEN a.len_ok = 1 AND a.punct_ok = 1
+      |    AND a.stopword_ok = 1 AND a.kept = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS dedup_drop,
+      |  CAST(SUM(a.kept) AS BIGINT) AS kept,
+      |  CAST(SUM(a.kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS keep_rate
+      |FROM ($qCurateAuditSql) a
+      |JOIN documents d USING (doc_id)
+      |GROUP BY d.source""".stripMargin
 
   /** Within-document repetition ratio — the Gopher-style quality rule
     * that catches boilerplate and generation loops: the fraction of word

@@ -146,7 +146,7 @@ object BloomProbe {
     * digits of md5(key‖'#'‖i) Horner-parsed mod [[detBloomBits]] — the
     * q_winnow/q_dedup_simhash technique, chosen over seeded xxhash64
     * PRECISELY so both engines derive identical positions. */
-  private def detBit(key: Column, i: Int): Column = pmod(
+  private[graft] def detBit(key: Column, i: Int): Column = pmod(
     conv(substring(md5(concat(key, lit(s"#$i")).cast("binary")), 1, 8),
       16, 10).cast("bigint"),
     lit(detBloomBits.toLong))

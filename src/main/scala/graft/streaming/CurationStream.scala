@@ -636,4 +636,104 @@ object CurationStream {
         mergeCuratedBatchPartitioned(spark, batch, storePath)
       else mergeCuratedBatch(spark, batch, storePath)
     }
+
+  /** STREAMING CROSS-SNAPSHOT DEDUP — the deterministic bloom
+    * ([[graft.operators.BloomProbe.qBloomNovelDet]]'s md5-position
+    * form) as a SELF-UPDATING stream stage: each micro-batch probes the
+    * accumulated bit store, emits only its definitely-novel documents
+    * (first-seen within the batch by min doc_id), and folds its own
+    * positions into the store — so a document arriving in batch 7
+    * identical to one from batch 1 (or earlier in batch 7) is dropped,
+    * with NO per-key state: the store is ≤ m = 2²⁰ bit positions
+    * (bucket-partitioned like every store here), not a fingerprint
+    * table. This is the stream form of "yesterday's corpus filters
+    * today's": run days as streams and the store IS the rolling
+    * reference set.
+    *
+    * Contract (one-sided, the bloom direction): a previously-absorbed
+    * text is NEVER re-emitted; a genuinely new text can be lost at the
+    * fill-factor FP rate (stated trade; size m to the horizon).
+    * Batch work: probe = broadcast joins against the bounded bit
+    * table (map-only over the batch), update = union of ≤ 3·batch
+    * distinct positions into touched buckets
+    * ([[publishTouchedBuckets]]'s recoverable two-rename publish).
+    *
+    * Effectively-once: novel output goes to an overwrite-own-dir
+    * `batch=<id>` with a marker written AFTER the data (the
+    * [[appendPackedBatch]] pattern); the bit merge is a set UNION —
+    * idempotent and order-independent — so any crash/replay
+    * interleaving converges: marker present ⇒ output final, bits
+    * republish no-ops; marker absent ⇒ output rewritten against the
+    * healed store (never emitting a seen text — the one-sided
+    * contract survives every crash point). */
+  def runNoveltyStream(spark: SparkSession, uploadDir: String,
+                       novelPath: String, bitsPath: String,
+                       checkpointDir: String,
+                       schema: StructType): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, id) =>
+      appendNovelBatch(spark, batch, novelPath, bitsPath, id)
+    }
+
+  private def bitBucketOf =
+    pmod(col("bit"), lit(storeBuckets.toLong))
+
+  def appendNovelBatch(spark: SparkSession, batch: DataFrame,
+                       novelPath: String, bitsPath: String,
+                       batchId: Long): Unit = {
+    import graft.operators.BloomProbe.{detBit, detBloomProbes}
+    val fs = new Path(bitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(spark, bitsPath)
+    // within-batch first-seen representative per fingerprint, with the
+    // probe positions computed once — checkpointed: the probe, the
+    // output write, and the bit merge all read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val (reps, release) = graft.util.Checkpoints.checkpointTracked(
+      batch.withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumns((1 to detBloomProbes)
+          .map(i => s"p$i" -> detBit(col("fp"), i)).toMap))
+    try {
+      val bitsExist = fs.exists(new Path(bitsPath))
+      val marker = new Path(novelPath, s"_novel-$batchId")
+      if (!new Path(novelPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(marker)) {
+        val bits =
+          if (bitsExist) spark.read.parquet(bitsPath).select("bit")
+          else spark.emptyDataFrame.select(lit(0L).as("bit")).limit(0)
+        val probed = (1 to detBloomProbes).foldLeft(reps) { (df, i) =>
+          df.join(broadcast(bits.withColumnRenamed("bit", s"b$i")),
+            col(s"p$i") === col(s"b$i"), "left")
+        }
+        val novel = probed.filter((1 to detBloomProbes)
+            .map(i => col(s"b$i").isNull).reduce(_ || _))
+          .select(batch.columns.map(col).toSeq: _*)
+        novel.write.mode("overwrite")
+          .parquet(new Path(novelPath, s"batch=$batchId").toString)
+        val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        mfs.create(marker, true).close()
+      }
+      // fold the batch's positions in (idempotent union; touched
+      // buckets bounded by storeBuckets)
+      val batchBits = reps.select(explode(array(
+          (1 to detBloomProbes).map(i => col(s"p$i")): _*)).as("bit"))
+        .distinct()
+        .withColumn("bucket", bitBucketOf)
+      val touched = batchBits.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (touched.nonEmpty) {
+        val existing =
+          if (bitsExist) Some(spark.read.parquet(bitsPath)
+            .filter(col("bucket").isInCollection(touched)))
+          else None
+        val merged = existing.fold(batchBits)(batchBits.unionByName(_))
+          .select("bit").distinct()
+          .withColumn("bucket", bitBucketOf)
+        publishTouchedBuckets(spark, bitsPath, merged, touched)
+      }
+    } finally release()
+  }
 }

@@ -473,4 +473,50 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamedChunks === batchChunks)
   }
+
+  test("novelty stream: cross-batch and within-batch duplicate texts " +
+    "dropped, every distinct text emitted exactly once with its min-id " +
+    "rep, bit store bounded; redelivery emits nothing new") {
+    val tmp = Files.createTempDirectory("novelty-stream").toFile.getAbsolutePath
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val cutoff = docs.agg(max("doc_id")).head().getLong(0) / 2
+    // slice 0 ⊂ slice 1: every lower-half text RECURS in the full-corpus
+    // file, and the corpus's natural exact duplicates exercise the
+    // within-batch path — whichever file order the source picks, each
+    // distinct text must surface exactly once, under its global min id
+    docs.filter(col("doc_id") <= cutoff).coalesce(1)
+      .write.parquet(s"$tmp/upload/part0")
+    docs.coalesce(1).write.parquet(s"$tmp/upload/part1")
+
+    CurationStream.runNoveltyStream(
+      spark, s"$tmp/upload/*", s"$tmp/novel", s"$tmp/bits", s"$tmp/ckpt",
+      docs.schema).awaitTermination()
+
+    def emitted() = spark.read.parquet(s"$tmp/novel")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = emitted()
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val minRep = texts.groupBy(_._2).map { case (t, rows) =>
+      t -> rows.map(_._1).min }
+    // exactly once, min-id representative, nothing else
+    assert(got.map(_._2).distinct.length === got.length)
+    assert(got.map(_._2).toSet === minRep.keySet)
+    got.foreach { case (id, t) => assert(id === minRep(t), s"rep for $t") }
+
+    // the store is positions, not keys: bounded by 3·distinct and m
+    val bits = spark.read.parquet(s"$tmp/bits").select("bit").collect()
+      .map(_.getLong(0))
+    assert(bits.length === bits.distinct.length)
+    assert(bits.length <= 3 * minRep.size)
+    assert(bits.forall(b => b >= 0 &&
+      b < graft.operators.BloomProbe.detBloomBits))
+
+    // full redelivery, fresh checkpoint: markers + idempotent bit union
+    // make it a value no-op
+    CurationStream.runNoveltyStream(
+      spark, s"$tmp/upload/*", s"$tmp/novel", s"$tmp/bits", s"$tmp/ckpt2",
+      docs.schema).awaitTermination()
+    assert(emitted().sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }

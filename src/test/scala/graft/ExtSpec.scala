@@ -827,6 +827,93 @@ class ExtSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("curate report: per-source counts re-aggregate the audit exactly; " +
+    "keep_rate consistent") {
+    val audit = TextOps.qCurateAudit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val srcOf = Tables(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.qCurateReport(spark, dir).collect()
+    assert(got.map(_.getAs[String]("source")).toSet === srcOf.values.toSet)
+    got.foreach { r =>
+      val s = r.getAs[String]("source")
+      val rows = audit.filter { case (id, _) => srcOf(id) == s }.values
+      assert(r.getAs[Long]("n_docs") === rows.size.toLong)
+      assert(r.getAs[Long]("len_fail") ===
+        rows.count(_.getAs[Int]("len_ok") == 0).toLong)
+      assert(r.getAs[Long]("punct_fail") ===
+        rows.count(_.getAs[Int]("punct_ok") == 0).toLong)
+      assert(r.getAs[Long]("stop_fail") ===
+        rows.count(_.getAs[Int]("stopword_ok") == 0).toLong)
+      assert(r.getAs[Long]("dedup_drop") === rows.count(a =>
+        a.getAs[Int]("len_ok") == 1 && a.getAs[Int]("punct_ok") == 1 &&
+          a.getAs[Int]("stopword_ok") == 1 && a.getAs[Int]("kept") == 0)
+        .toLong)
+      assert(r.getAs[Long]("kept") ===
+        rows.count(_.getAs[Int]("kept") == 1).toLong)
+      assert(r.getAs[Double]("keep_rate") ===
+        r.getAs[Long]("kept").toDouble / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("snapshot diff: every status replayed driver-side; all four " +
+    "statuses occur; unchanged majority") {
+    val got = TextOps.qSnapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.keys.flatMap { id =>
+      val inA = id % 3 != 0
+      val inB = id % 4 != 0
+      val ta = if (id % 5 == 0) docs(id).take(50) else docs(id)
+      val st =
+        if (!inA && !inB) None
+        else if (!inA) Some("added")
+        else if (!inB) Some("removed")
+        else if (ta != docs(id)) Some("changed")
+        else Some("unchanged")
+      st.map(id -> _)
+    }.toMap
+    assert(got === expect)
+    assert(got.values.toSet ===
+      Set("added", "removed", "changed", "unchanged"))
+    // unchanged is the largest class on these ~mod-sized perturbations
+    val byStatus = got.values.groupBy(identity).view.mapValues(_.size)
+    assert(byStatus("unchanged") === byStatus.values.max)
+  }
+
+  test("kmv det sketch: bottom-k state replayed driver-side; estimate " +
+    "within the 1/sqrt(k) error envelope; plan is TakeOrdered, no sort") {
+    val row = Similarity.qApproxDistinctDet(spark, dir).collect().head
+    val (kUsed, kth, est) = (row.getAs[Long]("k_used"),
+      row.getAs[Long]("kth"), row.getAs[Double]("est"))
+    // driver replay of the sketch
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val texts = Tables(spark, dir, "documents").select("text").collect()
+      .map(_.getString(0))
+    val hashes = texts.map(h).distinct.sorted.take(Similarity.kmvK)
+    assert(kUsed === hashes.length.toLong)
+    assert(kth === hashes.last)
+    val expectEst =
+      if (hashes.length < Similarity.kmvK) hashes.length.toDouble
+      else (hashes.length - 1).toDouble * 1152921504606846976.0 / hashes.last
+    assert(est === expectEst)
+    // estimator quality: within 4/sqrt(k) of the exact distinct count
+    val exact = texts.distinct.length.toDouble
+    assert(math.abs(est - exact) / exact < 4.0 / math.sqrt(Similarity.kmvK),
+      s"est $est exact $exact")
+    // scale shape: per-partition k-minimum heaps, never a global sort
+    val plan = Similarity.qApproxDistinctDet(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("ivf-pq composed serving: cell pruning + ADC + exact re-rank; " +
     "every cosine exact; query found") {
     import org.apache.spark.sql.functions.col
