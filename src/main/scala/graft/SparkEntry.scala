@@ -104,6 +104,7 @@ object SparkEntry {
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_approx_distinct_det" -> (graft.ext.Similarity.qApproxDistinctDet _),
+    "q_knn_probe" -> (graft.ext.Similarity.qKnnProbe _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "q_semdedup_det" -> graft.ext.SemDedup.qSemDedupDetSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_approx_distinct_det" -> graft.ext.Similarity.qApproxDistinctDetSql,
+    "q_knn_probe" -> graft.ext.Similarity.qKnnProbeSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql

