@@ -544,12 +544,24 @@ object CurationStream {
     * crash-before-checkpoint rewrites the same files instead of
     * appending duplicates (the same overwrite-idempotence contract as
     * the curated store's bucket rewrite). */
+  /** Model inference on every arriving batch: the hashed classifier
+    * (TRAINED weights via [[graft.ext.CorpusOps.classifyWith]] when
+    * `clfWeights` is given — the streaming tail of the perceptron's
+    * train → serve loop — else the md5-weight [[graft.ext.CorpusOps
+    * .classify]] shape) joined with offline-trained LM scores. Both
+    * scorers are map-only over the batch; per-batch output is
+    * overwrite-own-dir, so replays converge. */
   def runScoringStream(spark: SparkSession, uploadDir: String,
                        outPath: String, checkpointDir: String,
                        schema: StructType,
-                       model: graft.ext.CorpusOps.LmModel): StreamingQuery =
+                       model: graft.ext.CorpusOps.LmModel,
+                       clfWeights: Option[Map[Long, Long]] = None)
+      : StreamingQuery =
     runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, id) =>
-      val scored = graft.ext.CorpusOps.classify(batch)
+      val clf = clfWeights
+        .fold(graft.ext.CorpusOps.classify(batch))(w =>
+          graft.ext.CorpusOps.classifyWith(batch, w))
+      val scored = clf
         .join(graft.ext.CorpusOps.lmScoreWith(batch, model), Seq("doc_id"))
       scored.write.mode("overwrite").parquet(s"$outPath/batch=$id")
     }

@@ -351,6 +351,19 @@ class CurationStreamSpec extends SparkSpec {
     val replayed = spark.read.parquet(s"$tmp/scores")
       .select(cols.map(col): _*).collect().map(_.toSeq).toSet
     assert(replayed === batch)
+
+    // trained-weights serving: the stream scores every batch with the
+    // perceptron's weights (the train -> serve loop's streaming tail)
+    val clf = CorpusOps.trainClassifier(docs)
+    CurationStream.runScoringStream(
+      spark, s"$tmp/upload/*", s"$tmp/scores2", s"$tmp/ckpt3",
+      docs.schema, model, clfWeights = Some(clf.weights)).awaitTermination()
+    val trainedCols = Seq("doc_id", "score", "pred")
+    val streamedTrained = spark.read.parquet(s"$tmp/scores2")
+      .select(trainedCols.map(col): _*).collect().map(_.toSeq).toSet
+    val batchTrained = CorpusOps.classifyWith(docs, clf.weights)
+      .select(trainedCols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(streamedTrained === batchTrained)
   }
 
   test("novelty-gated curation stream: yesterday's corpus never re-enters the store") {
