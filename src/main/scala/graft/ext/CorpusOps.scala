@@ -170,20 +170,24 @@ object CorpusOps {
     * rounds scan it without re-reading the corpus. At 100 TB with
     * B = 2²⁰ the weight table still broadcasts at ~16 MB. */
   def trainClassifier(docs: DataFrame,
-                      rounds: Int = classifierTrainRounds): ClassifierModel = {
+                      rounds: Int = classifierTrainRounds,
+                      labelCol: Option[String] = None): ClassifierModel = {
     val t = split(col("text"), " ")
     val feats = docs
       .select(col("doc_id"), explode(t).as("word"))
       .select(col("doc_id"), wordBucket(col("word")).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val labels = docs.select(col("doc_id"),
+    // labels: a caller-provided 0/1 column (human ratings, a seed-set
+    // membership flag, an LLM judge) — or the default gate distillation
+    val yExpr = labelCol.map(c => col(c).cast("bigint")).getOrElse(
       (length(col("text")) >= 100 &&
         (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
           length(col("text"))) <= 0.3 &&
         (size(filter(t, x => x.isInCollection(
           Seq("the", "a", "of", "and", "to")))).cast("double") /
-          size(t)) >= 0.01).cast("bigint").as("y"))
+          size(t)) >= 0.01).cast("bigint"))
+    val labels = docs.select(col("doc_id"), yExpr.as("y"))
       .localCheckpoint()
     val spark = docs.sparkSession
     import spark.implicits._

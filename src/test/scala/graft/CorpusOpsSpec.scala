@@ -222,4 +222,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       plan.take(600))
   }
+
+  test("classifier train with caller labels: converges to zero mistakes " +
+    "on a linearly separable toy and the served model separates it") {
+    import spark.implicits._
+    // 'spamword' appears iff label 0 — separable under bag-of-words
+    val docs = Seq(
+      (1L, "buy spamword now now", 0),
+      (2L, "spamword offer deal", 0),
+      (3L, "meeting notes for tuesday", 1),
+      (4L, "quarterly report draft", 1),
+      (5L, "lunch plans and notes", 1),
+      (6L, "cheap spamword deal deal", 0)
+    ).toDF("doc_id", "text", "quality")
+    val model = CorpusOps.trainClassifier(docs, rounds = 8,
+      labelCol = Some("quality"))
+    assert(model.rounds.last.nMistakes === 0L) // converged
+    val served = CorpusOps.classifyWith(docs, model.weights).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("pred")).toMap
+    Seq(1L, 2L, 6L).foreach(id => assert(served(id) === 0, s"doc $id"))
+    Seq(3L, 4L, 5L).foreach(id => assert(served(id) === 1, s"doc $id"))
+  }
 }
