@@ -240,7 +240,10 @@ object ScaleCheck {
         // deterministic twins (sign-bucket ANN probe, position-join
         // bloom — map-only probes over bounded broadcast state);
         // classifier training is timed unmemoized above
-        "q_ann_pq", "q_ann_ivf_pq", "q_ann_lsh_det", "q_bloom_novel_det")
+        "q_ann_pq", "q_ann_ivf_pq", "q_ann_lsh_det", "q_bloom_novel_det",
+        // observability/versioning: one partial-agg rollup; one
+        // co-partitioned full-outer join (both linear by shape)
+        "q_curate_report", "q_snapshot_diff")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
