@@ -140,10 +140,32 @@ object Bpe {
     * BpeSpec proves token-for-token equality with [[encode]] at the
     * oracle scale AND with the driver-side reference fold at ≥1000
     * trained merges. */
+  /** Broadcast memo for [[encodeFast]] (round-7 advice): one broadcast
+    * per (model, context) instead of one per CALL. Without it, a
+    * long-running caller (a streaming scorer invoking encodeFast per
+    * batch) minted a fresh broadcast — and with it a fresh executor-side
+    * BpeTokenize.Model (pair/rank tables + up-to-2¹⁶-entry word cache)
+    * — per call, for the JVM lifetime. Weak keys: when the caller drops
+    * the model, the entry follows and the ContextCleaner reaps the
+    * broadcast's executor blocks (BpeTokenize's own model map is
+    * size-bounded, so the executor state drains too). */
+  private val encodeFastBc = new java.util.WeakHashMap[
+    BpeModel, (String, org.apache.spark.broadcast.Broadcast[
+      Array[(String, String)]])]()
+
   def encodeFast(spark: SparkSession, text: Column,
                  model: BpeModel): Column = {
-    val bc = spark.sparkContext.broadcast(
-      model.merges.map { case (_, l, r, _) => (l, r) }.toArray)
+    val appId = spark.sparkContext.applicationId
+    val bc = encodeFastBc.synchronized {
+      val cached = encodeFastBc.get(model)
+      if (cached != null && cached._1 == appId) cached._2
+      else {
+        val b = spark.sparkContext.broadcast(
+          model.merges.map { case (_, l, r, _) => (l, r) }.toArray)
+        encodeFastBc.put(model, (appId, b))
+        b
+      }
+    }
     org.apache.spark.sql.graftshim.BpeTokenize.bpeTokenize(text, bc, eow)
   }
 

@@ -173,11 +173,18 @@ object CorpusOps {
                       rounds: Int = classifierTrainRounds,
                       labelCol: Option[String] = None): ClassifierModel = {
     val t = split(col("text"), " ")
-    val feats = docs
-      .select(col("doc_id"), explode(t).as("word"))
-      .select(col("doc_id"), wordBucket(col("word")).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    // TRACKED checkpoints (round-7 advice): the driver queries run this
+    // inside SessionCache.memoize, which records every persistent RDD
+    // the build creates as artifact-owned — a plain localCheckpoint
+    // here would be PINNED for the whole session even though the
+    // returned model is a driver-side weight map owning no executor
+    // state. Tracked checkpoints are released before returning, so the
+    // memoized entry owns zero blocks and the sweep has nothing to
+    // carry.
+    val (feats, releaseF) = graft.util.Checkpoints.checkpointTracked(
+      docs.select(col("doc_id"), explode(t).as("word"))
+        .select(col("doc_id"), wordBucket(col("word")).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt")))
     // labels: a caller-provided 0/1 column (human ratings, a seed-set
     // membership flag, an LLM judge) — or the default gate distillation
     val yExpr = labelCol.map(c => col(c).cast("bigint")).getOrElse(
@@ -187,35 +194,45 @@ object CorpusOps {
         (size(filter(t, x => x.isInCollection(
           Seq("the", "a", "of", "and", "to")))).cast("double") /
           size(t)) >= 0.01).cast("bigint"))
-    val labels = docs.select(col("doc_id"), yExpr.as("y"))
-      .localCheckpoint()
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var w = Map.empty[Long, Long]
-    val trace = Seq.newBuilder[TrainRound]
-    for (r <- 1 to rounds) {
-      val wDf =
-        if (w.isEmpty) spark.emptyDataset[(Long, Long)].toDF("bucket", "wgt")
-        else w.toSeq.toDF("bucket", "wgt")
-      val margins = feats.join(broadcast(wDf), Seq("bucket"), "left")
-        .groupBy("doc_id")
-        .agg(sum(col("cnt") * coalesce(col("wgt"), lit(0L))).as("margin"))
-      val errs = labels.join(margins, Seq("doc_id"))
-        .select(col("doc_id"),
-          (col("y") - when(col("margin") > 0, 1L).otherwise(0L)).as("err"))
-        .filter(col("err") =!= 0)
-        .localCheckpoint() // two actions below read it; released by sweep
-      val nMistakes = errs.count()
-      val delta = feats.join(errs, Seq("doc_id"))
-        .groupBy("bucket").agg(sum(col("cnt") * col("err")).as("d"))
-        .collect() // ≤ classifierBuckets rows — bounded model metadata
-        .map(row => row.getAs[Long]("bucket") -> row.getAs[Long]("d"))
-      w = delta.foldLeft(w) { case (acc, (b, d)) =>
-        acc.updated(b, acc.getOrElse(b, 0L) + d)
-      }
-      trace += TrainRound(r, nMistakes, w.valuesIterator.map(math.abs).sum)
-    }
-    ClassifierModel(trace.result(), w)
+    try {
+      val (labels, releaseL) = graft.util.Checkpoints.checkpointTracked(
+        docs.select(col("doc_id"), yExpr.as("y")))
+      try {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        var w = Map.empty[Long, Long]
+        val trace = Seq.newBuilder[TrainRound]
+        for (r <- 1 to rounds) {
+          val wDf =
+            if (w.isEmpty)
+              spark.emptyDataset[(Long, Long)].toDF("bucket", "wgt")
+            else w.toSeq.toDF("bucket", "wgt")
+          val margins = feats.join(broadcast(wDf), Seq("bucket"), "left")
+            .groupBy("doc_id")
+            .agg(sum(col("cnt") * coalesce(col("wgt"), lit(0L))).as("margin"))
+          // two actions below read the mistake set; released per round
+          val (errs, releaseE) = graft.util.Checkpoints.checkpointTracked(
+            labels.join(margins, Seq("doc_id"))
+              .select(col("doc_id"),
+                (col("y") - when(col("margin") > 0, 1L).otherwise(0L))
+                  .as("err"))
+              .filter(col("err") =!= 0))
+          try {
+            val nMistakes = errs.count()
+            val delta = feats.join(errs, Seq("doc_id"))
+              .groupBy("bucket").agg(sum(col("cnt") * col("err")).as("d"))
+              .collect() // ≤ classifierBuckets rows — bounded metadata
+              .map(row => row.getAs[Long]("bucket") -> row.getAs[Long]("d"))
+            w = delta.foldLeft(w) { case (acc, (b, d)) =>
+              acc.updated(b, acc.getOrElse(b, 0L) + d)
+            }
+            trace += TrainRound(r, nMistakes,
+              w.valuesIterator.map(math.abs).sum)
+          } finally releaseE()
+        }
+        ClassifierModel(trace.result(), w)
+      } finally releaseL()
+    } finally releaseF()
   }
 
   /** Driver query: the per-round training trace — (round, n_mistakes,

@@ -40,6 +40,7 @@ object SessionCache {
   private val entries = new ConcurrentHashMap[String, Entry]()
   private val hookedContexts = ConcurrentHashMap.newKeySet[String]()
   private val ownedRdds = ConcurrentHashMap.newKeySet[Int]()
+  private val accessLog = ConcurrentHashMap.newKeySet[String]()
 
   /** Unique id for a session: `sessionUUID` on the classic session (the
     * only implementation this engine runs on); identity hash only as a
@@ -80,8 +81,10 @@ object SessionCache {
         }
       })
     }
+    val key = s"${sessionKey(spark)}|$scope|$dir"
+    accessLog.add(key)
     entries
-      .computeIfAbsent(s"${sessionKey(spark)}|$scope|$dir", { _ =>
+      .computeIfAbsent(key, { _ =>
         // Record which persistent RDDs the build creates: those blocks
         // back the memoized artifact and must survive any sweep-level
         // cleanup ([[dropTransientBlocks]]) that evicts per-invocation
@@ -96,6 +99,30 @@ object SessionCache {
       })
       .value.asInstanceOf[T]
   }
+
+  /** Keys memoize() has served (hit or build) since the last drain.
+    * Sweep telemetry: the bench drains per query to learn which
+    * artifacts each query depends on, then evicts an artifact once its
+    * last dependent query has run (round-7 verdict: the 83-query
+    * sweep's ever-growing pinned set taxed every later timed pass). */
+  def drainAccesses(): Set[String] = {
+    val it = accessLog.iterator()
+    val out = Set.newBuilder[String]
+    while (it.hasNext) { out += it.next(); it.remove() }
+    out.result()
+  }
+
+  /** Evict one memoized artifact by its full key, unpersisting the
+    * blocks it owns. The next memoize() on that key rebuilds. */
+  def evictKeys(keys: Set[String]): Unit =
+    entries.forEach { (key, e) => if (keys.contains(key)) evict(key, e) }
+
+  /** Bytes (memory + disk) held by artifact-owned persistent RDDs in
+    * this context — the sweep's "pinned" footprint. */
+  def pinnedBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo
+      .filter(i => ownedRdds.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
 
   /** Unpersist every persistent RDD NOT owned by a memoized artifact.
     *
@@ -123,5 +150,6 @@ object SessionCache {
   def clear(): Unit = {
     entries.forEach((k, e) => evict(k, e))
     ownedRdds.clear()
+    accessLog.clear()
   }
 }

@@ -100,12 +100,22 @@ object BpeTokenize {
 
   private val cacheCap = 1 << 16
 
+  /** Executor-resident models are BOUNDED (round-7 advice): a
+    * long-lived executor serving many broadcasts (model retrains in a
+    * streaming scorer) otherwise accumulates a Model — pair/rank
+    * tables plus the word cache — per broadcast id forever. On
+    * overflow the whole map drops: rebuild from a live broadcast is
+    * one hashmap pass, and entries for destroyed broadcasts can never
+    * be rebuilt (their ids stop arriving), so clearing drains them. */
+  private val modelCap = 8
+
   private val models =
     new java.util.concurrent.ConcurrentHashMap[Long, Model]()
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(s: UTF8String, bc: Broadcast[Array[(String, String)]],
               eow: String): ArrayData = {
+    if (models.size > modelCap && !models.containsKey(bc.id)) models.clear()
     val model = models.computeIfAbsent(bc.id, _ => new Model(bc.value))
     val text = s.toString
     val out = new java.util.ArrayList[AnyRef]()
