@@ -54,7 +54,17 @@ object BloomProbe {
     * only lets the optimizer use the sizing it estimated; it never
     * shrinks a filter), but a strict-isolation caller should build on a
     * dedicated `spark.newSession()`. */
-  private val buildLock = new Object
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The conf clobber the lock guards is PER SESSION (each session has
+    * its own conf), so the lock is keyed by sessionUUID: concurrent
+    * builds on unrelated sessions proceed in parallel, and one
+    * slow/hung build can no longer serialize every other session's
+    * builds behind a JVM-wide monitor (round-7 advice). */
+  private def buildLock(spark: org.apache.spark.sql.SparkSession): Object =
+    buildLocks.computeIfAbsent(
+      graft.util.SessionCache.sessionKey(spark), _ => new Object)
 
   /** Build the serialized filter (as a 1-row, 1-column DataFrame —
     * keep it as a DataFrame to `persist`/reuse, or `collectFilter` for
@@ -71,7 +81,7 @@ object BloomProbe {
     // the duration of the job and restore after — the confs also gate
     // Catalyst's own injected runtime filters, so they must not stay
     // raised behind the caller's back.
-    buildLock.synchronized {
+    buildLock(keys.sparkSession).synchronized {
       val conf = keys.sparkSession.conf
       val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
       val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
@@ -132,24 +142,39 @@ object BloomProbe {
       .select("doc_id", "lang", "source")
   }
 
-  /** Bit-array size of the DETERMINISTIC bloom twin: fixed 2²⁰ (the
-    * oracle SQL needs a literal modulus). The production path sizes via
-    * [[numBits]]; at the reference-set sizes this twin pins (3 probes ×
-    * n keys set bits), 2²⁰ holds the spec's sub-1% FP regime up to
-    * ~10⁵ keys. */
+  /** Bit-array size the STREAMING det bloom uses ([[graft.streaming
+    * .CurationStream.appendNovelBatch]]): a stream's modulus must stay
+    * FIXED across batches (positions already in the store were derived
+    * under it), so it is sized once to the stream's horizon — 2²⁰ holds
+    * the sub-1% FP regime up to ~10⁵ keys; a production stream passes
+    * its own horizon-sized m. The BATCH det twin ([[qBloomNovelDet]])
+    * no longer uses a fixed m at all — see [[detBloomBitsPerKey]]. */
   val detBloomBits = 1 << 20
 
   /** Probe positions per key for the deterministic twin (k = 3). */
   val detBloomProbes = 3
 
+  /** BITS PER KEY for the batch det twin's modulus: m = 16·n, computed
+    * from the reference-set COUNT in integer arithmetic — which the
+    * generated oracle SQL reproduces exactly (`16 * COUNT(*)`), unlike
+    * the float-log [[numBits]] formula whose ceil could straddle an ulp
+    * between engines. Fill factor is ≤ k/16 = 0.1875 at ANY reference
+    * size (set bits ≤ 3n, m = 16n), so FP ≤ 0.1875³ ≈ 0.66% — the
+    * sub-1% regime no longer saturates at 100× (round-7 ask #7); the
+    * fixed-m saturation was an artifact of the literal, not the design. */
+  val detBloomBitsPerKey = 16L
+
   /** Bit position `i` of `key` in the deterministic twin: first 8 hex
-    * digits of md5(key‖'#'‖i) Horner-parsed mod [[detBloomBits]] — the
+    * digits of md5(key‖'#'‖i) Horner-parsed mod `m` — the
     * q_winnow/q_dedup_simhash technique, chosen over seeded xxhash64
     * PRECISELY so both engines derive identical positions. */
-  private[graft] def detBit(key: Column, i: Int): Column = pmod(
+  private[graft] def detBit(key: Column, i: Int, m: Column): Column = pmod(
     conv(substring(md5(concat(key, lit(s"#$i")).cast("binary")), 1, 8),
-      16, 10).cast("bigint"),
-    lit(detBloomBits.toLong))
+      16, 10).cast("bigint"), m)
+
+  /** Fixed-[[detBloomBits]] form for the streaming store. */
+  private[graft] def detBit(key: Column, i: Int): Column =
+    detBit(key, i, lit(detBloomBits.toLong))
 
   /** [[qBloomNovel]] with FULLY REPLAYABLE bloom semantics — the
     * q_semdedup_det move applied to the sketch family: instead of
@@ -173,14 +198,19 @@ object BloomProbe {
                      dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir, "documents")
     val cutoff = docs.agg(max("doc_id")).head().getLong(0) / 2
+    // modulus scales with the reference set: m = 16·n (integer math the
+    // oracle replays as 16 * COUNT(*)); both driver lookups are bounded
+    // scalar aggregates, the same posture as the cutoff itself
+    val n = docs.filter(col("doc_id") <= cutoff).count()
+    val m = lit(detBloomBitsPerKey * math.max(1L, n))
     val fp = docs.withColumn("fp", md5(col("text").cast("binary")))
     val bits = fp.filter(col("doc_id") <= cutoff)
-      .select(explode(array(
-        (1 to detBloomProbes).map(i => detBit(col("fp"), i)): _*)).as("bit"))
+      .select(explode(array((1 to detBloomProbes)
+        .map(i => detBit(col("fp"), i, m)): _*)).as("bit"))
       .distinct()
     val probed = (1 to detBloomProbes).foldLeft(
       fp.withColumns((1 to detBloomProbes)
-        .map(i => s"p$i" -> detBit(col("fp"), i)).toMap)) { (df, i) =>
+        .map(i => s"p$i" -> detBit(col("fp"), i, m)).toMap)) { (df, i) =>
       df.join(broadcast(bits.withColumnRenamed("bit", s"b$i")),
         col(s"p$i") === col(s"b$i"), "left")
     }
@@ -190,13 +220,14 @@ object BloomProbe {
   }
 
   /** Full ANSI replay of [[qBloomNovelDet]]: the md5-Horner bit
-    * positions, the distinct-bit build over the snapshot half, and the
+    * positions, the reference-count-scaled modulus (16·n in integer
+    * arithmetic — replayable where a float-log sizing formula is not),
+    * the distinct-bit build over the snapshot half, and the
     * any-bit-unset novelty test. */
   val qBloomNovelDetSql: String = {
-    val m = detBloomBits
     def pos(i: Int) =
       s"CAST(CAST('0x' || substr(md5(f || '#$i'), 1, 8) AS UBIGINT) " +
-        s"% $m AS BIGINT)"
+        s"AS BIGINT) % m.m"
     val posCols = (1 to detBloomProbes)
       .map(i => s"    ${pos(i)} AS p$i").mkString(",\n")
     val novel = (1 to detBloomProbes)
@@ -204,16 +235,20 @@ object BloomProbe {
     s"""WITH fp AS (
       |  SELECT doc_id, lang, source, md5(text) AS f FROM documents),
       |cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents),
+      |m AS (
+      |  SELECT $detBloomBitsPerKey *
+      |    GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS m
+      |  FROM fp, cut WHERE doc_id <= c),
       |bits AS (
       |  SELECT DISTINCT CAST(CAST('0x' || substr(md5(f || '#' || i), 1, 8)
-      |      AS UBIGINT) % $m AS BIGINT) AS bit
-      |  FROM fp, cut,
+      |      AS UBIGINT) AS BIGINT) % m.m AS bit
+      |  FROM fp, cut, m,
       |    (SELECT unnest(range(1, ${detBloomProbes + 1})) AS i)
       |  WHERE doc_id <= c),
       |probe AS (
       |  SELECT doc_id, lang, source,
       |$posCols
-      |  FROM fp)
+      |  FROM fp, m)
       |SELECT doc_id, lang, source FROM probe
       |WHERE $novel""".stripMargin
   }

@@ -76,12 +76,13 @@ class BloomProbeSpec extends SparkSpec {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def pos(f: String, i: Int): Long =
-      java.lang.Long.parseLong(md5hex(f + "#" + i).take(8), 16) %
-        BloomProbe.detBloomBits
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val cutoff = docs.map(_._1).max / 2
+    // scaled modulus: m = bitsPerKey * |reference set| (round-8 form)
+    val m = BloomProbe.detBloomBitsPerKey * docs.count(_._1 <= cutoff)
+    def pos(f: String, i: Int): Long =
+      java.lang.Long.parseLong(md5hex(f + "#" + i).take(8), 16) % m
     val bits = docs.filter(_._1 <= cutoff).flatMap { case (_, t) =>
       val f = md5hex(t)
       (1 to BloomProbe.detBloomProbes).map(i => pos(f, i))
