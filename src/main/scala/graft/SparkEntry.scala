@@ -108,7 +108,9 @@ object SparkEntry {
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
-    "q_media_near_dup" -> (graft.multimodal.Multimodal.qMediaNearDup _)
+    "q_media_near_dup" -> (graft.multimodal.Multimodal.qMediaNearDup _),
+    "q_media_near_dup_det" ->
+      (graft.multimodal.Multimodal.qMediaNearDupDet _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,7 +192,15 @@ object SparkEntry {
     "q_knn_probe" -> graft.ext.Similarity.qKnnProbeSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
-    "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql
+    "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,
+    "q_media_near_dup_det" ->
+      graft.multimodal.Multimodal.qMediaNearDupDetSql
+    // q_media_near_dup: feature extraction crosses the codec seam and
+    // float folds (audio RMS, frame means) → rows-only; MultimodalSpec
+    // recomputes every reported cosine. q_media_near_dup_det
+    // (oracle-checked above) hash-checks the image modality's WHOLE
+    // pipeline — real BMP codec round-trip, quantization, banding,
+    // cosine threshold — via integer-exact feature arithmetic.
     // q_bloom_novel: bloom bit positions are engine-hash internals →
     // rows-only; BloomProbeSpec proves the one-sided contract (zero
     // false negatives, bounded false positives) and the plan (native

@@ -558,6 +558,101 @@ object Multimodal {
       .filter(col("cosine") >= 0.99999)
   }
 
+  /** Quantized-feature threshold for [[qMediaNearDupDet]]. */
+  val mediaNearDupDetMinCos = 0.995
+
+  /** DETERMINISTIC twin of [[qMediaNearDup]] — the q_semdedup_det move
+    * applied to the media family, closing the one rows-only family with
+    * no hash-checked companion (round-7 ask #5). The pipeline is the
+    * SAME shape end to end — decode → feature → band → in-band pairs →
+    * exact cosine ≥ threshold — but every stage is exactly replayable:
+    *
+    *  - it runs over the IMAGE modality, whose real-codec round-trip is
+    *    EXACT integer arithmetic: the synthesized BMP's cell gray is
+    *    `round(textAmps(text)(cell)·255)`, [[ImageIoCodec.featuresOf]]
+    *    recovers gray/255 (luminance weights sum to 1000 — lossless on
+    *    gray pixels), and re-quantizing `round(feature·255)` returns
+    *    the original integers, which the oracle re-derives from
+    *    `documents.text` byte arithmetic (ASCII corpus; every
+    *    intermediate is a multiple of 1/256 — exact in doubles);
+    *  - banding is the quantized vector's FIRST TWO cells (a true
+    *    near-dup here shares the fingerprint direction, hence the
+    *    quantized cells) instead of seeded hyperplane signs;
+    *  - the verify cosine is integer dot/norm sums (exact) with one
+    *    IEEE division + sqrts — bit-identical in any engine.
+    *
+    * So membership — banding, tie behavior, threshold — is hash-checked
+    * against [[qMediaNearDupDetSql]], pinning what the rows-only
+    * q_media_near_dup can only spec-check. The seeded-hyperplane path
+    * stays the production default (data-independent buckets bound
+    * occupancy under adversarial fingerprints; axis-value bands do
+    * not), exactly as with q_ann_lsh_det. Audio/video modalities stay
+    * out: their features sum sines / frame means whose float folds are
+    * not integer-exact, i.e. precisely the paths the rows-only query +
+    * MultimodalSpec recomputation cover. Scale shape is unchanged:
+    * map-only quantize, equi-join on the band key, never all-pairs. */
+  def qMediaNearDupDet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{decode => _, _}
+    // same memoized decode-once artifact as qMediaNearDup (shared scope)
+    val feats = graft.util.SessionCache.memoize(spark, "media-feats", dir) {
+      Multimodal.decode(synthesize(spark, dir)).toDF()
+        .select(col("doc_id"), col("feature"))
+        .localCheckpoint()
+    }
+    val qf = feats.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id") +: (0 until 8).map(j =>
+        round(element_at(col("feature"), j + 1).cast("double") * 255)
+          .cast("int").as(s"q$j")): _*)
+    val dp = (0 until 8).map(j => col(s"a.q$j") * col(s"b.q$j")).reduce(_ + _)
+    val na = (0 until 8).map(j => col(s"a.q$j") * col(s"a.q$j")).reduce(_ + _)
+    val nb = (0 until 8).map(j => col(s"b.q$j") * col(s"b.q$j")).reduce(_ + _)
+    qf.as("a").join(qf.as("b"),
+        col("a.q0") === col("b.q0") && col("a.q1") === col("b.q1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        dp.as("dp"), na.as("na"), nb.as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("dp").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= mediaNearDupDetMinCos)
+  }
+
+  /** Full ANSI replay of [[qMediaNearDupDet]]: [[textAmps]]'s byte
+    * arithmetic (pad 'a' past the text), the ·255 quantization, the
+    * (q0, q1) band join, and the integer-sum cosine. */
+  val qMediaNearDupDetSql: String = {
+    def byteAt(i: Int) =
+      s"(CASE WHEN length(text) > $i THEN ascii(substr(text, ${i + 1}, 1)) " +
+        "ELSE 97 END)"
+    def qcol(c: Int) = {
+      val s = (0 until 8).map(k => byteAt(8 * c + k)).mkString(" + ")
+      s"CAST(round(255 * LEAST(1.0, GREATEST(0.0, (($s) / 8.0 - 96.0) " +
+        s"/ 32.0))) AS INTEGER) AS q$c"
+    }
+    val qcols = (0 until 8).map(qcol).mkString(",\n    ")
+    val dp = (0 until 8).map(j => s"a.q$j*b.q$j").mkString(" + ")
+    val na = (0 until 8).map(j => s"a.q$j*a.q$j").mkString(" + ")
+    val nb = (0 until 8).map(j => s"b.q$j*b.q$j").mkString(" + ")
+    s"""WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |q AS (SELECT doc_id,
+      |    $qcols
+      |  FROM img),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    $dp AS dp, $na AS na, $nb AS nb
+      |  FROM q a JOIN q b ON a.q0 = b.q0 AND a.q1 = b.q1
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+      |    * sqrt(CAST(nb AS DOUBLE))) AS cosine
+      |FROM p
+      |WHERE na > 0 AND nb > 0
+      |  AND CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+      |    * sqrt(CAST(nb AS DOUBLE))) >= $mediaNearDupDetMinCos""".stripMargin
+  }
+
   /** Mirrors [[synthesize]] + the REAL codec decodes field by field —
     * every modality's container arithmetic replayed in SQL, proving
     * all three real-codec round-trips at once:
