@@ -444,6 +444,32 @@ object Similarity {
       math.ceil(math.log(target) / math.log(2.0)).toInt))
   }
 
+  /** MAP-ONLY cell assignment under FIXED centroids — the incremental
+    * half of IVF maintenance: new vectors join an existing index by
+    * taking the argmin over the k-centroid table exactly like
+    * [[pqEncode]]'s sub-centroid argmin (centroids as a plan literal —
+    * k·d doubles, ~8 KB at k=16 — distances via a zip_with fold, first
+    * minimum wins so ties resolve to the lowest cell id in any eval
+    * path). No shuffle, no fit: the declarative twin of what
+    * [[buildIvfIndex]] derives by TRAINING, which is why a streaming
+    * corpus can keep its index current per batch and refit on a
+    * trigger instead of per arrival ([[graft.streaming.CurationStream
+    * .appendAnnBatch]]). NOTE: not asserted equal to the KMeansModel's
+    * own transform — MLlib computes distances via the norm trick
+    * (‖a‖²+‖b‖²−2ab), which can differ in ulps on exact-boundary ties;
+    * an index must use ONE assignment function for both its initial
+    * bulk load and its increments, and this is that function. */
+  def ivfAssign(emb: DataFrame,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val cents = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    val dists = transform(cents, c =>
+      aggregate(zip_with(c, col("embedding"), (x, y) => {
+        val d = x - y.cast("double"); d * d
+      }), lit(0.0), (a, x) => a + x))
+    emb.select(col("vec_id"), col("embedding"),
+      (array_position(dists, array_min(dists)).cast("int") - 1).as("cell"))
+  }
+
   /** Persist the index the way a real deployment serves it: the cell
     * table PARTITIONED BY cell — so a query's cell-membership filter
     * becomes partition pruning at the scan (`PartitionFilters` in the

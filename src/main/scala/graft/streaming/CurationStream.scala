@@ -686,6 +686,140 @@ object CurationStream {
       appendNovelBatch(spark, batch, novelPath, bitsPath, id)
     }
 
+  // ───── Incremental IVF-PQ serving-index maintenance (round 8) ─────
+
+  /** Fraction of the store that arrived since the last (re)fit above
+    * which [[annNeedsRefit]] fires. Fixed-centroid assignment stays
+    * CORRECT at any staleness (every vector lands in its nearest
+    * existing cell); what degrades is probe efficiency — cells grow
+    * unbalanced and ADC codebooks drift from the live distribution —
+    * so the refit is a throughput dial, not a correctness one. */
+  val annRefitFraction = 0.5
+
+  private def annFitMarker(n: Long) = s"_fit-$n"
+
+  /** Bootstrap a cell-partitioned IVF-PQ serving store from batch-built
+    * artifacts: the corpus assigned under [[graft.ext.Similarity
+    * .ivfAssign]] + [[graft.ext.Similarity.pqEncode]] (the SAME
+    * map-only assignment the stream applies per batch — an index must
+    * use one assignment function for bulk load and increments), laid
+    * out as `bucket=<cell>` partitions of (vec_id, embedding, code),
+    * with a `_fit-<n>` marker recording the fit-time corpus size for
+    * the staleness metric. */
+  def initAnnStore(spark: SparkSession, emb: DataFrame, annPath: String,
+                   centroids: Array[Array[Double]],
+                   model: graft.ext.Similarity.PqModel): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(annPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(annPath), true)
+    val assigned = graft.ext.Similarity.ivfAssign(emb, centroids)
+      .join(graft.ext.Similarity.pqEncode(emb, model), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("code"),
+        col("cell").cast("long").as("bucket"))
+    assigned.write.partitionBy("bucket").parquet(annPath)
+    val n = spark.read.parquet(annPath).count()
+    fs.create(new Path(annPath, annFitMarker(n)), true).close()
+  }
+
+  /** Fold one micro-batch of NEW vectors into the serving store — the
+    * round-7 gap closed: the IVF/PQ artifacts were the one engine
+    * family still batch-frozen while everything else updated per batch.
+    * Assignment is [[graft.ext.Similarity.ivfAssign]]'s fixed-centroid
+    * broadcast-argmin + [[graft.ext.Similarity.pqEncode]] under the
+    * frozen codebooks — both pure map, no shuffle, no fit — and the
+    * merge touches ONLY the batch's cells (≤ k per batch by
+    * construction): union with the touched `bucket=<cell>` partitions,
+    * full-row distinct (vectors are immutable per vec_id, so a
+    * redelivered row is byte-identical and distinct() makes the merge
+    * idempotent; set union makes it order-independent), republished by
+    * the same recoverable two-rename swap as every store here. Serving
+    * reads the store through [[annStoreIndex]] at any moment — a query
+    * between batches sees a complete, partition-pruned index that is
+    * merely missing the not-yet-delivered vectors. */
+  def appendAnnBatch(spark: SparkSession, batch: DataFrame,
+                     annPath: String,
+                     centroids: Array[Array[Double]],
+                     model: graft.ext.Similarity.PqModel): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(annPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(spark, annPath)
+    val (coded, release) = graft.util.Checkpoints.checkpointTracked(
+      graft.ext.Similarity.ivfAssign(batch, centroids)
+        .join(graft.ext.Similarity.pqEncode(batch, model), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("code"),
+          col("cell").cast("long").as("bucket")))
+    try {
+      val touched = coded.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet // ≤ k cells
+      if (touched.isEmpty) return
+      val existing =
+        if (fs.exists(new Path(annPath)))
+          Some(spark.read.parquet(annPath)
+            .filter(col("bucket").isInCollection(touched)))
+        else None
+      val merged = existing.fold(coded)(coded.unionByName(_)).distinct()
+      publishTouchedBuckets(spark, annPath, merged, touched)
+    } finally release()
+  }
+
+  /** The serving view over the store: (cellCodes, emb) in exactly the
+    * shapes [[graft.ext.Similarity.ivfPqQuery]] consumes — the cell
+    * filter is partition pruning over `bucket=<cell>`, the re-rank
+    * reads full vectors by vec_id. */
+  def annStoreIndex(spark: SparkSession,
+                    annPath: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val store = spark.read.parquet(annPath)
+    (store.select(col("bucket").cast("int").as("cell"),
+        col("vec_id"), col("code")),
+      store.select(col("vec_id"), col("embedding")))
+  }
+
+  /** STALENESS: fraction of the store's vectors that arrived after the
+    * last (re)fit — 0.0 right after [[initAnnStore]], approaching 1.0
+    * as the stream outgrows the frozen centroids. Metadata-only: one
+    * marker-file listing plus a store count. */
+  def annStaleness(spark: SparkSession, annPath: String): Double = {
+    val fs = new Path(annPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(annPath))) return 0.0
+    val fit = fs.listStatus(new Path(annPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_fit-"))
+      .map(_.stripPrefix("_fit-").toLong) match {
+      case Seq(one) => one
+      case Seq() => 0L // stream-only store, never fit: fully stale
+      case other => throw new IllegalStateException(
+        s"$annPath has ${other.size} fit markers (expected exactly 1) — " +
+          "bootstrap the store with initAnnStore")
+    }
+    val total = spark.read.parquet(annPath).count()
+    if (total == 0) 0.0
+    else (total - math.min(fit, total)).toDouble / total
+  }
+
+  /** The refit trigger: true once [[annStaleness]] crosses
+    * [[annRefitFraction]] — the caller refits (retrain KMeans + PQ on
+    * the live corpus, [[initAnnStore]] again) out of band; the stream
+    * keeps absorbing batches against the old centroids meanwhile,
+    * correct throughout (see [[annRefitFraction]]). */
+  def annNeedsRefit(spark: SparkSession, annPath: String): Boolean =
+    annStaleness(spark, annPath) > annRefitFraction
+
+  /** Wire the index-maintenance stream: vector files under `uploadDir`
+    * (embeddings schema) → per-batch [[appendAnnBatch]] under the
+    * frozen (centroids, codebooks). Compose with [[annNeedsRefit]] on
+    * whatever cadence the deployment checks its dials. */
+  def runAnnIndexStream(spark: SparkSession, uploadDir: String,
+                        annPath: String, checkpointDir: String,
+                        schema: StructType,
+                        centroids: Array[Array[Double]],
+                        model: graft.ext.Similarity.PqModel): StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, _) =>
+      appendAnnBatch(spark, batch, annPath, centroids, model)
+    }
+
   private def bitBucketOf =
     pmod(col("bit"), lit(storeBuckets.toLong))
 

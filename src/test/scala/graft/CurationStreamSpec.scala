@@ -532,4 +532,79 @@ class CurationStreamSpec extends SparkSpec {
       docs.schema).awaitTermination()
     assert(emitted().sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("ANN index stream: streamed store equals the one-shot batch " +
+    "assignment, serving from it equals serving the batch artifacts, " +
+    "staleness rises to the refit trigger, replay idempotent") {
+    import graft.ext.Similarity
+    val tmp = Files.createTempDirectory("ann-stream").toFile.getAbsolutePath
+    val annPath = s"$tmp/ann"
+    val emb = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    // frozen artifacts: centroids + PQ codebooks fit on the INITIAL
+    // corpus (vec_id < 20 — enough points for k=16), exactly the
+    // deployment posture the stream maintains between refits
+    val fitSet = emb.filter(col("vec_id") < 20)
+    val model = Similarity.trainPq(fitSet)
+    val centroids = Similarity.buildIvfIndex(spark, dir).centroids
+    CurationStream.initAnnStore(spark, fitSet, annPath, centroids, model)
+    assert(CurationStream.annStaleness(spark, annPath) === 0.0)
+    assert(!CurationStream.annNeedsRefit(spark, annPath))
+
+    // stream the REST of the corpus in two slices (one file per batch)
+    val rest = emb.filter(col("vec_id") >= 20)
+    rest.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/upload/a")
+    rest.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/upload/b")
+    CurationStream.runAnnIndexStream(spark, s"$tmp/upload/*", annPath,
+      s"$tmp/ckpt", rest.schema, centroids, model).awaitTermination()
+
+    // streamed store == the one-shot batch assignment of the FULL
+    // corpus under the same frozen artifacts (cell, code, and vector
+    // bytes all equal)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Number]("bucket").longValue(),
+        r.getAs[Int]("code"), r.getAs[Seq[Float]]("embedding"))
+    val got = spark.read.parquet(annPath)
+      .select("vec_id", "bucket", "code", "embedding")
+      .collect().map(key).sortBy(_._1)
+    val want = Similarity.ivfAssign(emb, centroids)
+      .join(Similarity.pqEncode(emb, model), "vec_id")
+      .select(col("vec_id"), col("cell").cast("long").as("bucket"),
+        col("code"), col("embedding"))
+      .collect().map(key).sortBy(_._1)
+    assert(got === want)
+
+    // serving equivalence: ivfPqQuery over the streamed store equals
+    // ivfPqQuery over batch-built artifacts, for a query vector
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val (cellCodes, storeEmb) = CurationStream.annStoreIndex(spark, annPath)
+    val servedStream = Similarity
+      .ivfPqQuery(cellCodes, storeEmb, model, centroids, qv)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batchCellCodes = Similarity.ivfAssign(emb, centroids)
+      .select(col("cell"), col("vec_id"))
+      .join(Similarity.pqEncode(emb, model), "vec_id")
+    val servedBatch = Similarity
+      .ivfPqQuery(batchCellCodes, emb, model, centroids, qv)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedStream === servedBatch)
+
+    // staleness: the streamed majority (> annRefitFraction of the
+    // store) trips the refit trigger
+    val stale = CurationStream.annStaleness(spark, annPath)
+    val total = spark.read.parquet(annPath).count().toDouble
+    assert(math.abs(stale - (total - 20) / total) < 1e-9)
+    assert(CurationStream.annNeedsRefit(spark, annPath))
+
+    // replay: re-appending a delivered slice is a value no-op
+    CurationStream.appendAnnBatch(spark,
+      rest.filter(col("vec_id") % 2 === 0), annPath, centroids, model)
+    val again = spark.read.parquet(annPath)
+      .select("vec_id", "bucket", "code", "embedding")
+      .collect().map(key).sortBy(_._1)
+    assert(again === want)
+  }
 }
