@@ -105,6 +105,7 @@ object SparkEntry {
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_approx_distinct_det" -> (graft.ext.Similarity.qApproxDistinctDet _),
     "q_knn_probe" -> (graft.ext.Similarity.qKnnProbe _),
+    "q_knn_probe_ann" -> (graft.ext.Similarity.qKnnProbeAnn _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -221,7 +222,7 @@ object SparkEntry {
     // rows-only; q_approx_distinct_det (oracle-checked above) pins
     // approximate-distinct semantics via the KMV bottom-k sketch,
     // whose md5-hash state is engine-portable.
-    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_ann_ivf_pq:
+    // q_ann_lsh / q_ann_ivf / q_ann_pq / q_ann_ivf_pq / q_knn_probe_ann:
     // seeded-hash / sketch /
     // trained-model internals aren't portable SQL — driver records the
     // weaker rows-only MEMBERSHIP check; q_ann_lsh_det (oracle-checked

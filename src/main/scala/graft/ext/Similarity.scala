@@ -582,6 +582,74 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** BATCH ADC — [[pqAdcDot]] with the query vector as a COLUMN: the
+    * per-subspace LUT cannot be driver-built (there is no single query
+    * vector), so the sub-dot is computed in-plan — the code's nibble
+    * selects a sub-centroid row from the literal codebook (ks × dsub
+    * doubles, the same 1 KB [[pqEncode]] bakes), zip_with against the
+    * query's slice, fold. Still a pure map over the code table, now
+    * usable under a DataFrame of queries ([[ivfPqQueryBatch]],
+    * [[knnProbeAnn]]); the single-query path keeps the driver LUT
+    * (m additions/row beats m folds/row when qv is a constant). */
+  def pqAdcDotCol(code: Column, qv: Column, model: PqModel): Column = {
+    val dsub = model.dsub
+    (0 until model.m).map { j =>
+      val cents = array(model.codebooks(j).map(c =>
+        array(c.map(lit(_)): _*)): _*)
+      val cent = element_at(cents,
+        shiftright(code, 4 * j).bitwiseAND(15).cast("int") + 1)
+      aggregate(
+        zip_with(cent, slice(qv, j * dsub + 1, dsub),
+          (x, y) => x * y.cast("double")),
+        lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+  }
+
+  /** BATCH IVF-PQ serving — [[ivfQueryBatch]]'s distributed shape
+    * composed with the PQ stage: probe selection over the broadcast
+    * centroid table, candidates from the cell-partitioned code table
+    * (partition-pruned over a persisted store), ADC ranking via
+    * [[pqAdcDotCol]] keeps `rerank` per query, exact re-rank reads only
+    * those vectors. One plan answers every query; k rows per query_id,
+    * WindowGroupLimit at both per-query windows. */
+  def ivfPqQueryBatch(cellCodes: DataFrame, emb: DataFrame, model: PqModel,
+                      centroids: Array[Array[Double]], queries: DataFrame,
+                      k: Int = 10, nprobe: Int = 4,
+                      rerank: Int = 50): DataFrame = {
+    val spark = cellCodes.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val centroidsDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val dist2 = aggregate(
+      zip_with(col("centroid"), col("qv"),
+        (c, q) => (c - q.cast("double")) * (c - q.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val probed = queries
+      .select(col("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id").orderBy(dist2.asc, col("cell").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cand = probed.join(cellCodes, "cell")
+      .select(col("query_id"), col("qv"), col("vec_id"),
+        pqAdcDotCol(col("code"), col("qv"), model).as("adc"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("vec_id").asc)))
+      .filter(col("rk") <= rerank)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        dot(col("embedding"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** PQ serving: ADC top-`rerank` candidates over the code table, then
     * EXACT cosine re-ranking of that candidate set against the full
     * vectors — the standard two-stage that gives compressed-scan cost
@@ -753,6 +821,98 @@ object Similarity {
       .select(col("qid").as("vec_id"), col("qlabel").as("label"),
         col("nlabel").as("pred"),
         (col("qlabel") === col("nlabel")).cast("int").as("correct"))
+  }
+
+  /** ANN-SERVED kNN PROBE — the production loop [[knnProbe]] exists to
+    * validate, closed (round-7 ask #6): the same deterministic probe
+    * set is answered from the IVF-PQ serving path
+    * ([[ivfPqQueryBatch]]'s candidates — nprobe-cell prune, ADC
+    * top-`rerank`, exact re-rank) instead of a full scan, the top-k
+    * re-votes, and each probe reports its verdict AND its recall
+    * against the brute top-k — so one table says both "does the index
+    * preserve kNN accuracy" and "what fraction of true neighbors does
+    * it surface". Output: (vec_id, label, pred, correct, recall).
+    *
+    * Scale shape: everything is bounded by the probe sample × the
+    * serving path's own costs — probe selection over the broadcast
+    * centroid table, candidates partition-pruned to nprobe/k of the
+    * code table, ADC in-plan ([[pqAdcDotCol]]); the brute comparison
+    * column reuses [[knnProbe]]'s broadcast-sample shape, which is the
+    * eval posture by construction. Seeded k-means artifacts → rows-only
+    * driver check; ExtSpec replays the whole pipeline driver-side and
+    * bounds recall + accuracy against the brute probe. */
+  def knnProbeAnn(emb: DataFrame, cellCodes: DataFrame, model: PqModel,
+                  centroids: Array[Array[Double]],
+                  every: Int = knnProbeEvery, k: Int = knnProbeK,
+                  nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("label").as("qlabel"))
+    // ANN top-k per probe, self excluded (a probe is its own nearest
+    // neighbor through any faithful index — drop it before the window
+    // so the vote sees k real neighbors)
+    val served = ivfPqQueryBatch(
+      cellCodes, emb, model, centroids,
+      q.select(col("query_id"), col("embedding")), k + 1, nprobe, rerank)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    // re-vote over the served neighbor set
+    val votes = served
+      .join(emb.select(col("vec_id"), col("label").as("nlabel")), "vec_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("cnt"))
+      .withColumn("vr", row_number().over(
+        w.partitionBy("query_id").orderBy(col("cnt").desc, col("nlabel").asc)))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nlabel").as("pred"))
+    // brute top-k per probe (the knnProbe shape) for per-probe recall
+    val brute = emb.crossJoin(broadcast(q.withColumnRenamed("embedding", "qv")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("embedding"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val recall = brute
+      .join(served.withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / k)
+        .as("recall"))
+    q.select(col("query_id"), col("qlabel"))
+      .join(votes, "query_id").join(recall, "query_id")
+      .select(col("query_id").as("vec_id"), col("qlabel").as("label"),
+        col("pred"),
+        (col("qlabel") === col("pred")).cast("int").as("correct"),
+        col("recall"))
+  }
+
+  /** Driver query: the ANN-served probe over the memoized IVF-PQ
+    * artifacts (same builds as q_ann_ivf_pq — the composed index is
+    * what this probe validates). Rows-only like every seeded-artifact
+    * path; ExtSpec carries the exact replay and the bounds. */
+  def qKnnProbeAnn(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.util.SessionCache.memoize(spark, "ivf", dir) {
+      buildIvfIndex(spark, dir)
+    }
+    val (model, codes) =
+      graft.util.SessionCache.memoize(spark, "pq", dir) {
+        val emb = Tables(spark, dir, "embeddings")
+        val m = trainPq(emb)
+        (m, pqEncode(emb, m).localCheckpoint())
+      }
+    val cellCodes = graft.util.SessionCache.memoize(spark, "ivfpq", dir) {
+      idx.cells.select(col("cell"), col("vec_id"))
+        .join(codes, "vec_id").localCheckpoint()
+    }
+    knnProbeAnn(Tables(spark, dir, "embeddings"), cellCodes, model,
+      idx.centroids)
   }
 
   val qKnnProbeSql: String =

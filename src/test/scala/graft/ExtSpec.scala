@@ -855,6 +855,76 @@ class ExtSpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size >= 1)
   }
 
+  test("ann-served knn probe: full driver-side replay of the served " +
+    "pipeline; per-probe recall correct; accuracy within bound of brute") {
+    import org.apache.spark.sql.functions.col
+    val every = 5 // 10 probes at sf0.001 — denser than the driver's 4%
+    val emb = Tables(spark, dir, "embeddings")
+    val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getSeq[Float](1).toArray, r.getAs[Int]("label")))
+    val model = Similarity.trainPq(emb)
+    val idx = Similarity.buildIvfIndex(spark, dir)
+    val cellCodes = idx.cells.select(col("cell"), col("vec_id"))
+      .join(Similarity.pqEncode(emb, model), "vec_id")
+    val got = Similarity.knnProbeAnn(emb, cellCodes, model, idx.centroids,
+      every = every).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label"), r.getAs[Int]("pred"),
+          r.getAs[Int]("correct"), r.getAs[Double]("recall")))).toMap
+
+    // exact driver-side replay of every served stage: nprobe-nearest
+    // cells, ADC over the codes, top-rerank, exact re-rank, vote,
+    // brute-overlap recall
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val cellOf = idx.cells.select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val codeOf = Similarity.pqEncode(emb, model).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("code")).toMap
+    def adc(code: Int, qv: Array[Float]): Double =
+      (0 until model.m).map { j =>
+        val c = model.codebooks(j)((code >> (4 * j)) & 15)
+        c.zipWithIndex.map { case (x, i) =>
+          x * qv(j * model.dsub + i) }.sum
+      }.sum
+    val (k, nprobe, rerank) = (Similarity.knnProbeK, 4, 50)
+    val probes = rows.filter(_._1 % every == 0)
+    assert(got.keySet === probes.map(_._1).toSet)
+    probes.foreach { case (qid, qv, qlabel) =>
+      val probed = idx.centroids.zipWithIndex.map { case (c, i) =>
+        (i, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSet
+      val cand = rows.filter(r => probed(cellOf(r._1)))
+        .map { case (nid, _, _) => (nid, adc(codeOf(nid), qv)) }
+        .sortBy { case (nid, a) => (-a, nid) }.take(rerank).map(_._1)
+      val served = cand
+        .map(nid => (nid, dot(rows.find(_._1 == nid).get._2, qv)))
+        .sortBy { case (nid, c) => (-c, nid) }.take(k + 1)
+        .filter(_._1 != qid).take(k).map(_._1)
+      val pred = served.map(nid => rows.find(_._1 == nid).get._3)
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      val brute = rows.filter(_._1 != qid)
+        .map { case (nid, nv, _) => (nid, dot(nv, qv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toSet
+      val recall = served.count(brute) / k.toDouble
+      assert(got(qid) === ((qlabel, pred, if (pred == qlabel) 1 else 0,
+        recall)), s"probe $qid")
+    }
+    // the index is worth serving from: with nprobe=4 of 16 cells the
+    // probes' true neighbors are recovered well above the 25%
+    // scan-fraction floor on average, and accuracy stays within one
+    // probe of the brute verdicts
+    val meanRecall = got.values.map(_._4).sum / got.size
+    assert(meanRecall >= 0.3, s"mean recall $meanRecall")
+    val bruteAcc = Similarity.knnProbe(emb, every = every).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("correct")).toMap
+    val annAcc = got.view.mapValues(_._3).toMap
+    val disagree = bruteAcc.keys.count(q => bruteAcc(q) != annAcc(q))
+    assert(disagree <= math.max(1, bruteAcc.size / 3),
+      s"$disagree of ${bruteAcc.size} probe verdicts flipped")
+  }
+
   test("curate report: per-source counts re-aggregate the audit exactly; " +
     "keep_rate consistent") {
     val audit = TextOps.qCurateAudit(spark, dir).collect()
