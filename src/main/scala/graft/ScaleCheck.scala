@@ -212,6 +212,21 @@ object ScaleCheck {
         import s.implicits._
         m.rounds.map(r => (r.round, r.nMistakes, r.wL1))
           .toDF("round", "n_mistakes", "w_l1")
+      }),
+      // round-8: the PQ BUILD path unmemoized (the serving path is
+      // q_ann_pq above) — m sequential KMeans fits plus the argmin
+      // encode; this is what a refit costs when annNeedsRefit fires
+      "q_pq_build" -> ((s: SparkSession, d: String) => {
+        val emb = Tables(s, d, "embeddings")
+        ext.Similarity.pqEncode(emb, ext.Similarity.trainPq(emb))
+      }),
+      // the production posture: fit on a deterministic ~10% sample,
+      // encode the full corpus — the slope this should flatten is the
+      // fit's, the encode stays corpus-sized map work
+      "q_pq_build_sampled" -> ((s: SparkSession, d: String) => {
+        val emb = Tables(s, d, "embeddings")
+        ext.Similarity.pqEncode(emb,
+          ext.Similarity.trainPq(emb, fitSample = 0.1))
       })) ++
       Seq("q_view_transactions", "q_view_transactions_scaled",
         "q_view_auto_optiom", "q_view_retention",

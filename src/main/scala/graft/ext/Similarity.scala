@@ -518,14 +518,27 @@ object Similarity {
     * the corpus". The scan side gets the same factor: an ADC pass
     * reads 4-byte codes at cache speed instead of streaming full
     * vectors. */
-  def trainPq(emb: DataFrame, m: Int = 8, ks: Int = 16): PqModel = {
+  def trainPq(emb: DataFrame, m: Int = 8, ks: Int = 16,
+              fitSample: Double = 1.0): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dim = 64
     require(dim % m == 0)
+    require(fitSample > 0 && fitSample <= 1.0)
+    // PRODUCTION FIT POSTURE: codebooks are 16 centroids per subspace —
+    // statistics that stabilize long before the corpus is exhausted —
+    // so a deployment FITS ON A SAMPLE and encodes the corpus (the
+    // FAISS train/add split). The sample is a deterministic hash coin
+    // on vec_id (the qHashSample technique): reproducible across runs
+    // and engines, no seeded RNG state.
+    val fit =
+      if (fitSample >= 1.0) emb
+      else emb.filter(
+        pmod(xxhash64(col("vec_id")), lit(10000L)) <
+          (fitSample * 10000).toLong)
     val dsub = dim / m
     val codebooks = (0 until m).map { j =>
-      val sub = emb.select(array_to_vector(
+      val sub = fit.select(array_to_vector(
         slice(col("embedding"), j * dsub + 1, dsub)).as("fv"))
       new KMeans().setK(ks).setSeed(42L + j).setFeaturesCol("fv")
         .setMaxIter(5).fit(sub)
