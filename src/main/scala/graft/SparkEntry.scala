@@ -64,6 +64,7 @@ object SparkEntry {
     "q_pack_boundaries" -> (graft.ext.TextOps.qPackBoundaries _),
     "q_manifest" -> (graft.ext.TextOps.qManifest _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
+    "q_substr_dedup" -> (graft.ext.TextOps.qSubstrDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
     "q_curate_audit" -> (graft.ext.TextOps.qCurateAudit _),
     "q_curate_report" -> (graft.ext.TextOps.qCurateReport _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_pack_boundaries" -> graft.ext.TextOps.qPackBoundariesSql,
     "q_manifest" -> graft.ext.TextOps.qManifestSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
+    "q_substr_dedup" -> graft.ext.TextOps.qSubstrDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,
     "q_curate_audit" -> graft.ext.TextOps.qCurateAuditSql,
     "q_curate_report" -> graft.ext.TextOps.qCurateReportSql,

@@ -692,6 +692,116 @@ object TextOps {
       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM p GROUP BY ph HAVING COUNT(*) > 1""".stripMargin
 
+  /** Window length (tokens) for [[qSubstrDedup]] — OVERLAPPING stride-1
+    * windows, unlike [[passageLen]]'s fixed grid: any duplicated token
+    * run of ≥ substrK tokens is caught regardless of alignment. */
+  val substrK = 8
+
+  /** EXACT-SUBSTRING DEDUP (Lee et al. 2022's ExactSubstr, the
+    * suffix-array half of "Deduplicating Training Data Makes Language
+    * Models Better") — the dedup granularity between
+    * [[qPassageDedup]]'s aligned passages and the near-dup families:
+    * find every token span duplicated ANYWHERE in the corpus (across
+    * documents or within one — self-repetition counts, as in the
+    * paper) and rewrite each document with its duplicated spans
+    * removed, reporting the per-doc damage.
+    *
+    * Formulation (the distributed stand-in for a suffix array, which
+    * does not shard): hash every stride-1 window of [[substrK]] tokens
+    * (md5 — portable bytes); a window hash occurring more than once
+    * marks its k token positions as duplicated; a document's clean
+    * text is its uncovered tokens in order. COVERAGE GUARANTEE: a
+    * maximal duplicated run of L ≥ k tokens contains L−k+1 duplicated
+    * windows and is covered END TO END — equivalent to ExactSubstr
+    * for runs ≥ k, blind to shorter ones (the recall dial is k). Like
+    * the paper's operator, ALL copies of a duplicated span are
+    * removed, not all-but-one — the span's every occurrence sits in a
+    * duplicated window, and span-level canonical election is exactly
+    * the problem suffix arrays don't shard; run this AFTER document
+    * dedup (the e2e order), where surviving cross-doc duplicated
+    * spans are boilerplate you want gone from every survivor anyway.
+    *
+    * Scale shape: windowing is map-only (explode is the n-rows-per-doc
+    * amplification every token-level operator pays); the hash groupBy
+    * shuffles (32-hex, doc_id, pos) rows once — the honest
+    * corpus-tokens-sized exchange this operator is known for (ExactSubstr
+    * pipelines dedicate a run to it at 100 TB); the duplicated side is
+    * bounded by duplicated mass × k; the rebuild is a per-doc
+    * aggregation (array_sort over kept (pos, token) structs — never a
+    * collect, never order-dependent). Everything is md5/integer/string
+    * arithmetic: the full output, REWRITTEN TEXT INCLUDED, is
+    * hash-checked against [[qSubstrDedupSql]]. */
+  def qSubstrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrDedup(Tables(spark, dir, "documents"))
+
+  /** The generic form over any (doc_id, text) frame — `k` is the
+    * recall dial (runs shorter than k are invisible). */
+  def substrDedup(docs: DataFrame, k: Int = substrK): DataFrame = {
+    val t = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"), t.as("t"), size(t).as("n"))
+    val wins = toks.filter(col("n") >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("t"), col("p"), lit(k)))
+          .cast("binary")).as("wh"))
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("wh")
+    val covered = wins.join(dup, "wh")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("i"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("tok"))
+      .join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    toks.select(col("doc_id"), col("n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("bigint").as("n_tokens"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).cast("bigint")
+          .as("n_dup_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Full ANSI replay of [[qSubstrDedup]]: the stride-1 window hashes,
+    * the corpus-wide duplicate set, per-token coverage, and the
+    * order-preserving rebuild of the cleaned text. */
+  val qSubstrDedupSql: String = {
+    val k = substrK
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS p,
+      |    md5(array_to_string(t[i : i+${k - 1}], ' ')) AS wh
+      |  FROM toks, LATERAL unnest(generate_series(1, len(t)-${k - 1}))
+      |    AS u(i)
+      |  WHERE len(t) >= $k),
+      |dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p + o AS i
+      |  FROM wins JOIN dup USING (wh),
+      |    LATERAL unnest(generate_series(0, ${k - 1})) AS v(o)),
+      |tok AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS w(i)),
+      |kept AS (
+      |  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok.tok, ' ' ORDER BY tok.i) AS clean_text
+      |  FROM tok LEFT JOIN cov
+      |    ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      |  WHERE cov.i IS NULL
+      |  GROUP BY tok.doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+      |  COALESCE(k.clean_text, '') AS clean_text
+      |FROM toks t LEFT JOIN kept k USING (doc_id)""".stripMargin
+  }
+
   /** The END-TO-END curation pipeline — the stages above composed the
     * way a training-data run actually chains them, in ONE lazy plan:
     *

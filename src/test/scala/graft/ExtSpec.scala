@@ -298,6 +298,67 @@ class ExtSpec extends SparkSpec {
     assert(reported === expect)
   }
 
+  test("substr dedup: full driver-side replay; duplicated runs >= k " +
+    "covered end to end; unique docs untouched") {
+    val k = TextOps.substrK
+    val got = TextOps.qSubstrDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[String]("clean_text")))).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // corpus-wide window-hash counts
+    val counts = scala.collection.mutable.Map[String, Int]()
+    val winsOf = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val ws = (0 to t.length - k).map(p => md5(t.slice(p, p + k).mkString(" ")))
+      ws.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1)
+      id -> (t, ws)
+    }.toMap
+    docs.foreach { case (id, _) =>
+      val (t, ws) = winsOf(id)
+      val covered = Array.fill(t.length)(false)
+      ws.zipWithIndex.foreach { case (w, p) =>
+        if (counts(w) > 1) (p until p + k).foreach(covered(_) = true)
+      }
+      val clean = t.indices.filterNot(covered).map(t).mkString(" ")
+      assert(got(id) === ((t.length.toLong, covered.count(identity).toLong,
+        clean)), s"doc $id")
+    }
+    // planted semantics (the sf0.001 corpus has no exact-duplicate
+    // docs, so the properties get their own corpus): a shared run of
+    // exactly k is removed from EVERY copy end to end, a run of k-1
+    // is invisible, unique docs come back verbatim, and a
+    // self-repeating doc is self-deduplicated
+    import spark.implicits._
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", k) // duplicated run of exactly k tokens
+    val short = words("small", k - 1) // below the dial: invisible
+    val planted = Seq(
+      1L -> s"${words("a", 5)} $shared ${words("b", 5)}",
+      2L -> s"${words("c", 6)} $shared",
+      3L -> s"${words("u", 20)}", // unique, untouched
+      4L -> s"$short ${words("d", 9)} $short", // k-1 repeats: unseen
+      5L -> s"$shared $shared ${words("e", 4)}" // self-repetition
+    ).toDF("doc_id", "text")
+    val p = TextOps.substrDedup(planted, k).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_tokens"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(p(1L) === ((k.toLong, s"${words("a", 5)} ${words("b", 5)}")))
+    assert(p(2L) === ((k.toLong, words("c", 6))))
+    assert(p(3L) === ((0L, words("u", 20))))
+    assert(p(4L) === ((0L, s"$short ${words("d", 9)} $short")))
+    // doc 5: the shared run appears twice PLUS the straddle windows
+    // between the copies are themselves... unique (dup1..dupk dup1..)
+    // — exactly the two copies' 2k tokens are covered
+    assert(p(5L) === ((2L * k, words("e", 4))))
+  }
+
   test("contamination fraction: bounds, exactness, agreement with the flag join") {
     import org.apache.spark.sql.functions._
     val rows = graft.ext.Dedup.qContamFrac(spark, dir).collect()
