@@ -736,18 +736,36 @@ object TextOps {
 
   /** The generic form over any (doc_id, text) frame — `k` is the
     * recall dial (runs shorter than k are invisible). */
-  def substrDedup(docs: DataFrame, k: Int = substrK): DataFrame = {
+  def substrDedup(docs: DataFrame, k: Int = substrK): DataFrame =
+    substrCleanWith(docs,
+      windowHashes(docs, k).groupBy("wh").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("wh"),
+      k)
+
+  /** (doc_id, p, wh) for every stride-1 k-token window — the shared
+    * map-only stage of the batch operator and the streaming stats
+    * store ([[graft.streaming.CurationStream.mergeWindowStatsBatch]]). */
+  private[graft] def windowHashes(docs: DataFrame, k: Int): DataFrame = {
     val t = split(col("text"), " ")
-    val toks = docs.select(col("doc_id"), t.as("t"), size(t).as("n"))
-    val wins = toks.filter(col("n") >= k)
+    docs.select(col("doc_id"), t.as("t"), size(t).as("n"))
+      .filter(col("n") >= k)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), col("n") - (k - 1))).as("p"))
       .select(col("doc_id"), col("p"),
         md5(concat_ws(" ", slice(col("t"), col("p"), lit(k)))
           .cast("binary")).as("wh"))
-    val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("wh")
-    val covered = wins.join(dup, "wh")
+  }
+
+  /** Rewrite `docs` against a GIVEN duplicated-window-hash set — the
+    * lazy-view half shared by [[substrDedup]] (dup set mined from the
+    * same corpus) and the streaming clean view (dup set from the
+    * incremental stats store): coverage explode bounded by dup mass ×
+    * k, per-doc array_sort rebuild, never a collect. */
+  private[graft] def substrCleanWith(docs: DataFrame, dup: DataFrame,
+                                     k: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"), t.as("t"), size(t).as("n"))
+    val covered = windowHashes(docs, k).join(dup, "wh")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("i"))
       .distinct()

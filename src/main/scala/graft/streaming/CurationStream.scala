@@ -627,6 +627,82 @@ object CurationStream {
       spark.read.parquet(statsPath)
         .filter(col("mn") =!= col("mx")).select("lh"))
 
+  // ───── Incremental exact-substring (window) stats (round 8) ─────
+
+  /** Streaming EXACT-SUBSTRING stats — [[graft.ext.TextOps
+    * .substrDedup]]'s duplicate-window knowledge maintained
+    * incrementally, the line-stats move applied one granularity down:
+    * the store holds ONE row per distinct k-token window hash,
+    * `(wh, mn, mx)` where mn/mx are the least/greatest OCCURRENCE KEY
+    * (doc_id, p) ever seen — and a window is corpus-duplicated iff
+    * `mn ≠ mx` (≥ 2 distinct occurrences; exactly the batch
+    * operator's count > 1, since (doc_id, p) is unique per
+    * occurrence). min/max over a total order is a commutative,
+    * associative, IDEMPOTENT monoid, so the store converges to the
+    * union corpus's exact window stats under any slicing, order, or
+    * redelivery — a replayed batch is a value no-op. State is bounded
+    * by DISTINCT windows (~corpus tokens), the same proportionality as
+    * the line-stats store's distinct lines; per-batch work is the
+    * batch's windows + the touched stat buckets.
+    *
+    * The CLEAN CORPUS is a lazy view ([[substrCleanView]] →
+    * `TextOps.substrCleanWith`): a span crossing the duplication
+    * threshold retroactively cleans every EARLIER document too —
+    * displacement falls out of view semantics, nothing is rewritten
+    * per batch but the touched buckets. */
+  def runSubstrStatsStream(spark: SparkSession, uploadDir: String,
+                           statsPath: String, checkpointDir: String,
+                           schema: StructType,
+                           k: Int = graft.ext.TextOps.substrK)
+      : StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, _) =>
+      mergeWindowStatsBatch(spark, batch, statsPath, k)
+    }
+
+  private def winBucketOf =
+    pmod(xxhash64(col("wh")), lit(storeBuckets.toLong))
+
+  def mergeWindowStatsBatch(spark: SparkSession, batch: DataFrame,
+                            statsPath: String,
+                            k: Int = graft.ext.TextOps.substrK): Unit = {
+    val fs = new Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(spark, statsPath)
+    val occKey = struct(col("doc_id"), col("p"))
+    val (batchStats, release) = graft.util.Checkpoints.checkpointTracked(
+      graft.ext.TextOps.windowHashes(batch, k)
+        .groupBy("wh")
+        .agg(min(occKey).as("mn"), max(occKey).as("mx"))
+        .withColumn("bucket", winBucketOf))
+    try {
+      val touched = batchStats.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet // bounded by storeBuckets
+      if (touched.isEmpty) return
+      val existing =
+        if (fs.exists(new Path(statsPath)))
+          Some(spark.read.parquet(statsPath)
+            .filter(col("bucket").isInCollection(touched)))
+        else None
+      val merged = existing.fold(batchStats)(batchStats.unionByName(_))
+        .groupBy("wh")
+        .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .withColumn("bucket", winBucketOf)
+      publishTouchedBuckets(spark, statsPath, merged, touched)
+    } finally release()
+  }
+
+  /** Exact-substring-deduplicated corpus as a VIEW over any (doc_id,
+    * text) frame and the streamed window-stats store: equals the batch
+    * [[graft.ext.TextOps.substrDedup]] output once the stream has
+    * absorbed the same documents. */
+  def substrCleanView(spark: SparkSession, docs: DataFrame,
+                      statsPath: String,
+                      k: Int = graft.ext.TextOps.substrK): DataFrame =
+    graft.ext.TextOps.substrCleanWith(docs,
+      spark.read.parquet(statsPath)
+        .filter(col("mn") =!= col("mx")).select("wh"),
+      k)
+
   /** `noveltyFilter`: an optional Bloom filter over a PRIOR corpus's
     * text fingerprints (md5 of raw text — built with
     * [[graft.operators.BloomProbe.buildFilter]]); arriving docs whose

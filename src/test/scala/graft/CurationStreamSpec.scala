@@ -533,6 +533,41 @@ class CurationStreamSpec extends SparkSpec {
     assert(emitted().sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("substr-stats stream: clean view equals batch substrDedup over " +
+    "the union corpus; cross-batch duplicates found; replay a no-op") {
+    val tmp = Files.createTempDirectory("substr-stream").toFile.getAbsolutePath
+    val statsPath = s"$tmp/winstats"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    // the twin slice duplicates every third doc under new ids — spans
+    // shared ACROSS batches, which only the accumulated store can see
+    val twin = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val all = docs.unionByName(twin)
+    docs.coalesce(1).write.parquet(s"$tmp/upload/a")
+    twin.coalesce(1).write.parquet(s"$tmp/upload/b")
+    CurationStream.runSubstrStatsStream(spark, s"$tmp/upload/*",
+      statsPath, s"$tmp/ckpt", docs.schema).awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_dup_tokens"), r.getAs[String]("clean_text"))
+    def view() = CurationStream.substrCleanView(spark, all, statsPath)
+      .collect().map(key).sortBy(_._1)
+    val got = view()
+    val want = graft.ext.TextOps.substrDedup(all)
+      .collect().map(key).sortBy(_._1)
+    assert(got === want)
+    // non-vacuous: the planted cross-batch duplicates are found (every
+    // twin doc long enough to hold a window is fully covered)
+    val k = graft.ext.TextOps.substrK
+    val longTwins = want.filter(r => r._1 >= 10000 && r._2 >= k)
+    assert(longTwins.nonEmpty)
+    longTwins.foreach(r => assert(r._3 === r._2, s"doc ${r._1}"))
+    // redelivery of slice A directly: min/max monoid makes it a no-op
+    CurationStream.mergeWindowStatsBatch(spark, docs, statsPath)
+    assert(view() === want)
+  }
+
   test("ANN index stream: streamed store equals the one-shot batch " +
     "assignment, serving from it equals serving the batch artifacts, " +
     "staleness rises to the refit trigger, replay idempotent") {
