@@ -258,7 +258,12 @@ object ScaleCheck {
         "q_ann_pq", "q_ann_ivf_pq", "q_ann_lsh_det", "q_bloom_novel_det",
         // observability/versioning: one partial-agg rollup; one
         // co-partitioned full-outer join (both linear by shape)
-        "q_curate_report", "q_snapshot_diff")
+        "q_curate_report", "q_snapshot_diff",
+        // round-8 family: exact-substring dedup (the corpus-tokens-
+        // sized window-hash shuffle + dup-mass-bounded rebuild) and
+        // the media det twin (decode-once memoized features, banded
+        // integer-cosine pairs)
+        "q_substr_dedup", "q_media_near_dup_det")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -527,6 +527,28 @@ object Multimodal {
         .select(col("doc_id"), col("feature"))
         .localCheckpoint()
     }
+    // all-positive text-fingerprint features make baseline cosines
+    // high; genuine duplicates (same fingerprint direction across any
+    // modality pair) sit at exactly 1.0 with the next cluster below
+    // 0.9999, so this bar keeps exactly the duplicate group
+    mediaNearDup(feats, minCos = 0.99999)
+  }
+
+  /** The generic capped form over any (doc_id, feature) frame — the
+    * [[graft.ext.Similarity.embedNearDup]] guards applied to the
+    * 8-dim media features: sign-LSH banding on deterministic
+    * pseudo-random hyperplanes, and buckets past `maxBucket` DROPPED
+    * outright (their pairs lost, not sampled — bounded O(bucket²)
+    * cost over recall in degenerate buckets, the standard LSH skew
+    * guard). SIZE `planes` TO THE CORPUS: expected bucket size is
+    * n/2^planes — at media-corpus scale raise planes (≤ 8 meaningful
+    * axes here, so beyond ~2⁸ buckets shard on a coarse feature
+    * quantile first). Candidates are an equi-join on the bucket id —
+    * never all-pairs; exact cosine verifies every survivor. */
+  def mediaNearDup(feats: DataFrame, minCos: Double, planes: Int = 4,
+                   maxBucket: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions.{decode => _, _}
+    require(planes >= 1 && planes <= 8, "planes must be in [1, 8]")
     val dot = graft.functions.GraftFunctions.vecDot _
     def planeBit(v: org.apache.spark.sql.Column, p: Int) = {
       val contrib = transform(sequence(lit(1), lit(8)), i =>
@@ -535,7 +557,7 @@ object Multimodal {
       when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) >= 0, 1L)
         .otherwise(0L)
     }
-    val bucket = (0 until 4)
+    val bucket = (0 until planes)
       .map(p => shiftleft(planeBit(col("feature"), p), p)).reduce(_ + _)
     // a zero-norm feature (e.g. a single-frame video whose only time
     // segment is silent/black) has no direction — it cannot be a
@@ -544,6 +566,10 @@ object Multimodal {
       .filter(graft.functions.GraftFunctions
         .vecDot(col("feature"), col("feature")) > 0)
       .select(col("doc_id"), col("feature"), bucket.as("bucket"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
     val norm = sqrt(dot(col("a.feature"), col("a.feature"))) *
       sqrt(dot(col("b.feature"), col("b.feature")))
     b.as("a").join(b.as("b"),
@@ -551,11 +577,7 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (dot(col("a.feature"), col("b.feature")) / norm).as("cosine"))
-      // all-positive text-fingerprint features make baseline cosines
-      // high; genuine duplicates (same fingerprint direction across any
-      // modality pair) sit at exactly 1.0 with the next cluster below
-      // 0.9999, so this bar keeps exactly the duplicate group
-      .filter(col("cosine") >= 0.99999)
+      .filter(col("cosine") >= minCos)
   }
 
   /** Quantized-feature threshold for [[qMediaNearDupDet]]. */
