@@ -62,6 +62,8 @@ object SparkEntry {
     "q_contam_frac" -> (graft.ext.Dedup.qContamFrac _),
     "q_pack" -> (graft.ext.TextOps.qPack _),
     "q_pack_boundaries" -> (graft.ext.TextOps.qPackBoundaries _),
+    "q_pack_stats" -> (graft.ext.TextOps.qPackStats _),
+    "q_bpe_stats" -> (graft.ext.Bpe.qBpeStats _),
     "q_manifest" -> (graft.ext.TextOps.qManifest _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_substr_dedup" -> (graft.ext.TextOps.qSubstrDedup _),
@@ -154,6 +156,8 @@ object SparkEntry {
     "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
     "q_pack" -> graft.ext.TextOps.qPackSql,
     "q_pack_boundaries" -> graft.ext.TextOps.qPackBoundariesSql,
+    "q_pack_stats" -> graft.ext.TextOps.qPackStatsSql,
+    "q_bpe_stats" -> graft.ext.Bpe.qBpeStatsSql,
     "q_manifest" -> graft.ext.TextOps.qManifestSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_substr_dedup" -> graft.ext.TextOps.qSubstrDedupSql,

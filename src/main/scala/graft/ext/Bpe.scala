@@ -312,6 +312,45 @@ object Bpe {
   }
 
 
+  /** TOKENIZER FERTILITY — the standard tokenizer-quality metric (BPE
+    * tokens per whitespace word; lower = better compression, 1.0 =
+    * every word is one learned token): corpus totals + the fertility
+    * ratio in one row. The Spark side counts through the PRODUCTION
+    * tokenizer ([[qBpeTokenize]]'s broadcast-table native expression)
+    * while the oracle replays the training unroll + replace chain — so
+    * this hash check pins the native tokenizer against the reference
+    * fold at the corpus-aggregate level on top of q_bpe_tokenize's
+    * per-doc check. One broadcast join + one global agg; fertility is
+    * a single IEEE division of exact integer sums. */
+  def qBpeStats(spark: SparkSession, dir: String): DataFrame = {
+    val enc = qBpeTokenize(spark, dir)
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_words"))
+    enc.join(words, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("bigint").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("bigint").as("n_bpe_tokens"))
+      .select(col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"))
+  }
+
+  lazy val qBpeStatsSql: String =
+    s"""WITH enc AS (
+      |${qBpeEncodeSql.linesIterator.map("  " + _).mkString("\n")}
+      |),
+      |words AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+      |  CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(e.n_bpe_tokens) AS DOUBLE) / CAST(SUM(w.n_words)
+      |    AS BIGINT) AS fertility
+      |FROM enc e JOIN words w USING (doc_id)""".stripMargin
+
   /** FULL SQL replay of the training loop, one generated CTE group per
     * round — the technique that made winnow and simhash hash-green.
     *

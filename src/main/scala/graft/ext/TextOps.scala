@@ -479,6 +479,33 @@ object TextOps {
       |),
       |${packAfterChunksSql()}""".stripMargin
 
+  /** PACKING-EFFICIENCY statistics — the ops metric a training run
+    * watches next to the pack itself: per pack, how many chunks were
+    * assigned, how many tokens they carry, and how far the last one
+    * SPILLS past the pack boundary (concat-and-split assigns a chunk
+    * to the pack holding its starting offset, so spill is layout debt
+    * the trainer's attention mask pays for). One partial-agg groupBy
+    * over [[qPack]]'s output; all-integer, hash-checked. */
+  def qPackStats(spark: SparkSession, dir: String): DataFrame =
+    qPack(spark, dir)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).cast("bigint").as("n_tokens"),
+        max(col("cum_tokens")).as("mx"))
+      .select(col("pack_id"), col("n_chunks"), col("n_tokens"),
+        greatest(col("mx") - (col("pack_id") + 1) * packContext, lit(0L))
+          .cast("bigint").as("spill_out"))
+
+  val qPackStatsSql: String =
+    s"""WITH packed AS (
+      |${qPackSql.linesIterator.map("  " + _).mkString("\n")}
+      |)
+      |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(GREATEST(MAX(cum_tokens) - (pack_id + 1) * $packContext, 0)
+      |    AS BIGINT) AS spill_out
+      |FROM packed GROUP BY pack_id""".stripMargin
+
   /** Per-pack SAMPLE BOUNDARIES — the metadata a trainer needs to mask
     * attention across packed documents: for each pack, the ordered
     * list of (doc_id, chunk_id, start_off) with the chunk's starting
