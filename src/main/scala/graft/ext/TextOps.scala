@@ -388,6 +388,74 @@ object TextOps {
       |        * ($mixtureBudgetShare * CAST(t AS DOUBLE))
       |        / CAST(src_tokens AS DOUBLE))""".stripMargin
 
+  /** TEMPERATURE-BASED source resampling — the multilingual α-sampling
+    * move (mBERT/XLM-R's exponentiated-share mixing, T = 1/α = 2
+    * here): after sampling, each source's expected token mass is
+    * ∝ T_s^α — the head is flattened and the tail lifted without the
+    * explicit per-source weight table [[qMixtureSample]] needs.
+    *
+    * Formulated to be HASH-PORTABLE: the keep fraction is
+    * f_s = min(1, √(T_max / T_s)) — expected kept tokens
+    * T_s·√(T_max/T_s) = √(T_max)·√T_s ∝ T_s^(1/2) — which needs ONLY
+    * division and square root of exact integer totals, both
+    * correctly-rounded IEEE operations, identical bits in any engine.
+    * The textbook normalization (T_s^α / Σ T_s^α) would put a FLOAT
+    * SUM over sources in the denominator, whose value depends on
+    * aggregation order — exactly the nondeterminism every float path
+    * in this engine avoids. Same bounded aggregates + md5 doc coin as
+    * the mixture sampler; map-only at any corpus size. [[tempSample]]
+    * generalizes to any α via pow (same sampling quality; pow is not
+    * correctly rounded, so cross-engine hash equality is guaranteed
+    * only for the dyadic exponents like 1/2 — stated trade). */
+  /** Uniform budget scale for [[qTempSample]] — this corpus's source
+    * shares are near-uniform, so the unclamped fractions would all hit
+    * the min(1, ·) ceiling and the sampler would keep everything; a
+    * uniform c < 1 preserves the ∝ T_s^α proportionality (it scales
+    * every source identically) while making the sampler actually
+    * sample. Production sets c to its token budget. */
+  val tempBudgetScale = 0.5
+
+  def qTempSample(spark: SparkSession, dir: String): DataFrame =
+    tempSample(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens")),
+      scale = tempBudgetScale)
+
+  /** Generic form over (doc_id, source, n_tokens); α = 0.5 keeps the
+    * correctly-rounded sqrt path, other α route through pow. */
+  def tempSample(docs: DataFrame, alpha: Double = 0.5,
+                 scale: Double = 1.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tMax = perSource.agg(max(col("src_tokens"))).head().getLong(0)
+    val ratio = lit(tMax.toDouble) / col("src_tokens").cast("double")
+    val frac = least(lit(1.0),
+      lit(scale) *
+        (if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)))
+    val coinFrac = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    docs.join(broadcast(perSource), "source")
+      .filter(coinFrac < frac)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  val qTempSampleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per_source AS (
+      |  SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source),
+      |mx AS (SELECT MAX(src_tokens) AS m FROM per_source)
+      |SELECT doc_id, toks.source, n_tokens
+      |FROM toks JOIN per_source ON toks.source = per_source.source, mx
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) / 4294967296.0
+      |  < LEAST(1.0, $tempBudgetScale
+      |      * sqrt(CAST(m AS DOUBLE) / CAST(src_tokens AS DOUBLE)))""".stripMargin
+
   /** Shard count for [[qShardShuffle]] — in production this is the
     * writer parallelism of the shuffled-corpus export. */
   val shuffleShards = 8
