@@ -56,6 +56,12 @@ object CurationViews {
       .createOrReplaceTempView("corpus_vocab")
     CorpusOps.qBoilerplate(spark, dir)
       .createOrReplaceTempView("corpus_boilerplate")
+    // round-8: duplicated-span removal (lazy) and the temperature
+    // rebalance (one bounded totals agg, the corpus_mixture posture)
+    TextOps.qSubstrDedup(spark, dir)
+      .createOrReplaceTempView("corpus_substr_dedup")
+    TextOps.qTempSample(spark, dir)
+      .createOrReplaceTempView("corpus_temp_sample")
   }
 
   /** Register the MODEL-backed views: `doc_scores` (classifier score +

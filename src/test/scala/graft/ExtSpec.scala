@@ -499,6 +499,13 @@ class ExtSpec extends SparkSpec {
       === graft.ext.CorpusOps.qVocab(spark, dir).count())
     assert(spark.sql("SELECT count(*) AS n FROM corpus_boilerplate")
       .head().getLong(0) === nDocs)
+    // round-8 views: span dedup covers every doc; temp sample keeps a
+    // nonempty strict subset weighted toward the tail
+    assert(spark.sql("SELECT count(*) AS n FROM corpus_substr_dedup")
+      .head().getLong(0) === nDocs)
+    val nTemp = spark.sql("SELECT count(*) AS n FROM corpus_temp_sample")
+      .head().getLong(0)
+    assert(nTemp > 0 && nTemp < nDocs)
     // rep_ratio rides in the same per-doc score table
     assert(spark.sql(
       "SELECT count(*) AS n FROM doc_scores WHERE rep_ratio BETWEEN 0 AND 1")
