@@ -65,6 +65,7 @@ object SparkEntry {
     "q_pack_stats" -> (graft.ext.TextOps.qPackStats _),
     "q_bpe_stats" -> (graft.ext.Bpe.qBpeStats _),
     "q_manifest" -> (graft.ext.TextOps.qManifest _),
+    "q_dataset_card" -> (graft.ext.TextOps.qDatasetCard _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_substr_dedup" -> (graft.ext.TextOps.qSubstrDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_pack_stats" -> graft.ext.TextOps.qPackStatsSql,
     "q_bpe_stats" -> graft.ext.Bpe.qBpeStatsSql,
     "q_manifest" -> graft.ext.TextOps.qManifestSql,
+    "q_dataset_card" -> graft.ext.TextOps.qDatasetCardSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_substr_dedup" -> graft.ext.TextOps.qSubstrDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,

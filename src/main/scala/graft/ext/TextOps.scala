@@ -456,6 +456,67 @@ object TextOps {
       |  < LEAST(1.0, $tempBudgetScale
       |      * sqrt(CAST(m AS DOUBLE) / CAST(src_tokens AS DOUBLE)))""".stripMargin
 
+  /** DATASET CARD — the one-row summary a corpus release publishes
+    * (the "data card" every serious dataset ships): volume (docs,
+    * whitespace tokens, mean doc length), diversity (distinct sources,
+    * languages, texts — the exact-dup rate falls out of
+    * n_docs − n_distinct_texts), quality (documents passing the
+    * len/punct/stopword gate — the same predicate [[qQualityFilter]]
+    * and the classifier distillation use), and PII exposure (total
+    * email/phone matches, the counts [[qPiiScrub]] redacts). ONE
+    * partial-agg scan over the corpus — every aggregate here is
+    * map-side combinable except the three exact distincts, which are
+    * the q_count_distinct posture (swap in the KMV/HLL sketches at
+    * 100 TB if exactness isn't required). All-integer except the one
+    * mirrored IEEE division. */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val gate = length(col("text")) >= 100 &&
+      (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        length(col("text"))) <= 0.3 &&
+      (size(filter(t, x => x.isInCollection(
+        Seq("the", "a", "of", "and", "to")))).cast("double") /
+        size(t)) >= 0.01
+    Tables(spark, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(t).cast("bigint")).as("n_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("text")).as("n_distinct_texts"),
+        sum(gate.cast("bigint")).as("quality_pass"),
+        sum(regexp_count(col("text"), lit(piiEmailRe)).cast("bigint"))
+          .as("pii_emails"),
+        sum(regexp_count(regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+          lit(piiPhoneRe)).cast("bigint")).as("pii_phones"))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        col("n_langs"), col("n_distinct_texts"), col("quality_pass"),
+        col("pii_emails"), col("pii_phones"),
+        (col("n_tokens").cast("double") / col("n_docs"))
+          .as("mean_doc_tokens"))
+  }
+
+  val qDatasetCardSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+      |  CAST(SUM(CASE WHEN length(text) >= 100
+      |    AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |        / length(text) <= 0.3
+      |    AND CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) >= 0.01
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass,
+      |  CAST(SUM(len(regexp_extract_all(text, '$piiEmailRe')) ) AS BIGINT)
+      |    AS pii_emails,
+      |  CAST(SUM(len(regexp_extract_all(
+      |    regexp_replace(text, '$piiEmailRe', '<EMAIL>', 'g'),
+      |    '$piiPhoneRe'))) AS BIGINT) AS pii_phones,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |    AS mean_doc_tokens
+      |FROM documents""".stripMargin
+
   /** Shard count for [[qShardShuffle]] — in production this is the
     * writer parallelism of the shuffled-corpus export. */
   val shuffleShards = 8
