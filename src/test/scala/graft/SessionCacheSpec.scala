@@ -84,4 +84,50 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.clear()
     SessionCache.dropTransientBlocks(spark)
   }
+
+  test("round-8 sweep telemetry: access log drains per query, pinned " +
+    "bytes track owned blocks, evictKeys releases and rebuilds") {
+    SessionCache.clear()
+    SessionCache.drainAccesses()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // build two artifacts; each memoize (build AND hit) is logged
+    SessionCache.memoize(spark, "spec-a", "z") {
+      spark.range(200).toDF("n").localCheckpoint()
+    }
+    SessionCache.memoize(spark, "spec-b", "z") {
+      spark.range(100).toDF("n").localCheckpoint()
+    }
+    val accessed = SessionCache.drainAccesses()
+    assert(accessed.exists(_.contains("|spec-a|z")))
+    assert(accessed.exists(_.contains("|spec-b|z")))
+    assert(SessionCache.drainAccesses().isEmpty) // drained means drained
+    // a cache HIT is an access too (the bench's dependency map needs
+    // hits, not just builds)
+    SessionCache.memoize(spark, "spec-a", "z") {
+      fail("hit must not rebuild"); null
+    }
+    assert(SessionCache.drainAccesses().exists(_.contains("|spec-a|z")))
+    // pinned bytes: both artifacts' blocks are counted
+    val pinned = SessionCache.pinnedBytes(spark)
+    assert(pinned > 0L)
+    // evict ONE by key: its blocks go, the other's stay, a later
+    // memoize on the evicted key rebuilds
+    val aKey = accessed.find(_.contains("|spec-a|z")).get
+    SessionCache.evictKeys(Set(aKey))
+    assert(SessionCache.pinnedBytes(spark) < pinned)
+    var rebuilt = false
+    val again = SessionCache.memoize(spark, "spec-a", "z") {
+      rebuilt = true
+      spark.range(40).toDF("n").localCheckpoint()
+    }
+    assert(rebuilt && again.count() === 40)
+    // the surviving artifact still serves from its blocks
+    assert(SessionCache.memoize(spark, "spec-b", "z") {
+      fail("survivor must not rebuild"); null
+    }.asInstanceOf[org.apache.spark.sql.DataFrame].count() === 100)
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty)
+  }
 }
