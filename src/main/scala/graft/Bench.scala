@@ -93,7 +93,7 @@ object Bench {
     // min-of-2 since round 3 — cross-round comparisons should mind the
     // methodology change. `passes` records every raw pass so any other
     // statistic can be recomputed.
-    val memLines = Seq.newBuilder[String]
+    val mems = Seq.newBuilder[(String, Long, Long)]
     val results = qs.zipWithIndex.map { case ((name, fn), i) =>
       val pinnedBefore = graft.util.SessionCache.pinnedBytes(spark)
       val freeBefore = spark.sparkContext.getExecutorMemoryStatus
@@ -106,7 +106,7 @@ object Bench {
         clean() // cleanup is untimed: it is sweep hygiene, not query cost
         t
       }
-      memLines += s"""\"$name\":[$pinnedBefore,$freeBefore]"""
+      mems += ((name, pinnedBefore, freeBefore))
       val dead = lastUser.collect { case (k, last) if last == i => k }.toSet
       if (dead.nonEmpty) graft.util.SessionCache.evictKeys(dead)
       name -> times
@@ -120,18 +120,34 @@ object Bench {
       .mkString("{", ",", "}")
     val cerrJson =
       coldErrors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val memJson = memLines.result().mkString("{", ",", "}")
+    val memRows = mems.result()
+    val memJson = memRows
+      .map { case (n, p, f) => s"""\"$n\":[$p,$f]""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    // Layout (round-8 fix to the rounds-4..7 truncation saga): the driver
-    // captures the TAIL of stdout, and every multi-KB line before the tail
-    // window is at risk. So the one bulky line (raw passes) goes FIRST and
-    // is expendable; then one COMPACT line per map — cold, mem telemetry,
-    // per-query mins — each ~2 KB and adjacent to the end; then a final
-    // total-only line of a few dozen bytes that survives any tail window.
+    // Layout (round-8 end of the rounds-4..7 truncation saga): the
+    // driver keeps EXACTLY the last 2000 chars of stdout (measured from
+    // BENCH_r01..r07: every tail string is 2000 long), and the trailing
+    // sbt "[success]" line plus "[info] " prefixes eat ~150 of them —
+    // so at a 90-query surface NO named map fits in the window. Full
+    // self-describing lines still print first for local use (passes,
+    // cold, mem, queries — expendable), and the last two lines are
+    // sized for the window: a SUMMARY with warm and cold for EVERY
+    // query as integer-millisecond arrays in sorted-query-name order
+    // (names are recoverable by zipping CORRECTNESS_rN.json's sorted
+    // keys — identical set, stated in the line itself), then the
+    // total-only line. Summary ≈ 1 KB + total ≈ 100 B: both survive.
     println(s"""{"metric":"passes","passes":$pjson,"sf":"$sfDir"}""")
     println(s"""{"metric":"cold","cold":$cjson,"cold_errors":$cerrJson}""")
     println(s"""{"metric":"mem","desc":"per-query [pinned_artifact_bytes, free_storage_bytes] before timed passes","mem":$memJson}""")
     println(s"""{"metric":"queries","queries":$qjson}""")
+    val warmMs = results.map { case (_, v) => (v.min * 1000).round }
+      .mkString("[", ",", "]")
+    val coldMs = coldTimes.map { case (_, t) => (t * 1000).round }
+      .mkString("[", ",", "]")
+    val peakPinnedMb =
+      (memRows.map(_._2).maxOption.getOrElse(0L) / 1000000.0).round
+    println(s"""{"metric":"summary","order":"values_align_with_query_names_sorted_asc","n":${results.size},"warm_ms":$warmMs,"cold_ms":$coldMs,"peak_pinned_mb":$peakPinnedMb,"cold_errors":$cerrJson}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
