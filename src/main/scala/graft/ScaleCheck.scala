@@ -260,10 +260,19 @@ object ScaleCheck {
         // co-partitioned full-outer join (both linear by shape)
         "q_curate_report", "q_snapshot_diff",
         // round-8 family: exact-substring dedup (the corpus-tokens-
-        // sized window-hash shuffle + dup-mass-bounded rebuild) and
-        // the media det twin (decode-once memoized features, banded
-        // integer-cosine pairs)
-        "q_substr_dedup", "q_media_near_dup_det")
+        // sized window-hash shuffle + dup-mass-bounded rebuild), the
+        // media det twin (decode-once memoized features, banded
+        // integer-cosine pairs), and the linear observability/mixing
+        // additions (partial-agg scans + bounded broadcast joins).
+        // q_knn_probe_ann is deliberately ABSENT: its probe set is
+        // RATE-fixed for the oracle (n/25 probes × corpus candidates —
+        // the documented eval posture is a fixed-BUDGET probe count,
+        // i.e. scale `every` with the corpus), so timing the fixed
+        // rate at 10× would measure the posture users are told to
+        // avoid, not the operator.
+        "q_substr_dedup", "q_media_near_dup_det",
+        "q_temp_sample", "q_pack_stats", "q_dataset_card",
+        "q_classifier_eval", "q_bpe_stats")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

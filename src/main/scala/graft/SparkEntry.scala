@@ -95,6 +95,7 @@ object SparkEntry {
     "q_classifier" -> (graft.ext.CorpusOps.qClassifier _),
     "q_classifier_train" -> (graft.ext.CorpusOps.qClassifierTrain _),
     "q_classifier_infer" -> (graft.ext.CorpusOps.qClassifierInfer _),
+    "q_classifier_eval" -> (graft.ext.CorpusOps.qClassifierEval _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_classifier" -> graft.ext.CorpusOps.qClassifierSql,
     "q_classifier_train" -> graft.ext.CorpusOps.qClassifierTrainSql,
     "q_classifier_infer" -> graft.ext.CorpusOps.qClassifierInferSql,
+    "q_classifier_eval" -> graft.ext.CorpusOps.qClassifierEvalSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,

@@ -365,6 +365,56 @@ object CorpusOps {
             size(t)) >= 0.01).cast("int").as("y")), Seq("doc_id"))
   }
 
+  /** CLASSIFIER EVALUATION — the confusion matrix + derived metrics of
+    * the train → serve loop against its labels, the table a model
+    * card reports: TP/FP/FN/TN under the final trained weights, with
+    * precision/recall/accuracy as mirrored IEEE divisions of the
+    * exact counts. One partial-agg pass over [[qClassifierInfer]]'s
+    * output; the oracle replays the ENTIRE training unroll, the
+    * scoring join, and the rollup — so the hash pins training,
+    * serving, and evaluation in one row. */
+  def qClassifierEval(spark: SparkSession, dir: String): DataFrame =
+    qClassifierInfer(spark, dir)
+      .agg(
+        sum((col("pred") === 1 && col("y") === 1).cast("bigint")).as("tp"),
+        sum((col("pred") === 1 && col("y") === 0).cast("bigint")).as("fp"),
+        sum((col("pred") === 0 && col("y") === 1).cast("bigint")).as("fn"),
+        sum((col("pred") === 0 && col("y") === 0).cast("bigint")).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)))
+          .as("precision"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)))
+          .as("recall"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+
+  val qClassifierEvalSql: String = {
+    val wT = s"w$classifierTrainRounds"
+    s"""$classifierTrainCtes,
+      |final_score AS (
+      |  SELECT f.doc_id, SUM(f.cnt * COALESCE(w.wgt, 0)) AS s
+      |  FROM feats f LEFT JOIN $wT w USING (bucket) GROUP BY 1),
+      |verdicts AS (
+      |  SELECT CASE WHEN s.s > 0 THEN 1 ELSE 0 END AS pred, l.y
+      |  FROM final_score s JOIN lab l USING (doc_id)),
+      |cm AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn
+      |  FROM verdicts)
+      |SELECT tp, fp, fn, tn,
+      |  CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1) AS precision,
+      |  CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1) AS recall,
+      |  CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+      |FROM cm""".stripMargin
+  }
+
   /** [[classifierTrainCtes]] + a scoring tail: margins under the final
     * weight generation, pred = margin > 0, the gate label from `lab`. */
   val qClassifierInferSql: String = {
