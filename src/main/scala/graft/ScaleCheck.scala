@@ -227,6 +227,31 @@ object ScaleCheck {
         val emb = Tables(s, d, "embeddings")
         ext.Similarity.pqEncode(emb,
           ext.Similarity.trainPq(emb, fitSample = 0.1))
+      }),
+      // the ANN-served probe at its DOCUMENTED scale posture: a fixed
+      // probe BUDGET (`every` grows with the corpus, here ~80 probes
+      // at any size), so the measured slope is the serving path's —
+      // candidates per probe — not the probe count's. The rate-fixed
+      // driver query (n/25 probes) is deliberately not timed at scale.
+      "q_knn_probe_ann_budget" -> ((s: SparkSession, d: String) => {
+        val emb = Tables(s, d, "embeddings")
+        val n = emb.count()
+        val every = math.max(1L, n / 80L).toInt
+        val idx = graft.util.SessionCache.memoize(s, "ivf", d) {
+          ext.Similarity.buildIvfIndex(s, d)
+        }
+        val (model, codes) =
+          graft.util.SessionCache.memoize(s, "pq", d) {
+            val m = ext.Similarity.trainPq(emb)
+            (m, ext.Similarity.pqEncode(emb, m).localCheckpoint())
+          }
+        val cellCodes = graft.util.SessionCache.memoize(s, "ivfpq", d) {
+          idx.cells.select(org.apache.spark.sql.functions.col("cell"),
+              org.apache.spark.sql.functions.col("vec_id"))
+            .join(codes, "vec_id").localCheckpoint()
+        }
+        ext.Similarity.knnProbeAnn(emb, cellCodes, model, idx.centroids,
+          every = every)
       })) ++
       Seq("q_view_transactions", "q_view_transactions_scaled",
         "q_view_auto_optiom", "q_view_retention",
