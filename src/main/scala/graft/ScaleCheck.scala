@@ -297,7 +297,14 @@ object ScaleCheck {
         // avoid, not the operator.
         "q_substr_dedup", "q_media_near_dup_det",
         "q_temp_sample", "q_pack_stats", "q_dataset_card",
-        "q_classifier_eval", "q_bpe_stats")
+        "q_classifier_eval", "q_bpe_stats",
+        // round-8 late addition — DSIR: one map-only hashed-feature
+        // pass (unigrams+bigrams → md5 mod B), two ≤B-row count
+        // tables, scoring joins the broadcast-sized λ table, and the
+        // resample is TakeOrderedAndProject; the slope should be the
+        // feature pass's (~linear), the model side is
+        // corpus-size-independent
+        "q_dsir_weights", "q_dsir_sample")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -98,6 +98,8 @@ object SparkEntry {
     "q_classifier_eval" -> (graft.ext.CorpusOps.qClassifierEval _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
+    "q_dsir_weights" -> (graft.ext.CorpusOps.qDsirWeights _),
+    "q_dsir_sample" -> (graft.ext.CorpusOps.qDsirSample _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
     "q_ann_cosine_by_id" -> (graft.ext.Similarity.qAnnCosineById _),
     "q_ann_lsh" -> (graft.ext.Similarity.qAnnLsh _),
@@ -196,6 +198,8 @@ object SparkEntry {
     "q_classifier_eval" -> graft.ext.CorpusOps.qClassifierEvalSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
+    "q_dsir_weights" -> graft.ext.CorpusOps.qDsirWeightsSql,
+    "q_dsir_sample" -> graft.ext.CorpusOps.qDsirSampleSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
     "q_ann_lsh_det" -> graft.ext.Similarity.qAnnLshDetSql,

@@ -765,4 +765,194 @@ object CorpusOps {
       |  COALESCE(oov_bigrams, 0) AS oov_bigrams,
       |  COALESCE(nll_micro, 0) AS nll_micro
       |FROM toks LEFT JOIN scored ON toks.doc_id = scored.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- dsir
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick pretraining documents whose hashed-n-gram
+    * distribution matches a small TARGET domain, by (1) counting
+    * hashed unigram+bigram features into a fixed number of buckets for
+    * the target slice and the raw corpus, (2) scoring every document
+    * with the importance log-weight
+    * `log w(x) = Σ_features log( p_target(bucket) / p_raw(bucket) )`
+    * under add-1 smoothing, and (3) resampling without replacement
+    * ∝ w via the Gumbel top-k trick.
+    *
+    * Engine-portable determinism (same posture as [[lmScoreWith]]):
+    * the feature hash is md5 (identical bytes in any engine) reduced
+    * mod [[dsirBuckets]]; each bucket's log-ratio is quantized to
+    * integer micronats BEFORE the per-document sum, so the sum is
+    * order-independent; the resampling Gumbel noise derives from a
+    * salted md5 of the doc id, so the "random" draw is a pure function
+    * of the row. The driver hash-compares both the weight table and
+    * the selected sample against DuckDB replaying the identical
+    * arithmetic.
+    *
+    * Scale shape (the reason DSIR beats classifier-based selection at
+    * 100 TB): feature hashing is map-only codegen (split → explode →
+    * md5 → mod); the count tables are ≤[[dsirBuckets]] rows each
+    * regardless of corpus size (map-side partial agg, tiny shuffle);
+    * scoring joins the bucket stream against the broadcast-sized λ
+    * table and integer-sums per doc; the top-k resample plans as
+    * TakeOrderedAndProject (per-partition heads, never a global
+    * sort). Nothing grows with the corpus except the one map-only
+    * feature pass. */
+  val dsirBuckets = 1024
+
+  /** Target slice for [[qDsirWeights]]/[[qDsirSample]] — the `en`
+    * documents, the same slice the bigram LM trains on. Production
+    * passes any predicate (a curated wiki dump, a human-rated set). */
+  val dsirTargetLang = "en"
+
+  /** Sample size for [[qDsirSample]] — 100 of the sf0.01 corpus's 500
+    * docs; production sizes this to the token budget. */
+  val dsirSampleK = 100
+
+  private val dsirMicro = 1e6
+
+  /** Hashed-feature stream: one row per unigram and per bigram of each
+    * document, reduced to a bucket id in [0, [[dsirBuckets]]). */
+  private def dsirFeatures(docs: DataFrame): DataFrame = {
+    val uni = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("f"))
+    val bi = bigrams(docs)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("w1"), col("w2")).as("f"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % dsirBuckets).as("b"))
+  }
+
+  /** A trained DSIR model: the ≤[[dsirBuckets]]-row per-bucket
+    * importance table `(b, lam_micro)` where `lam_micro =
+    * round(ln(p_target(b)/p_raw(b)) × 1e6)` under add-1 smoothing.
+    * Same artifact contract as [[LmModel]]: `materialize = true`
+    * localCheckpoints the (bounded) table for a model scored many
+    * times; one-shot callers keep it lazy. */
+  final case class DsirModel(lambda: DataFrame)
+
+  def trainDsir(docs: DataFrame, targetLang: String = dsirTargetLang,
+                materialize: Boolean = true): DsirModel = {
+    val feats = dsirFeatures(docs)
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    // Totals are two scalar rows of bounded metadata (same contract as
+    // Merge's cutoff row); B is the literal bucket count.
+    val nr = feats.count()
+    val nt = feats.filter(col("lang") === targetLang).count()
+    require(nt > 0, s"trainDsir: no '$targetLang' target documents")
+    val b = lit(dsirBuckets.toLong)
+    // ln( (ct+1)(Nr+B) / (cr+1)(Nt+B) ) with each factor exact in
+    // double (operand magnitudes ≪ 2^53 at model-build counts) and the
+    // ops in a fixed order mirrored literally by the oracle SQL.
+    val lam = round(log(
+      ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * (lit(nr) + b)) /
+        ((col("cr") + 1).cast("double") * (lit(nt) + b))) * dsirMicro)
+      .cast("bigint")
+    val lambda0 = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), lam.as("lam_micro"))
+    DsirModel(if (materialize) lambda0.localCheckpoint() else lambda0)
+  }
+
+  /** Per-document importance log-weights in integer micronats, plus the
+    * feature count (the weight's natural length normalizer). Every raw
+    * bucket is in the λ table by construction, so the scoring join is
+    * effectively total; the left-join + coalesce keeps empty docs. */
+  def dsirWeightsWith(docs: DataFrame, model: DsirModel): DataFrame = {
+    val scored = dsirFeatures(docs)
+      .join(model.lambda, Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("lam_micro"), lit(0L))).as("logw_micro"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+  }
+
+  def dsirWeights(docs: DataFrame): DataFrame =
+    dsirWeightsWith(docs, trainDsir(docs, materialize = false))
+
+  /** Gumbel top-k resample without replacement, ∝ exp(logw): priority =
+    * logw_micro + round(−ln(−ln(u)) × 1e6) with u a salted-md5 uniform
+    * in (0,1) — deterministic per row, so the draw replays anywhere.
+    * Ties (impossible in practice at micronat resolution) break on
+    * doc_id for a total order. */
+  def dsirResampleWith(docs: DataFrame, model: DsirModel,
+                       k: Int = dsirSampleK): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dsir:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val gumbel = round(-log(-log(u)) * dsirMicro).cast("bigint")
+    dsirWeightsWith(docs, model)
+      .select(col("doc_id"), col("lang"), col("logw_micro"),
+        (col("logw_micro") + gumbel).as("priority_micro"))
+      .orderBy(col("priority_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.util.SessionCache.memoize(spark, "dsir", dir) {
+      trainDsir(Tables(spark, dir, "documents"))
+    }
+    dsirWeightsWith(Tables(spark, dir, "documents"), model)
+  }
+
+  def qDsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.util.SessionCache.memoize(spark, "dsir", dir) {
+      trainDsir(Tables(spark, dir, "documents"))
+    }
+    dsirResampleWith(Tables(spark, dir, "documents"), model)
+  }
+
+  private val dsirSqlCommon: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % $dsirBuckets
+      |      AS b
+      |  FROM (
+      |    SELECT doc_id, lang, unnest(t) AS f FROM toks
+      |    UNION ALL
+      |    SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS f
+      |    FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i))),
+      |raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY 1),
+      |tgt AS (SELECT b, COUNT(*) AS ct FROM feats
+      |        WHERE lang = '$dsirTargetLang' GROUP BY 1),
+      |tot AS (SELECT
+      |  (SELECT COUNT(*) FROM feats) AS nr,
+      |  (SELECT COUNT(*) FROM feats WHERE lang = '$dsirTargetLang') AS nt),
+      |lam AS (
+      |  SELECT raw.b, CAST(round(ln(
+      |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * (nr + $dsirBuckets))
+      |      / (CAST(cr + 1 AS DOUBLE) * (nt + $dsirBuckets))
+      |    ) * 1000000.0) AS BIGINT) AS lam_micro
+      |  FROM raw LEFT JOIN tgt USING (b), tot),
+      |weights AS (
+      |  SELECT toks.doc_id, toks.lang,
+      |    COALESCE(s.n_feats, 0) AS n_feats,
+      |    COALESCE(s.logw_micro, 0) AS logw_micro
+      |  FROM toks LEFT JOIN (
+      |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |      CAST(SUM(COALESCE(lam_micro, 0)) AS BIGINT) AS logw_micro
+      |    FROM feats LEFT JOIN lam USING (b) GROUP BY doc_id
+      |  ) s ON toks.doc_id = s.doc_id)""".stripMargin
+
+  val qDsirWeightsSql: String =
+    s"""$dsirSqlCommon
+      |SELECT doc_id, lang, n_feats, logw_micro FROM weights""".stripMargin
+
+  val qDsirSampleSql: String =
+    s"""$dsirSqlCommon
+      |SELECT doc_id, lang, logw_micro,
+      |  logw_micro + CAST(round(-ln(-ln(
+      |    (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+      |       1, 8)) AS UBIGINT) + 0.5) / 4294967296.0
+      |  )) * 1000000.0) AS BIGINT) AS priority_micro
+      |FROM weights
+      |ORDER BY priority_micro DESC, doc_id ASC LIMIT $dsirSampleK""".stripMargin
 }

@@ -81,5 +81,11 @@ object CurationViews {
       .createOrReplaceTempView("semantic_dedup")
     graft.ext.Bpe.qBpeTrain(spark, dir)
       .createOrReplaceTempView("bpe_merges")
+    // round-8: DSIR importance weights (training runs the two bounded
+    // feature-total counts eagerly — model-backed by the same token)
+    CorpusOps.qDsirWeights(spark, dir)
+      .createOrReplaceTempView("dsir_weights")
+    CorpusOps.qDsirSample(spark, dir)
+      .createOrReplaceTempView("dsir_sample")
   }
 }

@@ -243,4 +243,81 @@ class CorpusOpsSpec extends SparkSpec {
     Seq(1L, 2L, 6L).foreach(id => assert(served(id) === 0, s"doc $id"))
     Seq(3L, 4L, 5L).foreach(id => assert(served(id) === 1, s"doc $id"))
   }
+
+  // ----------------------------------------------------------------- dsir
+
+  test("dsir: logw is the exact micronat sum of per-bucket log-ratios " +
+    "(independent driver-side recomputation)") {
+    val docs = docsOf(
+      (1L, "alpha beta", "en"),
+      (2L, "gamma delta", "de"))
+    val model = CorpusOps.trainDsir(docs, targetLang = "en",
+      materialize = false)
+    val got = CorpusOps.dsirWeightsWith(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_feats"),
+        r.getAs[Long]("logw_micro"))).toMap
+    // independent reimplementation: features = unigrams + bigrams,
+    // bucket = md5-first-8-hex % B, λ = round(ln((ct+1)(Nr+B)/((cr+1)(Nt+B)))·1e6)
+    def bucket(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
+        CorpusOps.dsirBuckets
+    }
+    def feats(text: String): Seq[Long] = {
+      val w = text.split(" ", -1).toSeq
+      (w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket)
+    }
+    val all = Seq("alpha beta", "gamma delta").flatMap(feats)
+    val tgt = feats("alpha beta")
+    val b = CorpusOps.dsirBuckets
+    val (nr, nt) = (all.size.toLong, tgt.size.toLong)
+    def lam(bk: Long): Long = {
+      val cr = all.count(_ == bk).toLong
+      val ct = tgt.count(_ == bk).toLong
+      math.round(math.log(
+        ((ct + 1).toDouble * (nr + b)) / ((cr + 1).toDouble * (nt + b))) * 1e6)
+    }
+    assert(got(1L) === ((3L, feats("alpha beta").map(lam).sum)))
+    assert(got(2L) === ((3L, feats("gamma delta").map(lam).sum)))
+  }
+
+  test("dsir: resample recovers a planted target domain") {
+    // target domain speaks vocabulary A; the raw pool is mostly B-dialect
+    val a = (1 to 8).map(i => (i.toLong, "data spark shuffle join", "tgt"))
+    val bDocs = (9 to 28).map(i =>
+      (i.toLong, s"weather rain cloud wind w$i", "other"))
+    val mixed = Seq((29L, "data spark mumble", "other"),
+      (30L, "weather spark data join", "other"))
+    val docs = docsOf(a ++ bDocs ++ mixed: _*)
+    val model = CorpusOps.trainDsir(docs, targetLang = "tgt",
+      materialize = false)
+    // every A-dialect doc outweighs every pure-B doc
+    val w = CorpusOps.dsirWeightsWith(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("logw_micro")).toMap
+    val minA = (1L to 8L).map(w).min
+    val maxB = (9L to 28L).map(w).max
+    assert(minA > maxB, s"minA=$minA maxB=$maxB")
+    // and the Gumbel top-k sample is dominated by target-like docs:
+    // the 10 selected ids should include no more than 2 pure-B docs
+    val sel = CorpusOps.dsirResampleWith(docs, model, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(sel.count(id => id >= 9L && id <= 28L) <= 2, sel.toSeq.sorted)
+  }
+
+  test("dsir on sf0.001: en mean weight beats every other language; " +
+    "one-shot path ≡ materialized-model path") {
+    val docs = Tables(spark, dir, "documents")
+    val model = CorpusOps.trainDsir(docs)
+    val byLang = CorpusOps.dsirWeightsWith(docs, model)
+      .groupBy("lang").agg(avg(col("logw_micro")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = byLang.filter(_._1 != CorpusOps.dsirTargetLang).values
+    assert(others.nonEmpty && others.forall(_ < byLang("en")), byLang)
+    val oneShot = CorpusOps.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("logw_micro"))).sorted
+    val served = CorpusOps.dsirWeightsWith(docs, model).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("logw_micro"))).sorted
+    assert(oneShot === served)
+  }
 }

@@ -518,6 +518,16 @@ class ExtSpec extends SparkSpec {
     val ranks = spark.sql("SELECT rank FROM bpe_merges ORDER BY rank")
       .collect().map(_.getInt(0)).toSeq
     assert(ranks === ranks.indices.map(identity))
+    // round-8 DSIR views: weights cover the corpus; the resample is a
+    // weight-ranked subset of it
+    assert(spark.sql("SELECT count(*) AS n FROM dsir_weights")
+      .head().getLong(0) === nDocs)
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM dsir_sample s
+        |JOIN dsir_weights w ON s.doc_id = w.doc_id
+        |  AND s.logw_micro = w.logw_micro""".stripMargin)
+      .head().getLong(0) ===
+      spark.sql("SELECT count(*) AS n FROM dsir_sample").head().getLong(0))
   }
 
   test("pack boundaries: every chunk appears exactly once, offsets inside the context") {
