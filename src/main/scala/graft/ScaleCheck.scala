@@ -304,7 +304,11 @@ object ScaleCheck {
         // resample is TakeOrderedAndProject; the slope should be the
         // feature pass's (~linear), the model side is
         // corpus-size-independent
-        "q_dsir_weights", "q_dsir_sample")
+        "q_dsir_weights", "q_dsir_sample",
+        // cross-source overlap matrix: the pair view is memoized (its
+        // own build cost is q_dedup_jaccard's row above); this adds
+        // the source-tag join + a ≤|sources|²-row agg
+        "q_source_overlap")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_split_leakfree" -> (graft.ext.Dedup.qSplitLeakfree _),
     "q_decontaminate" -> (graft.ext.Dedup.qDecontaminate _),
     "q_contam_frac" -> (graft.ext.Dedup.qContamFrac _),
+    "q_source_overlap" -> (graft.ext.Dedup.qSourceOverlap _),
     "q_pack" -> (graft.ext.TextOps.qPack _),
     "q_pack_boundaries" -> (graft.ext.TextOps.qPackBoundaries _),
     "q_pack_stats" -> (graft.ext.TextOps.qPackStats _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_split_leakfree" -> graft.ext.Dedup.qSplitLeakfreeSql,
     "q_decontaminate" -> graft.ext.Dedup.qDecontaminateSql,
     "q_contam_frac" -> graft.ext.Dedup.qContamFracSql,
+    "q_source_overlap" -> graft.ext.Dedup.qSourceOverlapSql,
     "q_pack" -> graft.ext.TextOps.qPackSql,
     "q_pack_boundaries" -> graft.ext.TextOps.qPackBoundariesSql,
     "q_pack_stats" -> graft.ext.TextOps.qPackStatsSql,

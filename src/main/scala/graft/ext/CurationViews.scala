@@ -62,6 +62,10 @@ object CurationViews {
       .createOrReplaceTempView("corpus_substr_dedup")
     TextOps.qTempSample(spark, dir)
       .createOrReplaceTempView("corpus_temp_sample")
+    // cross-source near-dup matrix — rides the same memoized pair
+    // view dup_pairs just registered (no extra build cost)
+    Dedup.qSourceOverlap(spark, dir)
+      .createOrReplaceTempView("source_overlap")
   }
 
   /** Register the MODEL-backed views: `doc_scores` (classifier score +

@@ -529,6 +529,51 @@ object Dedup {
       |WHERE e.eval
       |GROUP BY e.doc_id""".stripMargin
 
+  /** Cross-source OVERLAP matrix — which sources near-duplicate each
+    * other. Every near-dup pair from [[jaccardPairs]] is tagged with
+    * its two documents' sources (pair unordered: `src_a ≤ src_b`), and
+    * the matrix counts pairs per source pair, with the ≥0.5-Jaccard
+    * strong-dup subset split out. The curation use is triage: a heavy
+    * off-diagonal cell means one source republishes another (crawl the
+    * canonical one, drop the mirror); a heavy diagonal means a
+    * source self-duplicates (boilerplate, pagination).
+    *
+    * Scale shape: rides the MEMOIZED pair view (duplicate-output-
+    * sized, the artifact the streaming pipeline keeps warm), joins the
+    * 2-column doc→source projection on the pair keys (broadcast-sized
+    * pair side at healthy dup rates; a shuffle join degrade-path if
+    * the corpus is pathologically duplicated), and the output is
+    * ≤|sources|² rows — bounded observability, never corpus-sized.
+    * The jacc threshold comparison is portable: both engines computed
+    * the identical correctly-rounded double in the pair view. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    jaccardPairs(spark, dir)
+      .join(srcs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(srcs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+        greatest(col("sa.source"), col("sb.source")).as("src_b"),
+        col("jacc"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jacc") >= 0.5).cast("bigint")).as("n_strong"))
+  }
+
+  val qSourceOverlapSql: String =
+    s"""WITH pairs AS (
+      |${jaccardPairsSql(0.2)}
+      |), srcs AS (SELECT doc_id, source FROM documents)
+      |SELECT least(sa.source, sb.source) AS src_a,
+      |  greatest(sa.source, sb.source) AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_strong
+      |FROM pairs
+      |JOIN srcs sa ON pairs.doc_a = sa.doc_id
+      |JOIN srcs sb ON pairs.doc_b = sb.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** Hot-block guard for the SimHash (blk, v) equi-join, mirroring the
     * MinHash `maxBucket`: a 16-bit block value shared by more than this
     * many docs is uninformative (the self-join on it is O(size²)), so

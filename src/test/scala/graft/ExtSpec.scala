@@ -378,6 +378,26 @@ class ExtSpec extends SparkSpec {
     })
   }
 
+  test("source overlap: matrix replays the pair view exactly, unordered keys") {
+    val srcOf = Tables(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.ext.Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pairs.groupBy { case (a, b, _) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }.map { case (k, g) =>
+        k -> ((g.size.toLong, g.count(_._3 >= 0.5).toLong))
+      }
+    val got = graft.ext.Dedup.qSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_strong")))).toMap
+    assert(got === want)
+    assert(got.keys.forall { case (a, b) => a <= b })
+    assert(got.values.map(_._1).sum === pairs.length.toLong)
+  }
+
   test("curation e2e: stage invariants hold through the composed pipeline") {
     import org.apache.spark.sql.functions._
     val out = TextOps.qCurate(spark, dir).collect()
@@ -518,6 +538,10 @@ class ExtSpec extends SparkSpec {
     val ranks = spark.sql("SELECT rank FROM bpe_merges ORDER BY rank")
       .collect().map(_.getInt(0)).toSeq
     assert(ranks === ranks.indices.map(identity))
+    // source_overlap totals tie back to the registered pair view
+    assert(spark.sql("SELECT sum(n_pairs) AS n FROM source_overlap")
+      .head().getLong(0) ===
+      spark.sql("SELECT count(*) AS n FROM dup_pairs").head().getLong(0))
     // round-8 DSIR views: weights cover the corpus; the resample is a
     // weight-ranked subset of it
     assert(spark.sql("SELECT count(*) AS n FROM dsir_weights")
