@@ -555,14 +555,23 @@ object CurationStream {
                        outPath: String, checkpointDir: String,
                        schema: StructType,
                        model: graft.ext.CorpusOps.LmModel,
-                       clfWeights: Option[Map[Long, Long]] = None)
+                       clfWeights: Option[Map[Long, Long]] = None,
+                       dsir: Option[graft.ext.CorpusOps.DsirModel] = None)
       : StreamingQuery =
     runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, id) =>
       val clf = clfWeights
         .fold(graft.ext.CorpusOps.classify(batch))(w =>
           graft.ext.CorpusOps.classifyWith(batch, w))
-      val scored = clf
+      val scored0 = clf
         .join(graft.ext.CorpusOps.lmScoreWith(batch, model), Seq("doc_id"))
+      // DSIR importance weight as a third per-doc signal: the λ table
+      // is a frozen offline artifact like the LM; scoring is the
+      // map-only feature pass + static broadcast join, so per-batch
+      // results converge to the batch weights under any slicing.
+      val scored = dsir.fold(scored0)(m =>
+        scored0.join(graft.ext.CorpusOps.dsirWeightsWith(batch, m)
+          .select(col("doc_id"), col("n_feats"), col("logw_micro")),
+          Seq("doc_id")))
       scored.write.mode("overwrite").parquet(s"$outPath/batch=$id")
     }
 

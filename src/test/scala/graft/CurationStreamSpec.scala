@@ -364,6 +364,19 @@ class CurationStreamSpec extends SparkSpec {
     val batchTrained = CorpusOps.classifyWith(docs, clf.weights)
       .select(trainedCols.map(col): _*).collect().map(_.toSeq).toSet
     assert(streamedTrained === batchTrained)
+
+    // DSIR serving: the offline-trained λ table scores every batch;
+    // streamed weights equal the batch weights doc-for-doc
+    val dsirModel = CorpusOps.trainDsir(docs)
+    CurationStream.runScoringStream(
+      spark, s"$tmp/upload/*", s"$tmp/scores3", s"$tmp/ckpt4",
+      docs.schema, model, dsir = Some(dsirModel)).awaitTermination()
+    val dsirCols = Seq("doc_id", "n_feats", "logw_micro")
+    val streamedDsir = spark.read.parquet(s"$tmp/scores3")
+      .select(dsirCols.map(col): _*).collect().map(_.toSeq).toSet
+    val batchDsir = CorpusOps.dsirWeightsWith(docs, dsirModel)
+      .select(dsirCols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(streamedDsir === batchDsir)
   }
 
   test("novelty-gated curation stream: yesterday's corpus never re-enters the store") {
