@@ -308,7 +308,11 @@ object ScaleCheck {
         // cross-source overlap matrix: the pair view is memoized (its
         // own build cost is q_dedup_jaccard's row above); this adds
         // the source-tag join + a ≤|sources|²-row agg
-        "q_source_overlap")
+        "q_source_overlap",
+        // centroid build (one partial-agg pass over the target slice,
+        // 64 bounded integer sums) + literal-array map-only scoring —
+        // both timed together, unmemoized
+        "q_embed_prototype")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

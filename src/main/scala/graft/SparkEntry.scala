@@ -114,6 +114,7 @@ object SparkEntry {
     "q_approx_distinct" -> (graft.ext.Similarity.qApproxDistinct _),
     "q_approx_distinct_det" -> (graft.ext.Similarity.qApproxDistinctDet _),
     "q_knn_probe" -> (graft.ext.Similarity.qKnnProbe _),
+    "q_embed_prototype" -> (graft.ext.Similarity.qEmbedPrototype _),
     "q_knn_probe_ann" -> (graft.ext.Similarity.qKnnProbeAnn _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_approx_distinct_det" -> graft.ext.Similarity.qApproxDistinctDetSql,
     "q_knn_probe" -> graft.ext.Similarity.qKnnProbeSql,
+    "q_embed_prototype" -> graft.ext.Similarity.qEmbedPrototypeSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,

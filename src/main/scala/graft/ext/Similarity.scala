@@ -1002,4 +1002,77 @@ object Similarity {
       |    ELSE (CAST(k_used AS DOUBLE) - 1.0) * 1152921504606846976.0
       |      / CAST(kth AS DOUBLE) END AS est
       |FROM s""".stripMargin
+
+  // ------------------------------------------------- prototype scoring
+
+  /** Target class for [[qEmbedPrototype]] — production passes a curated
+    * seed set's label (or any predicate selecting the seed vectors). */
+  val protoLabel = 0
+
+  private val protoMicro = 1e6
+
+  /** Label-conditioned CENTROID affinity — the embedding-space quality
+    * filter: score every vector by its dot product with the target
+    * class's mean embedding (the parametric cousin of [[knnProbe]]'s
+    * kNN vote, and the scoring half of a nearest-class-mean
+    * classifier). The production use is semantic filtering toward a
+    * curated seed set — keep documents whose embeddings sit near the
+    * seed centroid (the embedding-side analog of DSIR's n-gram
+    * importance weighting).
+    *
+    * Engine-portable determinism: a float mean is an order-dependent
+    * float sum — NOT portable — so each component is quantized to
+    * integer micro-units first (round(x·1e6) as BIGINT), the
+    * per-dimension sums are exact integer aggregation in any engine,
+    * and the centroid component is `(CAST(s AS DOUBLE) / n / 1e6)`
+    * narrowed to FLOAT — correctly-rounded ops only. The score then
+    * reuses the hash-proven [[dot]] machinery (sequential left fold in
+    * element order, matching DuckDB's list_sum). The score is the raw
+    * dot, deliberately unnormalized: the centroid's norm is one
+    * positive constant, so ranking/thresholding is cosine-equivalent
+    * without betting the oracle on a driver-side norm fold.
+    *
+    * Scale shape: the centroid build is one partial-agg pass over the
+    * TARGET slice only (64 integer sums — bounded state), collected as
+    * 64 rows of driver metadata (the k-centroids contract); scoring is
+    * map-only codegen against the literal array — no join, no shuffle,
+    * scan speed at any corpus size. */
+  def embedPrototype(emb: DataFrame, label: Int = protoLabel): DataFrame = {
+    val tgt = emb.filter(col("label") === label)
+    val n = tgt.count() // bounded scalar (same contract as Merge's cutoff)
+    require(n > 0, s"embedPrototype: no label=$label vectors")
+    val sums = tgt
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(sum(round(col("x").cast("double") * protoMicro).cast("bigint"))
+        .as("s"))
+      .collect() // one row per dimension — bounded driver metadata
+    val proto: Array[Float] = sums.sortBy(_.getInt(0))
+      .map(r => (r.getLong(1).toDouble / n / protoMicro).toFloat)
+    emb.select(col("vec_id"), col("label"),
+      dot(col("embedding"), typedLit(proto)).as("proto_dot"))
+  }
+
+  def qEmbedPrototype(spark: SparkSession, dir: String): DataFrame =
+    embedPrototype(Tables(spark, dir, "embeddings"))
+
+  val qEmbedPrototypeSql: String =
+    s"""WITH n AS (
+      |  SELECT COUNT(*) AS n FROM embeddings WHERE label = $protoLabel),
+      |sums AS (
+      |  SELECT j, SUM(CAST(round(CAST(embedding[j] AS DOUBLE)
+      |    * 1000000.0) AS BIGINT)) AS s
+      |  FROM embeddings,
+      |    LATERAL unnest(generate_series(1, len(embedding))) AS u(j)
+      |  WHERE label = $protoLabel GROUP BY j),
+      |proto AS (
+      |  SELECT list(CAST(CAST(s AS DOUBLE) / n / 1000000.0 AS FLOAT)
+      |    ORDER BY j) AS pv
+      |  FROM sums, n),
+      |scored AS (
+      |  SELECT vec_id, label,
+      |    list_sum(list_transform(list_zip(embedding, pv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS proto_dot
+      |  FROM embeddings, proto)
+      |SELECT vec_id, label, proto_dot FROM scored""".stripMargin
 }

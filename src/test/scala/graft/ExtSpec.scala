@@ -378,6 +378,39 @@ class ExtSpec extends SparkSpec {
     })
   }
 
+  test("embed prototype: quantized centroid replayed driver-side; " +
+    "target class has top mean affinity; scoring plan is map-only") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val scored = Similarity.embedPrototype(emb)
+    // driver-side replay of the centroid + one vector's score
+    val tgt = emb.filter(col("label") === Similarity.protoLabel)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = tgt.head.length
+    val proto = (0 until dims).map { j =>
+      val s = tgt.map(v => math.round(v(j).toDouble * 1e6)).sum
+      (s.toDouble / tgt.length / 1e6).toFloat
+    }.toArray
+    val rows = scored.collect()
+    val first = rows.minBy(_.getLong(0))
+    val v0 = emb.filter(col("vec_id") === first.getLong(0))
+      .select("embedding").head.getSeq[Float](0)
+    val want = v0.zip(proto).foldLeft(0.0) {
+      case (acc, (x, p)) => acc + x.toDouble * p.toDouble
+    }
+    assert(first.getAs[Double]("proto_dot") === want)
+    // the target class is its own centroid's best-scoring class
+    val byLabel = rows.groupBy(_.getInt(1)).view
+      .mapValues(g => g.map(_.getAs[Double]("proto_dot")).sum / g.size)
+    assert(byLabel.maxBy(_._2)._1 === Similarity.protoLabel, byLabel.toMap)
+    // scoring is a literal-array map — no join, no exchange
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(400))
+  }
+
   test("source overlap: matrix replays the pair view exactly, unordered keys") {
     val srcOf = Tables(spark, dir, "documents")
       .select("doc_id", "source").collect()
