@@ -311,8 +311,9 @@ object ScaleCheck {
         "q_source_overlap",
         // centroid build (one partial-agg pass over the target slice,
         // 64 bounded integer sums) + literal-array map-only scoring —
-        // both timed together, unmemoized
-        "q_embed_prototype")
+        // both timed together, unmemoized; ncm scores all 10 literal
+        // centroids in the same scan
+        "q_embed_prototype", "q_ncm_predict")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

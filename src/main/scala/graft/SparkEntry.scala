@@ -115,6 +115,7 @@ object SparkEntry {
     "q_approx_distinct_det" -> (graft.ext.Similarity.qApproxDistinctDet _),
     "q_knn_probe" -> (graft.ext.Similarity.qKnnProbe _),
     "q_embed_prototype" -> (graft.ext.Similarity.qEmbedPrototype _),
+    "q_ncm_predict" -> (graft.ext.Similarity.qNcmPredict _),
     "q_knn_probe_ann" -> (graft.ext.Similarity.qKnnProbeAnn _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_approx_distinct_det" -> graft.ext.Similarity.qApproxDistinctDetSql,
     "q_knn_probe" -> graft.ext.Similarity.qKnnProbeSql,
     "q_embed_prototype" -> graft.ext.Similarity.qEmbedPrototypeSql,
+    "q_ncm_predict" -> graft.ext.Similarity.qNcmPredictSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,

@@ -1056,6 +1056,86 @@ object Similarity {
   def qEmbedPrototype(spark: SparkSession, dir: String): DataFrame =
     embedPrototype(Tables(spark, dir, "embeddings"))
 
+  /** Label set for [[qNcmPredict]] — the testdata's 10 classes; the
+    * oracle SQL is generated from this constant. Production derives it
+    * with one DISTINCT scan (bounded metadata). */
+  val ncmLabels: Range = 0 until 10
+
+  /** Nearest-class-mean prediction — [[embedPrototype]] extended to
+    * every class: one partial-agg pass builds ALL per-class quantized
+    * centroids (|labels|×dims bounded integer sums → driver metadata),
+    * then scoring computes each vector's dot against every literal
+    * centroid IN THE SCAN — d₀…d₉ as map-only codegen columns, argmax
+    * with lowest-label tiebreak via greatest + first-match CASE (both
+    * engines pick the same winner because every dot is the identical
+    * double). The plan stays Exchange-free for scoring: NCM is the
+    * classifier you get for free once centroids exist, the parametric
+    * cross-check of [[knnProbe]]'s kNN vote over the same space.
+    *
+    * Output per vector: true label, predicted class, correct flag —
+    * the confusion matrix and accuracy are one groupBy away. */
+  def ncmPredict(emb: DataFrame,
+                 labels: Seq[Int] = ncmLabels): DataFrame = {
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg(sum(round(col("x").cast("double") * protoMicro).cast("bigint"))
+        .as("s"))
+      .collect() // |labels| × dims rows — bounded driver metadata
+    val protos: Map[Int, Array[Float]] = sums.groupBy(_.getInt(0)).map {
+      case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(r =>
+          (r.getLong(2).toDouble / counts(l) / protoMicro).toFloat)
+    }
+    val dCols = labels.map(l =>
+      dot(col("embedding"), typedLit(protos(l))).as(s"d$l"))
+    val withDots = emb.select(col("vec_id") +: col("label") +: dCols: _*)
+    val m = greatest(labels.map(l => col(s"d$l")): _*)
+    val pred = labels.foldRight(lit(-1): Column)((l, rest) =>
+      when(col(s"d$l") === m, l).otherwise(rest))
+    withDots
+      .select(col("vec_id"), col("label"), pred.as("pred"))
+      .withColumn("correct", (col("pred") === col("label")).cast("int"))
+  }
+
+  def qNcmPredict(spark: SparkSession, dir: String): DataFrame =
+    ncmPredict(Tables(spark, dir, "embeddings"))
+
+  val qNcmPredictSql: String = {
+    val labels = ncmLabels
+    val dDefs = labels.map(l =>
+      s"""    list_sum(list_transform(list_zip(embedding,
+         |      (SELECT pv FROM pv WHERE label = $l)),
+         |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) AS d$l"""
+        .stripMargin).mkString(",\n")
+    val m = s"greatest(${labels.map(l => s"d$l").mkString(", ")})"
+    val predCase = labels.map(l => s"WHEN d$l = m THEN $l").mkString(" ")
+    s"""WITH cnt AS (
+      |  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |sums AS (
+      |  SELECT label, j, SUM(CAST(round(CAST(embedding[j] AS DOUBLE)
+      |    * 1000000.0) AS BIGINT)) AS s
+      |  FROM embeddings,
+      |    LATERAL unnest(generate_series(1, len(embedding))) AS u(j)
+      |  GROUP BY label, j),
+      |pv AS (
+      |  SELECT label, list(CAST(CAST(s AS DOUBLE) / n / 1000000.0 AS FLOAT)
+      |    ORDER BY j) AS pv
+      |  FROM sums JOIN cnt USING (label) GROUP BY label, n),
+      |dots AS (
+      |  SELECT vec_id, label,
+      |$dDefs
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT *, $m AS m FROM dots)
+      |SELECT vec_id, label,
+      |  CASE $predCase ELSE -1 END AS pred,
+      |  CAST(CASE $predCase ELSE -1 END = label AS INTEGER) AS correct
+      |FROM scored""".stripMargin
+  }
+
   val qEmbedPrototypeSql: String =
     s"""WITH n AS (
       |  SELECT COUNT(*) AS n FROM embeddings WHERE label = $protoLabel),

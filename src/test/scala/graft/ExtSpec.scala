@@ -411,6 +411,37 @@ class ExtSpec extends SparkSpec {
       plan.take(400))
   }
 
+  test("ncm predict: argmax replayed driver-side, beats chance, " +
+    "preds in the label set") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val rows = Similarity.ncmPredict(emb).collect()
+    assert(rows.length === emb.count())
+    // every prediction is a real class (the CASE never falls through)
+    assert(rows.forall(r => Similarity.ncmLabels.contains(r.getInt(2))))
+    // correct flag is consistent and accuracy beats 3x chance
+    rows.foreach(r =>
+      assert(r.getInt(3) === (if (r.getInt(2) === r.getInt(1)) 1 else 0)))
+    val acc = rows.map(_.getInt(3)).sum.toDouble / rows.length
+    assert(acc > 3.0 / Similarity.ncmLabels.size, s"acc=$acc")
+    // driver-side replay: rebuild all centroids + argmax for one vector
+    val all = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val dims = all.head._3.length
+    val protos = Similarity.ncmLabels.map { l =>
+      val vs = all.filter(_._2 == l).map(_._3)
+      l -> (0 until dims).map { j =>
+        val s = vs.map(v => math.round(v(j).toDouble * 1e6)).sum
+        (s.toDouble / vs.length / 1e6).toFloat
+      }.toArray
+    }.toMap
+    val (vid, _, v) = all.minBy(_._1)
+    val dots = Similarity.ncmLabels.map(l => l -> v.zip(protos(l))
+      .foldLeft(0.0) { case (a, (x, p)) => a + x.toDouble * p.toDouble })
+    val wantPred = dots.filter(_._2 == dots.map(_._2).max).map(_._1).min
+    assert(rows.find(_.getLong(0) == vid).get.getInt(2) === wantPred)
+  }
+
   test("source overlap: matrix replays the pair view exactly, unordered keys") {
     val srcOf = Tables(spark, dir, "documents")
       .select("doc_id", "source").collect()
