@@ -313,7 +313,10 @@ object ScaleCheck {
         // 64 bounded integer sums) + literal-array map-only scoring —
         // both timed together, unmemoized; ncm scores all 10 literal
         // centroids in the same scan
-        "q_embed_prototype", "q_ncm_predict")
+        "q_embed_prototype", "q_ncm_predict",
+        // two-phase distributed selection: two partial-agg scans with
+        // bounded (bucket-width) driver state — no global sort at any n
+        "q_score_threshold")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_classifier_eval" -> (graft.ext.CorpusOps.qClassifierEval _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
+    "q_score_threshold" -> (graft.ext.CorpusOps.qScoreThreshold _),
     "q_dsir_weights" -> (graft.ext.CorpusOps.qDsirWeights _),
     "q_dsir_sample" -> (graft.ext.CorpusOps.qDsirSample _),
     "q_ann_brute" -> (graft.ext.Similarity.qAnnBrute _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "q_classifier_eval" -> graft.ext.CorpusOps.qClassifierEvalSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
+    "q_score_threshold" -> graft.ext.CorpusOps.qScoreThresholdSql,
     "q_dsir_weights" -> graft.ext.CorpusOps.qDsirWeightsSql,
     "q_dsir_sample" -> graft.ext.CorpusOps.qDsirSampleSql,
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,

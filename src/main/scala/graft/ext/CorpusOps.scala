@@ -946,6 +946,105 @@ object CorpusOps {
     s"""$dsirSqlCommon
       |SELECT doc_id, lang, n_feats, logw_micro FROM weights""".stripMargin
 
+  // ------------------------------------------------ threshold calibration
+
+  /** Target keep-rate for [[qScoreThreshold]] as an exact rational
+    * (1/4 = keep the top quarter by score) — production dials this to
+    * its token budget. */
+  val thresholdKeepNum = 1L
+  val thresholdKeepDen = 4L
+
+  /** Coarse-bucket width exponent for the two-phase selection: phase 1
+    * histograms `score >> 12` (4096-wide buckets), so phase 2's
+    * within-bucket value table is ≤ 4096 rows — both phases bounded
+    * driver metadata at any corpus size. */
+  private val thresholdShift = 12
+
+  /** Quality-gate CALIBRATION — the exact k-th order statistic of a
+    * per-doc integer score, computed WITHOUT a global sort: given a
+    * target keep-rate, find the score threshold whose ≥-set is the
+    * smallest one covering the target count. `TakeOrderedAndProject`
+    * cannot do this (k is a corpus FRACTION, not a constant), and a
+    * global `ORDER BY` is the thing a 100 TB plan must avoid — so this
+    * runs the classic two-phase distributed selection instead:
+    *   1. one partial-agg pass histograms the coarse bucket
+    *      `score >> 12` (arithmetic shift — order-preserving for
+    *      negatives) → ≤ |score range|/4096 rows of driver metadata;
+    *      the driver walks buckets from the top to locate the one
+    *      containing the k-th largest score;
+    *   2. one filtered partial-agg pass over THAT bucket only groups
+    *      by exact score (≤ 4096 distinct values by construction);
+    *      the driver walks values to the exact threshold.
+    * Two scans, two tiny shuffles, zero sorts over the corpus; every
+    * driver structure is bounded by the bucket width, not the data.
+    * `n_kept ≥ k` when ties straddle the cut (the ≥-threshold set
+    * includes the whole tie class — the deterministic choice).
+    *
+    * The oracle replays the DEFINITION (row_number over score desc,
+    * pick row k) — the k-th order statistic is tie-insensitive, so
+    * both formulations agree exactly. */
+  def scoreThreshold(scored: DataFrame, scoreCol: String = "score",
+                     keepNum: Long = thresholdKeepNum,
+                     keepDen: Long = thresholdKeepDen): DataFrame = {
+    val spark = scored.sparkSession
+    val s = col(scoreCol)
+    val hist = scored
+      .groupBy(shiftright(s, thresholdShift).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    require(n > 0, "scoreThreshold: empty input")
+    val k = (n * keepNum + keepDen - 1) / keepDen
+    var cum = 0L
+    var bi = 0
+    while (cum + hist(bi)._2 < k) { cum += hist(bi)._2; bi += 1 }
+    val bucket = hist(bi)._1
+    val vals = scored
+      .filter(shiftright(s, thresholdShift) === bucket)
+      .groupBy(s.as("v")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var i = 0
+    while (cum < k) { cum += vals(i)._2; i += 1 }
+    val threshold = vals(i - 1)._1
+    import spark.implicits._
+    Seq((n, k, threshold, cum))
+      .toDF("n_docs", "k", "threshold", "n_kept")
+  }
+
+  def qScoreThreshold(spark: SparkSession, dir: String): DataFrame =
+    scoreThreshold(classify(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("score")))
+
+  val qScoreThresholdSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |wgts AS (
+      |  SELECT doc_id,
+      |    CAST(CAST('0x' || substr(md5(CAST(
+      |          CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+      |            % $classifierBuckets AS VARCHAR)), 1, 8) AS UBIGINT)
+      |        % $classifierWeightSpan AS BIGINT) - 1000 AS wgt
+      |  FROM w),
+      |docsc AS (
+      |  SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS score
+      |  FROM wgts GROUP BY doc_id),
+      |kk AS (
+      |  SELECT COUNT(*) AS n,
+      |    (COUNT(*) * $thresholdKeepNum + $thresholdKeepDen - 1)
+      |      // $thresholdKeepDen AS k
+      |  FROM docsc),
+      |t AS (
+      |  SELECT score AS threshold
+      |  FROM (SELECT score,
+      |          row_number() OVER (ORDER BY score DESC) AS rn
+      |        FROM docsc), kk
+      |  WHERE rn = k)
+      |SELECT kk.n AS n_docs, kk.k AS k, t.threshold AS threshold,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM docsc
+      |   WHERE score >= t.threshold) AS n_kept
+      |FROM kk, t""".stripMargin
+
   val qDsirSampleSql: String =
     s"""$dsirSqlCommon
       |SELECT doc_id, lang, logw_micro,

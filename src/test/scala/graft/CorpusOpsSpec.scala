@@ -244,6 +244,39 @@ class CorpusOpsSpec extends SparkSpec {
     Seq(3L, 4L, 5L).foreach(id => assert(served(id) === 1, s"doc $id"))
   }
 
+  // ------------------------------------------------------------ threshold
+
+  test("score threshold: two-phase selection equals brute-force k-th order " +
+    "statistic, incl. ties at the cut and negative scores") {
+    import spark.implicits._
+    def brute(scores: Seq[Long], num: Long, den: Long): (Long, Long, Long, Long) = {
+      val n = scores.size.toLong
+      val k = (n * num + den - 1) / den
+      val thr = scores.sorted(Ordering[Long].reverse)(k.toInt - 1)
+      (n, k, thr, scores.count(_ >= thr).toLong)
+    }
+    def run(scores: Seq[Long], num: Long = 1L, den: Long = 4L) = {
+      val df = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "score")
+      val r = CorpusOps.scoreThreshold(df, keepNum = num, keepDen = den)
+        .collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        brute(scores, num, den), s"scores=$scores")
+    }
+    run(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L))    // clean cut
+    run(Seq(5L, 5L, 5L, 5L, 1L, 1L, 1L, 1L))            // tie class straddles
+    run((-5000L to 5000L by 7L))                        // negatives, many buckets
+    run(Seq(-4097L, -4096L, -1L, 0L, 1L, 4095L, 4096L)) // bucket boundaries
+    run(Seq(42L))                                       // single doc
+    run((1L to 100L), num = 99L, den = 100L)            // keep almost all
+    // and on real data: the calibrated gate keeps ~ the target quarter
+    val real = CorpusOps.scoreThreshold(
+      CorpusOps.classify(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("score"))).collect().head
+    assert(real.getLong(3) >= real.getLong(1)) // ties only widen
+    assert(real.getLong(3) < real.getLong(0))  // strict subset
+  }
+
   // ----------------------------------------------------------------- dsir
 
   test("dsir: logw is the exact micronat sum of per-bucket log-ratios " +
