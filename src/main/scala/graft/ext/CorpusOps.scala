@@ -985,12 +985,23 @@ object CorpusOps {
     * both formulations agree exactly. */
   def scoreThreshold(scored: DataFrame, scoreCol: String = "score",
                      keepNum: Long = thresholdKeepNum,
-                     keepDen: Long = thresholdKeepDen): DataFrame = {
+                     keepDen: Long = thresholdKeepDen): DataFrame =
+    scoreThresholdWeighted(scored, scoreCol, lit(1L), keepNum, keepDen)
+
+  /** The same two-phase selection over PRE-AGGREGATED (score, count)
+    * rows — the formulation the streaming path needs, where the store
+    * holds per-batch score histograms rather than raw documents.
+    * `weight` is the occurrence count expression (`lit(1)` for one row
+    * per doc). */
+  def scoreThresholdWeighted(scored: DataFrame, scoreCol: String,
+                             weight: Column,
+                             keepNum: Long = thresholdKeepNum,
+                             keepDen: Long = thresholdKeepDen): DataFrame = {
     val spark = scored.sparkSession
     val s = col(scoreCol)
     val hist = scored
       .groupBy(shiftright(s, thresholdShift).as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weight).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val n = hist.map(_._2).sum
     require(n > 0, "scoreThreshold: empty input")
@@ -1001,7 +1012,7 @@ object CorpusOps {
     val bucket = hist(bi)._1
     val vals = scored
       .filter(shiftright(s, thresholdShift) === bucket)
-      .groupBy(s.as("v")).agg(count(lit(1)).as("c"))
+      .groupBy(s.as("v")).agg(sum(weight).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     var i = 0
     while (cum < k) { cum += vals(i)._2; i += 1 }

@@ -712,6 +712,62 @@ object CurationStream {
         .filter(col("mn") =!= col("mx")).select("wh"),
       k)
 
+  // ───── Streaming keep-rate threshold calibration (round 8) ─────
+
+  /** Streaming KEEP-RATE THRESHOLD calibration — the exact
+    * k-th-order-statistic cutoff of [[graft.ext.CorpusOps
+    * .scoreThreshold]] maintained over a streamed corpus WITHOUT ever
+    * re-scoring history: each micro-batch scores its docs (the same
+    * hashed classifier as the batch operator, or caller-trained
+    * weights) and writes its per-score HISTOGRAM `(score, c)` to
+    * `histPath/batch=<id>` with overwrite — a replayed batch rewrites
+    * the identical partition, so the store is replay-idempotent by
+    * construction (the [[runScoringStream]] posture, one aggregation
+    * deeper). The histogram of a union is the sum of the per-slice
+    * histograms, so [[thresholdView]] runs the SAME two-phase bounded
+    * selection over the unioned store
+    * ([[graft.ext.CorpusOps.scoreThresholdWeighted]] with weight `c`)
+    * and equals the batch operator on the absorbed corpus EXACTLY —
+    * ties, negative scores and all.
+    *
+    * Scale: store rows per batch ≤ distinct scores in the batch (the
+    * batch is reduced before anything is written); the threshold's two
+    * passes scan the pre-aggregated store, never the corpus — so
+    * re-calibrating after every batch costs O(store), and the
+    * production loop (score stream + rolling exact threshold for the
+    * keep gate) needs no corpus-sized work at all. */
+  def appendScoreHistBatch(spark: SparkSession, batch: DataFrame,
+                           histPath: String, batchId: Long,
+                           clfWeights: Option[Map[Long, Long]] = None)
+      : Unit = {
+    val scored = clfWeights
+      .fold(graft.ext.CorpusOps.classify(batch))(w =>
+        graft.ext.CorpusOps.classifyWith(batch, w))
+    scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$histPath/batch=$batchId")
+  }
+
+  def runThresholdStream(spark: SparkSession, uploadDir: String,
+                         histPath: String, checkpointDir: String,
+                         schema: StructType,
+                         clfWeights: Option[Map[Long, Long]] = None)
+      : StreamingQuery =
+    runFileStream(spark, uploadDir, checkpointDir, schema) { (batch, id) =>
+      appendScoreHistBatch(spark, batch, histPath, id, clfWeights)
+    }
+
+  /** The exact keep-rate threshold over everything absorbed so far —
+    * one row `(n_docs, k, threshold, n_kept)`, equal to the batch
+    * [[graft.ext.CorpusOps.scoreThreshold]] on the union corpus. */
+  def thresholdView(spark: SparkSession, histPath: String,
+                    keepNum: Long = graft.ext.CorpusOps.thresholdKeepNum,
+                    keepDen: Long = graft.ext.CorpusOps.thresholdKeepDen)
+      : DataFrame =
+    graft.ext.CorpusOps.scoreThresholdWeighted(
+      spark.read.parquet(histPath).select("score", "c"),
+      "score", col("c"), keepNum, keepDen)
+
   /** `noveltyFilter`: an optional Bloom filter over a PRIOR corpus's
     * text fingerprints (md5 of raw text — built with
     * [[graft.operators.BloomProbe.buildFilter]]); arriving docs whose

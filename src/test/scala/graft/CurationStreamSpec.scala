@@ -655,4 +655,46 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(key).sortBy(_._1)
     assert(again === want)
   }
+
+  test("threshold stream: rolling exact threshold equals batch " +
+    "scoreThreshold after each absorbed prefix; replay a no-op") {
+    import graft.ext.CorpusOps
+    val tmp = Files.createTempDirectory("thresh-stream").toFile.getAbsolutePath
+    val histPath = s"$tmp/hist"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val sliceA = docs.filter(col("doc_id") % 3 === 0)
+    val sliceB = docs.filter(col("doc_id") % 3 =!= 0)
+    sliceA.coalesce(1).write.parquet(s"$tmp/upload/a")
+    sliceB.coalesce(1).write.parquet(s"$tmp/upload/b")
+
+    def one(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("n_docs"), r(0).getAs[Long]("k"),
+        r(0).getAs[Long]("threshold"), r(0).getAs[Long]("n_kept"))
+    }
+    def batchWant(d: org.apache.spark.sql.DataFrame) =
+      one(CorpusOps.scoreThreshold(
+        CorpusOps.classify(d).select(col("doc_id"), col("score"))))
+
+    CurationStream.runThresholdStream(spark, s"$tmp/upload/*",
+      histPath, s"$tmp/ckpt", docs.schema).awaitTermination()
+    // the rolling view over the full absorbed corpus is EXACT — same
+    // (n, k, threshold, n_kept) as one-shot batch calibration
+    assert(one(CurationStream.thresholdView(spark, histPath))
+      === batchWant(docs))
+    // non-vacuous split: each slice alone calibrates differently,
+    // so the equality above needed BOTH batches' histograms
+    assert(batchWant(sliceA) !== batchWant(docs))
+    // redelivery: rewriting a batch partition is a value no-op
+    // (locate sliceA's batch id by its doc count — file→batch order
+    // is the stream's business, not the test's)
+    val idA = spark.read.parquet(histPath)
+      .groupBy(col("batch")).agg(sum(col("c")).as("n"))
+      .filter(col("n") === sliceA.count())
+      .collect().map(_.getAs[Number]("batch").longValue()).head
+    CurationStream.appendScoreHistBatch(spark, sliceA, histPath, idA)
+    assert(one(CurationStream.thresholdView(spark, histPath))
+      === batchWant(docs))
+  }
 }
