@@ -94,6 +94,7 @@ object Bench {
     // methodology change. `passes` records every raw pass so any other
     // statistic can be recomputed.
     val mems = Seq.newBuilder[(String, Long, Long)]
+    val timedErrors = scala.collection.mutable.Set.empty[String]
     val results = qs.zipWithIndex.map { case ((name, fn), i) =>
       val pinnedBefore = graft.util.SessionCache.pinnedBytes(spark)
       val freeBefore = spark.sparkContext.getExecutorMemoryStatus
@@ -101,7 +102,7 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => timedErrors += name }
         val t = (System.nanoTime() - t0) / 1e9
         clean() // cleanup is untimed: it is sweep hygiene, not query cost
         t
@@ -147,7 +148,17 @@ object Bench {
       .mkString("[", ",", "]")
     val peakPinnedMb =
       (memRows.map(_._2).maxOption.getOrElse(0L) / 1000000.0).round
-    println(s"""{"metric":"summary","order":"values_align_with_query_names_sorted_asc","n":${results.size},"warm_ms":$warmMs,"cold_ms":$coldMs,"peak_pinned_mb":$peakPinnedMb,"cold_errors":$cerrJson}""")
+    // Round-8 lesson: the summary's name-recovery contract ("zip with
+    // CORRECTNESS's sorted keys — identical set") broke the one round the
+    // sets diverged: the driver's harness DROPS queries that throw, so a
+    // failing family left 12 warm values that were really time-to-failure
+    // with no in-artifact way to tell which. Any query that errored in
+    // ANY pass (warm-up or timed) will be absent from CORRECTNESS — name
+    // them explicitly so the artifact stays self-describing under partial
+    // failure. Bounded: only divergent names print (normally "[]").
+    val missJson = (coldErrors.result().toSet ++ timedErrors).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"summary","order":"values_align_with_query_names_sorted_asc","n":${results.size},"warm_ms":$warmMs,"cold_ms":$coldMs,"peak_pinned_mb":$peakPinnedMb,"cold_errors":$cerrJson,"missing_from_correctness":$missJson}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,19 +15,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Parquet TIMESTAMP columns written without isAdjustedToUTC read as
+    // TIMESTAMP_NTZ under Spark 4's default inference, which the engine's
+    // timestamp expressions (unix_micros, window, …) reject. All graft
+    // sessions pin spark.sql.session.timeZone=UTC, so surfacing them as
+    // plain TimestampType is value-identical — and keeps the scan native
+    // (no cast node, pushdown intact) across either physical layout.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (session
-      // conf — only affects NANOS columns, which otherwise error) and
-      // convert to a microsecond timestamp. Integer `div` avoids the
-      // double rounding a plain `/` would introduce on ~1e18 values.
+      // Schema-adaptive ingest for the one column that has drifted across
+      // testdata generations: `ts` has arrived both as parquet
+      // TIMESTAMP(NANOS) — which Spark's reader rejects
+      // ([PARQUET_TYPE_ILLEGAL]) unless nanosAsLong surfaces it as a
+      // long — and as plain TIMESTAMP_MICROS, which reads natively. The
+      // reference's whole clean stage is built around tolerating messy
+      // arriving data (config.py:95-97,139-142 — lenient parse, coerce,
+      // never error); the engine's own ingest takes the same posture:
+      // inspect the scanned schema and convert only when conversion is
+      // needed. Integer `div` avoids the double rounding a plain `/`
+      // would introduce on ~1e18 nano values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
+      adaptEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize the events `ts` column to TimestampType whatever physical
+    * layout it arrived in: a nanos long (via nanosAsLong) gets an integer
+    * `div 1000` + timestamp_micros; an already-native timestamp passes
+    * through untouched. Works on batch AND streaming DataFrames (the
+    * schema is known pre-start either way). */
+  def adaptEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      case _ => df
+    }
 
   /** Register all tables as temp views so programs can also be written in
     * Spark SQL (the reference keeps its relational logic as SQL strings —

@@ -590,8 +590,18 @@ object CorpusOps {
   def boilerplate(docs: DataFrame): DataFrame =
     removeLines(docs, commonLineHashes(docs))
 
-  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
-    boilerplate(Tables(spark, dir, "documents"))
+  /** Driver query: the common-line model is memoized per (session, dir)
+    * like lm/dsir/clftrain — the two-scan build runs once and every
+    * subsequent call measures scoring (the rewrite join), not rebuild.
+    * The artifact is tiny (one lh column, bounded by true boilerplate
+    * mass) and localCheckpoint-pinned inside the memoize so SessionCache
+    * tracks and evicts its blocks with the session. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val common = graft.util.SessionCache.memoize(spark, "boilerplate", dir) {
+      commonLineHashes(Tables(spark, dir, "documents")).localCheckpoint()
+    }
+    removeLines(Tables(spark, dir, "documents"), common)
+  }
 
   val qBoilerplateSql: String =
     s"""WITH toks AS (

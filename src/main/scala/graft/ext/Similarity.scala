@@ -470,6 +470,30 @@ object Similarity {
       (array_position(dists, array_min(dists)).cast("int") - 1).as("cell"))
   }
 
+  /** Fit ONLY the coarse-quantizer centroids, on an arbitrary
+    * embeddings frame — the fit half of [[buildIvfIndex]] decoupled
+    * from the table loader so a REFIT can retrain on a live serving
+    * store (or any corpus slice) rather than the original source dir.
+    * Same posture as the bulk build: seeded KMeans, 5 Lloyd
+    * iterations. `fitSample` is [[trainPq]]'s deterministic hash-coin
+    * sample — at scale the k·d centroid statistics stabilize long
+    * before the corpus is exhausted, so a refit fits on a sample and
+    * re-encodes everything. */
+  def fitCentroids(emb: DataFrame, k: Int = 16,
+                   fitSample: Double = 1.0): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(fitSample > 0 && fitSample <= 1.0)
+    val fit =
+      if (fitSample >= 1.0) emb
+      else emb.filter(
+        pmod(xxhash64(col("vec_id")), lit(10000L)) <
+          (fitSample * 10000).toLong)
+    new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").setMaxIter(5)
+      .fit(fit.withColumn("fv", array_to_vector(col("embedding"))))
+      .clusterCenters.map(_.toArray)
+  }
+
   /** Persist the index the way a real deployment serves it: the cell
     * table PARTITIONED BY cell — so a query's cell-membership filter
     * becomes partition pruning at the scan (`PartitionFilters` in the

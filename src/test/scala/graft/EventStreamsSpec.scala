@@ -20,10 +20,12 @@ class EventStreamsSpec extends SparkSpec {
 
   private def eventsDf = Tables(spark, dir, "events")
 
-  /** Raw file schema (ts as nanos-long — [[Tables]] sets the nanosAsLong
-    * conf; the timestamp conversion happens post-read, as in Tables). */
+  /** Raw file schema as the engine's batch reader would scan it —
+    * [[Tables]] sets the layout-tolerance confs (nanosAsLong, NTZ-off);
+    * the ts normalization happens post-read via [[Tables.adaptEventsTs]],
+    * exactly as in Tables.apply, whatever layout the testdata has. */
   private def rawSchema = {
-    Tables(spark, dir, "events") // ensures nanosAsLong conf is set
+    Tables(spark, dir, "events") // ensures layout confs are set
     spark.read.parquet(s"$dir/events.parquet").schema
   }
 
@@ -39,7 +41,7 @@ class EventStreamsSpec extends SparkSpec {
     val src = spark.readStream
       .schema(rawSchema)
       .parquet(stageSourceDir())
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.adaptEventsTs)
     val out = Files.createTempDirectory("evt-win").toFile.getAbsolutePath
     val q = EventStreams.windowedCounts(src)
       .writeStream.format("memory").queryName("win_counts")
@@ -75,7 +77,7 @@ class EventStreamsSpec extends SparkSpec {
     val src = spark.readStream
       .schema(rawSchema)
       .parquet(srcDir.toFile.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.adaptEventsTs)
     val out = Files.createTempDirectory("evt-dup-out").toFile.getAbsolutePath
     val q = graft.streaming.EventStreams.dedupEvents(src)
       .writeStream.format("memory").queryName("dedup_events")
@@ -93,7 +95,7 @@ class EventStreamsSpec extends SparkSpec {
     def src() = spark.readStream
       .schema(rawSchema)
       .parquet(stageSourceDir())
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.adaptEventsTs)
     val errors = src().filter($"event_type" === "error")
     val clicks = src().filter($"event_type" === "click")
       .withColumnRenamed("ts", "cts")
@@ -120,7 +122,7 @@ class EventStreamsSpec extends SparkSpec {
     val src = spark.readStream
       .schema(rawSchema)
       .parquet(stageSourceDir())
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.adaptEventsTs)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[EventStreams.Event]
     val out = Files.createTempDirectory("evt-sess").toFile.getAbsolutePath
