@@ -43,6 +43,7 @@ object SparkEntry {
     "q_json_props" -> (Events.qJsonProps _),
     "q_pivot" -> (Events.qPivot _),
     "q_quantiles" -> (Events.qQuantiles _),
+    "q_funnel" -> (Events.qFunnel _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_range_join" -> (RangeJoin.qRangeJoin _),
     "q_topk" -> (SetSortOps.qTopk _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_json_props" -> Events.qJsonPropsSql,
     "q_pivot" -> Events.qPivotSql,
     "q_quantiles" -> Events.qQuantilesSql,
+    "q_funnel" -> Events.qFunnelSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_range_join" -> RangeJoin.qRangeJoinSql,
     "q_topk" -> SetSortOps.qTopkSql,

@@ -146,4 +146,96 @@ object Events {
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
+
+  /** Funnel step sequence, in order (the commerce classic). */
+  val funnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** FUNNEL / path analysis — per user, the deepest prefix of
+    * [[funnelSteps]] completed IN ORDER over the user's time-ordered
+    * events, with the timestamp of each matched step. Semantics are
+    * greedy earliest-match (the standard funnel definition): step 1
+    * matches the user's earliest step-1 event, step i+1 the earliest
+    * step-(i+1) event STRICTLY after the matched step-i time. The
+    * greedy fold equals the inductive min-chain
+    * `tᵢ₊₁ = min(ts | type = stepᵢ₊₁ ∧ ts > tᵢ)` by the classic
+    * exchange argument — which is exactly what the ANSI oracle
+    * computes, so the two formulations cross-validate.
+    *
+    * Plan shape: ONE shuffle (groupBy user_id) collecting each user's
+    * funnel-typed events into a sorted array, then a native
+    * `aggregate` HOF fold — no UDF, no window, no self-join, no
+    * second exchange. The fold's accumulator is the matched-timestamp
+    * array; `try_element_at` keeps every index total under ANSI mode
+    * (NULL out of range, never an error), so the whole condition
+    * stays inside whole-stage codegen.
+    *
+    * 100 TB posture: state per user is their FUNNEL-TYPED events only
+    * (the isin filter is pushed to the scan), bounded by per-user
+    * activity — the same proportionality every sessionizer accepts.
+    * For corpora with pathological power users, the equivalent
+    * k-pass min-chain (k aggregations + broadcast-joined cutoffs, no
+    * per-user array) trades k scans for O(1) state; at k = 4 the
+    * single-shuffle fold wins everywhere we can measure. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = funnelSteps): DataFrame = {
+    val k = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val folded = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        aggregate(
+          col("evs"),
+          expr("CAST(array() AS array<timestamp>)"),
+          (acc, x) => when(
+            size(acc) < k &&
+              x.getField("event_type") ===
+                try_element_at(stepArr, size(acc) + 1) &&
+              coalesce(x.getField("ts") > try_element_at(acc, lit(-1)),
+                lit(true)),
+            concat(acc, array(x.getField("ts")))).otherwise(acc))
+          .as("m"))
+    val users = events.select("user_id").distinct()
+    users.join(folded, Seq("user_id"), "left")
+      .select(col("user_id") +:
+        coalesce(size(col("m")), lit(0)).cast("long").as("depth") +:
+        steps.zipWithIndex.map { case (s, i) =>
+          try_element_at(col("m"), lit(i + 1)).as(s"t_$s")
+        }: _*)
+  }
+
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables(spark, dir, "events"))
+
+  /** The min-chain formulation — each CTE's tᵢ₊₁ is the earliest
+    * step-(i+1) event strictly after tᵢ; provably the greedy fold. */
+  val qFunnelSql: String = {
+    val steps = funnelSteps
+    val chain = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT user_id, min(ts) AS t_$s FROM events
+           |  WHERE event_type = '$s' GROUP BY user_id)"""
+      else
+        s"""s$i AS (
+           |  SELECT e.user_id, min(e.ts) AS t_$s FROM events e
+           |  JOIN s${i - 1} p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$s' AND e.ts > p.t_${steps(i - 1)}
+           |  GROUP BY e.user_id)"""
+    }.mkString(",\n")
+    val depth = steps.indices.reverse.map(i =>
+      s"WHEN t_${steps(i)} IS NOT NULL THEN ${i + 1}")
+      .mkString(" ")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |$chain
+       |SELECT u.user_id,
+       |  CAST(CASE $depth ELSE 0 END AS BIGINT) AS depth,
+       |${steps.map(s => s"  t_$s").mkString(",\n")}
+       |FROM u
+       |${steps.indices.map(i =>
+          s"LEFT JOIN s$i ON u.user_id = s$i.user_id").mkString("\n")}"""
+      .stripMargin
+  }
 }
