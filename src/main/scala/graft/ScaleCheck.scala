@@ -316,7 +316,14 @@ object ScaleCheck {
         "q_embed_prototype", "q_ncm_predict",
         // two-phase distributed selection: two partial-agg scans with
         // bounded (bucket-width) driver state — no global sort at any n
-        "q_score_threshold")
+        "q_score_threshold",
+        // round-9 path-analytics family: funnel's one-shuffle fold
+        // (per-user arrays of funnel-typed events — user_id remapping
+        // keeps per-user density constant, so array sizes don't grow
+        // with the corpus, only user count does), cohort's
+        // co-partitioned user join + (weeks²/2)-cell distinct, and
+        // rolling-active's fixed 7× pair-set explode
+        "q_funnel", "q_cohort", "q_rolling_active")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

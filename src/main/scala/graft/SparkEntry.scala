@@ -44,6 +44,9 @@ object SparkEntry {
     "q_pivot" -> (Events.qPivot _),
     "q_quantiles" -> (Events.qQuantiles _),
     "q_funnel" -> (Events.qFunnel _),
+    "q_cohort" -> (Events.qCohort _),
+    "q_rolling_active" -> (Events.qRollingActive _),
+    "q_dedup_keep_best" -> (graft.ext.Dedup.qDedupKeepBest _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_range_join" -> (RangeJoin.qRangeJoin _),
     "q_topk" -> (SetSortOps.qTopk _),
@@ -148,6 +151,9 @@ object SparkEntry {
     "q_pivot" -> Events.qPivotSql,
     "q_quantiles" -> Events.qQuantilesSql,
     "q_funnel" -> Events.qFunnelSql,
+    "q_cohort" -> Events.qCohortSql,
+    "q_rolling_active" -> Events.qRollingActiveSql,
+    "q_dedup_keep_best" -> graft.ext.Dedup.qDedupKeepBestSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_range_join" -> RangeJoin.qRangeJoinSql,
     "q_topk" -> SetSortOps.qTopkSql,

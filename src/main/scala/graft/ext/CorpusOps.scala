@@ -60,7 +60,7 @@ object CorpusOps {
   val classifierBuckets = 4096
 
   /** Weight range half-width: bucket weights live in [-1000, 1000]. */
-  private val classifierWeightSpan = 2001
+  val classifierWeightSpan = 2001
 
   /** Integer weight of one word under the md5-derived hashed linear
     * model: bucket = md5(word) mod [[classifierBuckets]], weight =

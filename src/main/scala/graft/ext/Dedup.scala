@@ -705,6 +705,66 @@ object Dedup {
     singletons.unionByName(best)
   }
 
+  /** Driver query for [[resolveDuplicatesBy]] — QUALITY-AWARE cluster
+    * resolution end-to-end: clusters from the memoized jaccard pair
+    * view, survivor = the member with the highest hashed-classifier
+    * score ([[graft.ext.CorpusOps.classify]] — integer arithmetic, so
+    * the whole composition hash-compares), ties by min doc_id.
+    * Output: every clustered doc with its cluster id, score, and
+    * whether the quality policy kept it — the audit view of "keep the
+    * best copy, drop the rest". The min-id policy's q_dup_clusters
+    * remains the membership oracle; this adds WHICH member survives
+    * under the curation-grade policy. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+    val scored = graft.ext.CorpusOps.classify(docs)
+      .select(col("doc_id"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    comp.select(col("node").as("doc_id"),
+        col("component").as("cluster_id"))
+      .join(scored, "doc_id")
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .select("doc_id", "cluster_id", "score", "kept")
+  }
+
+  /** The closure + the classifier score + the rank, replayed in ANSI
+    * SQL over the same edges. */
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.2)}) jp),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      |  FROM reach GROUP BY u),
+      |wtab AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(
+      |    CAST(CAST('0x' || substr(md5(CAST(
+      |          CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+      |            % ${graft.ext.CorpusOps.classifierBuckets} AS VARCHAR)),
+      |          1, 8) AS UBIGINT)
+      |        % ${graft.ext.CorpusOps.classifierWeightSpan} AS BIGINT)
+      |      - 1000) AS BIGINT) AS score
+      |  FROM wtab GROUP BY doc_id)
+      |SELECT c.doc_id, c.cluster_id, sc.score,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY c.cluster_id
+      |    ORDER BY sc.score DESC, c.doc_id) = 1 AS INT) AS kept
+      |FROM comp c JOIN sc ON c.doc_id = sc.doc_id""".stripMargin
+
   /** Transitive closure of the SAME pair set in DuckDB (recursive CTE
     * over the [[qDedupJaccardSql]] edges; the recursive UNION dedupes,
     * so cycles terminate), then cluster id = min reachable node. An

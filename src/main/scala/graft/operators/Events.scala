@@ -147,6 +147,98 @@ object Events {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  /** COHORT RETENTION MATRIX — the other product-analytics classic:
+    * bucket every user into the week of their FIRST event (their
+    * cohort), then for each (cohort_week, week_offset ≥ 0) count the
+    * distinct users of that cohort active in that week. Output is the
+    * upper-triangular retention matrix product teams read as "how many
+    * of the week-N signups were still active k weeks later".
+    *
+    * Plan shape, built for the 100 TB case where users number in the
+    * billions: (1) per-user first-seen week = one partial-agg min over
+    * the scan; (2) the (user, active-week) set is a distinct over
+    * map-side-truncated pairs; (3) the cohort join keys BOTH sides on
+    * user_id — co-partitioned shuffle join, never broadcast (the user
+    * dim is a fact at scale); (4) the final count-distinct groups by
+    * (cohort, offset) — cells are |weeks|² / 2, driver-tiny, but the
+    * count_distinct inside each cell re-shuffles by (cell, user), the
+    * standard exact-distinct expansion. Every stage is bounded by
+    * distinct (user, week) pairs — event volume collapses at the first
+    * partial aggregation. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val wk = date_trunc("week", col("ts"))
+    val userWeeks = events.select(col("user_id"), wk.as("week")).distinct()
+    val cohorts = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        // both sides are week-truncated, so the day diff is an exact
+        // multiple of 7 and the cast-truncation is exact division
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+  }
+
+  def qCohort(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables(spark, dir, "events"))
+
+  val qCohortSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS BIGINT)
+      |    AS week_offset,
+      |  CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+      |FROM uw JOIN c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** ROLLING 7-DAY ACTIVE USERS — exact sliding-window distinct counts
+    * (the DAU/WAU board metric) without a window function: a sliding
+    * count-distinct cannot partial-aggregate (distinct sets don't
+    * merge by subtraction), so the scalable formulation EXPLODES each
+    * distinct (user, day) pair into the 7 report days it contributes
+    * to, then runs one exact count-distinct per report day. Cost is a
+    * fixed 7× amplification of the DEDUPED pair set (not the event
+    * volume) and two shuffles — versus the naive per-day self-join's
+    * |days| scans. Report days are restricted to those with actual
+    * activity (inner semantics; a day with zero activity in range
+    * would need a calendar spine — deliberately out of scope of the
+    * oracle-checked surface). */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val activityDays = userDays.select(col("day")).distinct()
+    userDays
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("report_day"))
+      .join(activityDays.select(col("day").as("report_day")), "report_day")
+      .groupBy("report_day")
+      .agg(count_distinct(col("user_id")).as("n_active_7d"))
+      // dates surface as midnight timestamps so the driver's oracle
+      // compare (which stringifies both engines' values) sees one form
+      .withColumn("report_day", col("report_day").cast("timestamp"))
+  }
+
+  def qRollingActive(spark: SparkSession, dir: String): DataFrame =
+    rollingActive(Tables(spark, dir, "events"))
+
+  val qRollingActiveSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ud)
+      |SELECT CAST(d.day AS TIMESTAMP) AS report_day,
+      |  CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active_7d
+      |FROM days d
+      |JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1""".stripMargin
+
   /** Funnel step sequence, in order (the commerce classic). */
   val funnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
 

@@ -707,6 +707,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_keep_best: same membership as q_dup_clusters, exactly one " +
+    "kept per cluster and it is the score argmax") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.qDedupKeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val membership = Dedup.qDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet === membership)
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.length === 1)
+      val want = members.maxBy(m => (m._3, -m._1)) // max score, min id tie
+      assert(kept.head._1 === want._1)
+    }
+  }
+
   test("mixture sample: sampled token shares track target weights, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
