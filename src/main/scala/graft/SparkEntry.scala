@@ -46,6 +46,8 @@ object SparkEntry {
     "q_funnel" -> (Events.qFunnel _),
     "q_cohort" -> (Events.qCohort _),
     "q_rolling_active" -> (Events.qRollingActive _),
+    "q_funnel_conv" -> (Events.qFunnelConv _),
+    "q_event_transitions" -> (Events.qEventTransitions _),
     "q_dedup_keep_best" -> (graft.ext.Dedup.qDedupKeepBest _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_range_join" -> (RangeJoin.qRangeJoin _),
@@ -153,6 +155,8 @@ object SparkEntry {
     "q_funnel" -> Events.qFunnelSql,
     "q_cohort" -> Events.qCohortSql,
     "q_rolling_active" -> Events.qRollingActiveSql,
+    "q_funnel_conv" -> Events.qFunnelConvSql,
+    "q_event_transitions" -> Events.qEventTransitionsSql,
     "q_dedup_keep_best" -> graft.ext.Dedup.qDedupKeepBestSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_range_join" -> RangeJoin.qRangeJoinSql,

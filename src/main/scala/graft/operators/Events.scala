@@ -301,6 +301,76 @@ object Events {
   def qFunnel(spark: SparkSession, dir: String): DataFrame =
     funnel(Tables(spark, dir, "events"))
 
+  /** CONVERSION-LATENCY rollup over the funnel: how many users
+    * complete it, and the exact p50/p90/min/max of first-touch to
+    * conversion time (matched-signup → matched-purchase, integer
+    * microseconds) — the line product teams put next to the retention
+    * matrix. One extra aggregation over [[funnel]]'s output (which is
+    * |users|-sized, so the exact percentile's sort is over converted
+    * users, not events); percentile interpolation parity with the
+    * oracle is the q_quantiles precedent. */
+  def qFunnelConv(spark: SparkSession, dir: String): DataFrame = {
+    val lat = when(col("depth") === funnelSteps.size,
+      unix_micros(col(s"t_${funnelSteps.last}")) -
+        unix_micros(col(s"t_${funnelSteps.head}")))
+    funnel(Tables(spark, dir, "events"))
+      .select(col("depth"), lat.as("lat"))
+      .agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum((col("depth") === funnelSteps.size).cast("bigint"))
+          .as("n_converted"),
+        expr("percentile(lat, 0.5)").as("p50_latency_us"),
+        expr("percentile(lat, 0.9)").as("p90_latency_us"),
+        min(col("lat")).as("min_latency_us"),
+        max(col("lat")).as("max_latency_us"))
+  }
+
+  // lazy: composes qFunnelSql, which is declared later in this object
+  lazy val qFunnelConvSql: String = {
+    val first = s"t_${funnelSteps.head}"
+    val last = s"t_${funnelSteps.last}"
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN depth = ${funnelSteps.size} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_converted,
+       |  quantile_cont(lat, 0.5) AS p50_latency_us,
+       |  quantile_cont(lat, 0.9) AS p90_latency_us,
+       |  MIN(lat) AS min_latency_us,
+       |  MAX(lat) AS max_latency_us
+       |FROM (
+       |  SELECT depth,
+       |    CASE WHEN depth = ${funnelSteps.size}
+       |      THEN epoch_us($last) - epoch_us($first) END AS lat
+       |  FROM (${qFunnelSql.replace("\n", "\n  ")}) f) g""".stripMargin
+  }
+
+  /** EVENT TRANSITION MATRIX — first-order path analysis: for every
+    * consecutive pair of events per user (time-ordered, ties by
+    * event_id), count (from_type, to_type) occurrences corpus-wide.
+    * The Markov view of user behavior ("what follows an error?").
+    * One exchange: the lag window partitions by user_id, and the
+    * |types|²-row final rollup partial-aggregates on top of it. At
+    * 100 TB this is the sessionizer's exact plan shape — per-user
+    * window over one shuffle, never a global sort. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events)
+      |SELECT from_type, event_type AS to_type, COUNT(*) AS n
+      |FROM seq WHERE from_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   /** The min-chain formulation — each CTE's tᵢ₊₁ is the earliest
     * step-(i+1) event strictly after tᵢ; provably the greedy fold. */
   val qFunnelSql: String = {

@@ -55,6 +55,43 @@ class FunnelSpec extends SparkSpec {
     assert(out(1L) === ((2L, Seq(Some(10L), Some(11L), None, None))))
   }
 
+  test("funnel conversion rollup: counts and latencies replay the funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val conv = Events.qFunnelConv(spark, dir).collect()(0)
+    val f = Events.qFunnel(spark, dir)
+    assert(conv.getLong(0) === f.count()) // n_users
+    val lats = f.filter(col("depth") === 4)
+      .select((unix_micros(col("t_purchase")) -
+        unix_micros(col("t_signup"))).as("lat"))
+      .collect().map(_.getLong(0))
+    assert(conv.getLong(1) === lats.length.toLong) // n_converted
+    assert(conv.getLong(4) === lats.min)           // min micros
+    assert(conv.getLong(5) === lats.max)           // max micros
+    assert(conv.getDouble(2) >= conv.getLong(4).toDouble &&
+      conv.getDouble(2) <= conv.getDouble(3))      // min <= p50 <= p90
+  }
+
+  test("event transitions: lag pairs counted, totals = events - users") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val t = Events.qEventTransitions(spark, dir)
+    val total = t.agg(sum("n")).as[Long].head()
+    val ev = Tables(spark, dir, "events")
+    // each user contributes (their events - 1) consecutive pairs
+    assert(total === ev.count() - ev.select("user_id").distinct().count())
+    // handcrafted: a->b->a yields (a,b) and (b,a)
+    val tiny = Seq(
+      (1L, 1L, ts(1), "a"), (1L, 2L, ts(2), "b"), (1L, 3L, ts(3), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = tiny.withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "event_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs === Set(("a", "b", 1L), ("b", "a", 1L)))
+  }
+
   test("funnel: driver query equals the min-chain replayed in SQL") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)
