@@ -26,7 +26,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`qEventsWindow` / `qSessionize`) on the same data — the agreement
   * proof the reference's split batch/stream systems can't give you.
   */
-object EventStreams {
+// Serializable: the stateful folds' closures reference the object's
+// micro-precision timestamp helpers, so the object rides along to tasks
+object EventStreams extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
@@ -82,6 +84,18 @@ object EventStreams {
         (unix_micros(col("ts")) - unix_micros(col("cts"))).as("dt_us"))
   }
 
+  // java.sql.Timestamp.getTime is millisecond-resolution; event time is
+  // microseconds. Round-trip through micros-since-epoch exactly, or
+  // stateful operators disagree with their batch formulations in the
+  // sub-ms digits.
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
   /** Gap-based sessions (gap = [[graft.operators.Events.sessionGapMicros]]).
     * Within a micro-batch, a user's events arrive as an unordered
     * iterator — they are sorted by event time here, then folded into the
@@ -91,17 +105,6 @@ object EventStreams {
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gap = graft.operators.Events.sessionGapMicros
-
-    // java.sql.Timestamp.getTime is millisecond-resolution; event time is
-    // microseconds. Round-trip through micros-since-epoch exactly, or
-    // sessions disagree with the batch formulation in the sub-ms digits.
-    def toMicros(t: Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
-    def toTimestamp(us: Long): Timestamp = {
-      val t = new Timestamp(us / 1000)
-      t.setNanos((us % 1000000).toInt * 1000)
-      t
-    }
 
     def fold(userId: Long, it: Iterator[Event],
              state: GroupState[SessionState]): Iterator[Session] = {
@@ -134,6 +137,84 @@ object EventStreams {
         }
         closed.result().iterator
       }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** One funnel-step completion: user advanced to `step`
+    * (1-based index into [[graft.operators.Events.funnelSteps]]) at
+    * event time `ts`. The append-only streaming view of
+    * [[graft.operators.Events.funnel]]: the batch operator's matched
+    * (user, step, tᵢ) set IS the union of these records. */
+  final case class FunnelStep(user_id: Long, step: Int, step_name: String,
+                              ts: Timestamp)
+
+  /** Per-user funnel state: progress so far plus the not-yet-finalized
+    * event buffer. `foldedUpTo` marks the immutable region — events at
+    * or before it have been folded in exact event-time order and their
+    * verdicts emitted; `pending` holds (tsUs, event_id, type) newer
+    * than it, bounded by the watermark delay × per-user event rate. */
+  final case class FunnelBuf(depth: Int, lastTs: Long, foldedUpTo: Long,
+                             pending: Seq[(Long, Long, String)])
+
+  /** STREAMING FUNNEL — [[graft.operators.Events.funnel]]'s greedy
+    * earliest-match fold as a stateful stream, EXACT on the
+    * watermark-finalized region even under out-of-order arrival:
+    * arriving funnel-typed events buffer in per-user state; each batch
+    * folds ONLY the prefix the watermark has finalized (`ts ≤
+    * watermark`), in full event-time order — so an event that arrives
+    * a batch "too early" waits until every possibly-preceding event is
+    * in, and the fold replays the batch semantics verbatim. Step
+    * completions are emitted as append-only records the moment their
+    * fold happens; the streamed completion set equals the batch
+    * operator's matched steps restricted to `tᵢ ≤ final watermark`
+    * (EventStreamsSpec proves it, including a cross-batch disorder
+    * case).
+    *
+    * State bounds (the 100 TB question for any stateful op): `pending`
+    * holds at most the watermark window's worth of one user's
+    * funnel-typed events; the folded region is CONSTANT size (depth +
+    * last matched time). Events at or before `foldedUpTo` on arrival
+    * are beyond-watermark lates — dropped, the standard watermarked
+    * contract (and exactly what a replayed checkpoint batch delivers,
+    * making redelivery a no-op). An event-time timeout re-fires the
+    * fold when the watermark advances past buffered events with no new
+    * arrivals for the user. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    val steps = graft.operators.Events.funnelSteps
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[FunnelBuf]): Iterator[FunnelStep] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val prev = state.getOption
+        .getOrElse(FunnelBuf(0, Long.MinValue, Long.MinValue, Nil))
+      val arrived = it.toSeq
+        .filter(e => steps.contains(e.event_type))
+        .map(e => (toMicros(e.ts), e.event_id, e.event_type))
+        .filter(_._1 > prev.foldedUpTo) // beyond-watermark lates dropped
+      val pending = (prev.pending ++ arrived).distinctBy(_._2)
+      val (ready, hold) = pending.partition(_._1 <= wmUs)
+      var depth = prev.depth
+      var lastTs = prev.lastTs
+      val out = Seq.newBuilder[FunnelStep]
+      ready.sortBy(t => (t._1, t._2)).foreach { case (ts, _, tpe) =>
+        if (depth < steps.size && tpe == steps(depth) && ts > lastTs) {
+          depth += 1
+          lastTs = ts
+          out += FunnelStep(userId, depth, tpe, toTimestamp(ts))
+        }
+      }
+      state.update(FunnelBuf(depth, lastTs,
+        math.max(prev.foldedUpTo, wmUs), hold))
+      if (hold.nonEmpty) // re-fold when the watermark moves again
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      out.result().iterator
     }
 
     events

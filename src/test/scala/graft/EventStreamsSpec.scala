@@ -118,6 +118,94 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming funnel: completions == batch matches on the " +
+    "watermark-finalized region; exact under cross-batch disorder") {
+    import org.apache.spark.sql.Dataset
+    import graft.operators.Events
+    val steps = Events.funnelSteps
+
+    def matchedSet(ev: org.apache.spark.sql.DataFrame) =
+      Events.funnel(ev).collect().flatMap { r =>
+        steps.indices.flatMap { i =>
+          Option(r.getTimestamp(2 + i)).map(t =>
+            (r.getLong(0), i + 1, t.getTime * 1000 +
+              (t.getNanos % 1000000) / 1000))
+        }
+      }.toSet
+
+    def runStream(srcDir: String, name: String): Set[(Long, Int, Long)] = {
+      val out = Files.createTempDirectory(s"evt-fun-$name")
+        .toFile.getAbsolutePath
+      val src = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1) // one file per batch: the
+        // cross-batch arrival order is the thing under test
+        .parquet(srcDir)
+        .transform(Tables.adaptEventsTs)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+      val q = EventStreams.funnelStream(src)
+        .writeStream.format("memory").queryName(s"funnel_$name")
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(s"funnel_$name")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(3).getTime * 1000 +
+            (r.getTimestamp(3).getNanos % 1000000) / 1000)).toSet
+    }
+
+    // PART 1: the real corpus in two time-ordered slices
+    val ev = eventsDf
+    val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head.getDouble(0)
+    val srcDir = Files.createTempDirectory("evt-fun-src")
+    ev.filter(unix_micros($"ts") <= mid).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    ev.filter(unix_micros($"ts") > mid).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+    val streamed = runStream(s"$srcDir/*", "real")
+    val batch = matchedSet(ev)
+    // every emitted completion is a batch match...
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    // ...and everything the final watermark finalized was emitted
+    val maxUs = ev.agg(max(unix_micros($"ts"))).head.getLong(0)
+    val wmUs = maxUs - 2L * 3600 * 1000000 - 1000
+    val mustEmit = batch.filter(_._3 < wmUs)
+    assert(mustEmit.nonEmpty && mustEmit.subsetOf(streamed))
+
+    // PART 2: cross-batch DISORDER inside the watermark window — file A
+    // delivers signup@10m and view@200m, file B (the NEXT batch)
+    // delivers click@150m, which precedes the already-arrived view in
+    // EVENT time. The watermark after batch A (200m − 2h) has not
+    // finalized any of them, so the fold waits and replays the true
+    // order: click@150 is ignored (depth 1 expects view), view@200
+    // matches — exactly the batch verdict on the union.
+    def mkEvents(rows: Seq[(Long, Long, Int, String)]) = {
+      import spark.implicits._
+      rows.map { case (u, id, minute, tpe) =>
+        (id, new java.sql.Timestamp(minute * 60000L), u, tpe, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    }
+    val disDir = Files.createTempDirectory("evt-fun-dis")
+    mkEvents(Seq((1L, 1L, 10, "signup"), (1L, 2L, 200, "view")))
+      .coalesce(1).write.parquet(disDir.resolve("a").toString)
+    mkEvents(Seq((1L, 3L, 150, "click"), (1L, 4L, 400, "purchase"),
+        // a second user far in the future pushes the watermark past
+        // every user-1 event so the fold finalizes them
+        (9L, 5L, 2000, "view")))
+      .coalesce(1).write.parquet(disDir.resolve("b").toString)
+    val disStreamed = runStream(s"$disDir/*", "dis")
+    val disBatch = matchedSet(mkEvents(Seq(
+      (1L, 1L, 10, "signup"), (1L, 2L, 200, "view"),
+      (1L, 3L, 150, "click"), (1L, 4L, 400, "purchase"),
+      (9L, 5L, 2000, "view"))))
+    // user 1 fully finalized (2000m − 2h > 400m): the disordered click
+    // must NOT have advanced the funnel out of order
+    val u1 = disStreamed.filter(_._1 == 1L)
+    assert(u1 === disBatch.filter(t => t._1 == 1L && t._3 < (2000 - 120 - 1) * 60000000L))
+    assert(u1.map(_._2) === Set(1, 2)) // signup, view — no click/purchase
+  }
+
   test("streaming sessionize == batch on watermark-finalized sessions") {
     val src = spark.readStream
       .schema(rawSchema)
