@@ -48,6 +48,8 @@ object SparkEntry {
     "q_rolling_active" -> (Events.qRollingActive _),
     "q_funnel_conv" -> (Events.qFunnelConv _),
     "q_event_transitions" -> (Events.qEventTransitions _),
+    "q_top_spenders" -> (Events.qTopSpenders _),
+    "q_event_anomaly" -> (Events.qEventAnomaly _),
     "q_dedup_keep_best" -> (graft.ext.Dedup.qDedupKeepBest _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_range_join" -> (RangeJoin.qRangeJoin _),
@@ -157,6 +159,8 @@ object SparkEntry {
     "q_rolling_active" -> Events.qRollingActiveSql,
     "q_funnel_conv" -> Events.qFunnelConvSql,
     "q_event_transitions" -> Events.qEventTransitionsSql,
+    "q_top_spenders" -> Events.qTopSpendersSql,
+    "q_event_anomaly" -> Events.qEventAnomalySql,
     "q_dedup_keep_best" -> graft.ext.Dedup.qDedupKeepBestSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_range_join" -> RangeJoin.qRangeJoinSql,

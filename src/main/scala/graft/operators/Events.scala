@@ -239,6 +239,86 @@ object Events {
       |JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1""".stripMargin
 
+  /** GROUPED TOP-K — top 3 users by exact spend per week: the "top N
+    * per group" reporting classic. Expressed as rank-over-partition ≤ k
+    * so Spark plans a WindowGroupLimit: the per-group limit is pushed
+    * BELOW the final sort — each partition retains only its top k rows
+    * before the window's shuffle, so the exchange carries k·|groups|
+    * rows, not the corpus. (`.explain` shows `WindowGroupLimit`;
+    * without the pushdown a week of 10⁹ purchases would all ride the
+    * window shuffle.) Money sums via [[Aggregates.dsum]]'s integer-cent
+    * path; ties broken by user_id for a total order both engines
+    * replay. */
+  def qTopSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .agg(Aggregates.dsum(col("value")).as("spend"))
+    val w = Window.partitionBy("week")
+      .orderBy(col("spend").desc, col("user_id"))
+    spend.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  val qTopSpendersSql: String =
+    """WITH spend AS (
+      |  SELECT date_trunc('week', ts) AS week, user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |      AS spend
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT week, user_id, spend, rk FROM (
+      |  SELECT week, user_id, spend,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY week ORDER BY spend DESC, user_id) AS BIGINT)
+      |      AS rk
+      |  FROM spend) r
+      |WHERE rk <= 3""".stripMargin
+
+  /** HOURLY ANOMALY SCORE — volume spikes against a trailing baseline:
+    * for each (event_type, hour), the deviation of that hour's count
+    * from the MEAN of the trailing 24 hours' counts (hours with data —
+    * a sparse type's baseline is the mean of what exists in the
+    * window), in exact per-mille: count·1000·present_hours /
+    * sum(present hours), integer arithmetic — no float drift in the
+    * oracle compare. The monitoring query every event pipeline runs;
+    * rows far from 1000 are the pages. Plan: the hourly rollup
+    * collapses event volume first (|hours × types| rows), then ONE
+    * range window over the tiny rollup — window cost is independent
+    * of event volume. The first hour of a type (empty trailing
+    * window) emits NULL. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(expr("unix_micros(hour) div 3600000000"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("baseline_n", sum(col("n")).over(w))
+      .withColumn("baseline_hours", count(col("n")).over(w))
+      .withColumn("permille_of_baseline",
+        when(col("baseline_hours") > 0,
+          expr("n * 1000L * baseline_hours div baseline_n")))
+      .select("event_type", "hour", "n", "permille_of_baseline")
+  }
+
+  val qEventAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour, n,
+      |  CASE WHEN COUNT(n) OVER w > 0
+      |    THEN CAST(n * 1000 * (COUNT(n) OVER w)
+      |              // (SUM(n) OVER w) AS BIGINT) END
+      |    AS permille_of_baseline
+      |FROM hourly
+      |WINDOW w AS (
+      |  PARTITION BY event_type
+      |  ORDER BY epoch_us(hour) // 3600000000
+      |  RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin
+
   /** Funnel step sequence, in order (the commerce classic). */
   val funnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
 
