@@ -51,6 +51,7 @@ object SparkEntry {
     "q_top_spenders" -> (Events.qTopSpenders _),
     "q_event_anomaly" -> (Events.qEventAnomaly _),
     "q_dedup_keep_best" -> (graft.ext.Dedup.qDedupKeepBest _),
+    "q_dedup_methods" -> (graft.ext.Dedup.qDedupMethods _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
     "q_range_join" -> (RangeJoin.qRangeJoin _),
     "q_topk" -> (SetSortOps.qTopk _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q_top_spenders" -> Events.qTopSpendersSql,
     "q_event_anomaly" -> Events.qEventAnomalySql,
     "q_dedup_keep_best" -> graft.ext.Dedup.qDedupKeepBestSql,
+    "q_dedup_methods" -> graft.ext.Dedup.qDedupMethodsSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,
     "q_range_join" -> RangeJoin.qRangeJoinSql,
     "q_topk" -> SetSortOps.qTopkSql,

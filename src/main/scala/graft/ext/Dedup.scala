@@ -765,6 +765,61 @@ object Dedup {
       |    ORDER BY sc.score DESC, c.doc_id) = 1 AS INT) AS kept
       |FROM comp c JOIN sc ON c.doc_id = sc.doc_id""".stripMargin
 
+  /** DEDUP-METHOD AGREEMENT MATRIX — the eval every curation team runs
+    * before trusting a near-dup pipeline: the three pair miners
+    * (exact-Jaccard ≥ 0.2, MinHash-LSH-verified ≥ 0.5, SimHash
+    * hamming ≤ 3) compared pairwise — set sizes and intersection
+    * counts. High agreement on the planted-dup mass and a visible
+    * threshold gap between the 0.2 and 0.5 Jaccard cuts is the
+    * expected signature; drift here is the first sign a miner's caps
+    * or thresholds regressed. Each miner's pair set is itself
+    * hash-checked (q_dedup_jaccard / _minhash / _simhash), so this
+    * rollup composes three already-verified surfaces; the jaccard
+    * side rides the memoized pair view. Counts are driver-side over
+    * pair-set-sized (duplicate-bounded) frames — never corpus-sized. */
+  def qDedupMethods(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = Seq(
+      "jaccard" -> qDedupJaccard(spark, dir).select("doc_a", "doc_b"),
+      "minhash" -> qDedupMinhash(spark, dir).select("doc_a", "doc_b"),
+      "simhash" -> qDedupSimhash(spark, dir).select("doc_a", "doc_b"))
+    val rows = for {
+      i <- sets.indices
+      j <- sets.indices if i < j
+    } yield {
+      val (na, a) = sets(i)
+      val (nb, b) = sets(j)
+      (na, nb, a.count(), b.count(),
+        a.join(b, Seq("doc_a", "doc_b")).count())
+    }
+    rows.toDF("method_a", "method_b", "n_a", "n_b", "n_common")
+  }
+
+  /** The same matrix over the three oracle pair sets. */
+  lazy val qDedupMethodsSql: String = {
+    val defs = Seq(
+      "jaccard" -> qDedupJaccardSql,
+      "minhash" -> qDedupMinhashSql,
+      "simhash" -> qDedupSimhashSql)
+    val rows = for {
+      i <- defs.indices
+      j <- defs.indices if i < j
+    } yield {
+      val (na, _) = defs(i)
+      val (nb, _) = defs(j)
+      s"""SELECT '$na' AS method_a, '$nb' AS method_b,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p_$na) AS n_a,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p_$nb) AS n_b,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p_$na
+         |     JOIN p_$nb USING (doc_a, doc_b)) AS n_common"""
+        .stripMargin
+    }
+    val ctes = defs.map { case (n, sql) =>
+      s"p_$n AS (\n  SELECT doc_a, doc_b FROM (\n${sql}\n) q_$n)"
+    }.mkString("WITH ", ",\n", "")
+    s"$ctes\n${rows.mkString("\nUNION ALL\n")}"
+  }
+
   /** Transitive closure of the SAME pair set in DuckDB (recursive CTE
     * over the [[qDedupJaccardSql]] edges; the recursive UNION dedupes,
     * so cycles terminate), then cluster id = min reachable node. An
