@@ -323,7 +323,11 @@ object ScaleCheck {
         // with the corpus, only user count does), cohort's
         // co-partitioned user join + (weeks²/2)-cell distinct, and
         // rolling-active's fixed 7× pair-set explode
-        "q_funnel", "q_cohort", "q_rolling_active")
+        "q_funnel", "q_cohort", "q_rolling_active",
+        // quality-aware survivor: star contraction over the memoized
+        // pair view + the map-only classifier score + a duplicate-
+        // bounded rank window
+        "q_dedup_keep_best")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

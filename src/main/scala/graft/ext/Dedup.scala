@@ -779,20 +779,31 @@ object Dedup {
     * pair-set-sized (duplicate-bounded) frames — never corpus-sized. */
   def qDedupMethods(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sets = Seq(
+    // each miner runs ONCE: its (tiny, duplicate-bounded) pair set is
+    // checkpoint-materialized, then every count/intersection reads the
+    // materialized rows — without this, each set re-mines up to 4×
+    // (two counts + two joins; measured 5.7 s vs ~2.4 s at sf0.1)
+    val checkpointed = Seq(
       "jaccard" -> qDedupJaccard(spark, dir).select("doc_a", "doc_b"),
       "minhash" -> qDedupMinhash(spark, dir).select("doc_a", "doc_b"),
       "simhash" -> qDedupSimhash(spark, dir).select("doc_a", "doc_b"))
-    val rows = for {
-      i <- sets.indices
-      j <- sets.indices if i < j
-    } yield {
-      val (na, a) = sets(i)
-      val (nb, b) = sets(j)
-      (na, nb, a.count(), b.count(),
-        a.join(b, Seq("doc_a", "doc_b")).count())
-    }
-    rows.toDF("method_a", "method_b", "n_a", "n_b", "n_common")
+      .map { case (n, df) =>
+        val (ck, release) = graft.util.Checkpoints.checkpointTracked(df)
+        (n, ck, release)
+      }
+    try {
+      val sets = checkpointed.map { case (n, df, _) => n -> df }
+      val rows = for {
+        i <- sets.indices
+        j <- sets.indices if i < j
+      } yield {
+        val (na, a) = sets(i)
+        val (nb, b) = sets(j)
+        (na, nb, a.count(), b.count(),
+          a.join(b, Seq("doc_a", "doc_b")).count())
+      }
+      rows.toDF("method_a", "method_b", "n_a", "n_b", "n_common")
+    } finally checkpointed.foreach(_._3())
   }
 
   /** The same matrix over the three oracle pair sets. */
