@@ -84,6 +84,7 @@ object SparkEntry {
     "q_snapshot_diff" -> (graft.ext.TextOps.qSnapshotDiff _),
     "q_stratified_sample" -> (graft.ext.TextOps.qStratifiedSample _),
     "q_mixture_sample" -> (graft.ext.TextOps.qMixtureSample _),
+    "q_mixture_plan" -> (graft.ext.TextOps.qMixturePlan _),
     "q_temp_sample" -> (graft.ext.TextOps.qTempSample _),
     "q_shard_shuffle" -> (graft.ext.TextOps.qShardShuffle _),
     "q_text_stats" -> (graft.ext.TextOps.qTextStats _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q_snapshot_diff" -> graft.ext.TextOps.qSnapshotDiffSql,
     "q_stratified_sample" -> graft.ext.TextOps.qStratifiedSampleSql,
     "q_mixture_sample" -> graft.ext.TextOps.qMixtureSampleSql,
+    "q_mixture_plan" -> graft.ext.TextOps.qMixturePlanSql,
     "q_temp_sample" -> graft.ext.TextOps.qTempSampleSql,
     "q_shard_shuffle" -> graft.ext.TextOps.qShardShuffleSql,
     "q_text_stats" -> graft.ext.TextOps.qTextStatsSql,

@@ -333,6 +333,60 @@ object TextOps {
     * small its target weight can't be met. */
   val mixtureBudgetShare = 0.4
 
+  /** MIXTURE PLAN — the observability half of [[qMixtureSample]]: the
+    * per-domain PLANNING table a data lead signs off on before the mix
+    * is assembled. For each source: available tokens, target weight
+    * (basis points — the same 0.10/0.0375 table as the sampler, held
+    * exactly as 1000/375 bp so every derived number is integer
+    * arithmetic), target tokens under the [[mixtureBudgetShare]]
+    * budget, required epochs in permille (>1000 ⇒ the domain must
+    * REPEAT to meet its weight — the oversampling alarm), and the
+    * deficit in tokens. All integer div — hash-exact across engines.
+    * Plan shape: one partial-agg scan to per-source totals (#domains
+    * rows), one driver scalar; nothing corpus-sized shuffles. */
+  def qMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val total = perSource.agg(sum(col("src_tokens"))).head().getLong(0)
+    val budget = total * 2 / 5 // mixtureBudgetShare = 0.4 exactly
+    perSource
+      .withColumn("weight_bp",
+        when(col("source").isin("src0", "src1", "src2", "src3"), 1000L)
+          .otherwise(375L))
+      .withColumn("target_tokens",
+        expr(s"${budget}L * weight_bp div 10000"))
+      .withColumn("epochs_permille",
+        expr("target_tokens * 1000 div src_tokens"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("src_tokens")))
+  }
+
+  val qMixturePlanSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per_source AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM toks GROUP BY source),
+      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS t FROM per_source)
+      |SELECT source, src_tokens,
+      |  CAST(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+      |    THEN 1000 ELSE 375 END AS BIGINT) AS weight_bp,
+      |  CAST(((t * 2 // 5) * (CASE WHEN source IN
+      |      ('src0', 'src1', 'src2', 'src3') THEN 1000 ELSE 375 END))
+      |    // 10000 AS BIGINT) AS target_tokens,
+      |  CAST((((t * 2 // 5) * (CASE WHEN source IN
+      |      ('src0', 'src1', 'src2', 'src3') THEN 1000 ELSE 375 END))
+      |    // 10000) * 1000 // src_tokens AS BIGINT) AS epochs_permille,
+      |  CAST(GREATEST(0, ((t * 2 // 5) * (CASE WHEN source IN
+      |      ('src0', 'src1', 'src2', 'src3') THEN 1000 ELSE 375 END))
+      |    // 10000 - src_tokens) AS BIGINT) AS deficit_tokens
+      |FROM per_source, tot""".stripMargin
+
   /** DOMAIN-MIXTURE sampling to a token budget — the DoReMi-style
     * static reweighting step that assembles a training mix: given a
     * target token-share weight per source domain (here: 0.10 for the

@@ -223,4 +223,57 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
+
+  /** One consecutive-pair observation for the transition matrix. */
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, ts: Timestamp)
+
+  /** Per-user transition state: the last FINALIZED event (the `lag`
+    * value), the finalized boundary, and the watermark-bounded pending
+    * buffer — [[funnelStream]]'s disorder posture applied to
+    * [[graft.operators.Events.qEventTransitions]]. */
+  final case class TransBuf(last: Option[(Long, Long, String)],
+                            foldedUpTo: Long,
+                            pending: Seq[(Long, Long, String)])
+
+  /** STREAMING TRANSITION MATRIX feed — append-only (from, to) pair
+    * records whose corpus-wide count IS the batch
+    * [[graft.operators.Events.qEventTransitions]] matrix over the
+    * finalized region. Correctness under disorder is the same argument
+    * as [[funnelStream]]: a pair (eᵢ → eᵢ₊₁) is emitted only when
+    * eᵢ₊₁.ts ≤ watermark, and any future arrival has ts > watermark ≥
+    * eᵢ₊₁.ts — nothing can ever land between a finalized pair. State
+    * per user: one last-event triple plus the watermark window of
+    * pending events. */
+  def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[TransBuf]): Iterator[Transition] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val prev = state.getOption.getOrElse(TransBuf(None, Long.MinValue, Nil))
+      val arrived = it.toSeq
+        .map(e => (toMicros(e.ts), e.event_id, e.event_type))
+        .filter(_._1 > prev.foldedUpTo)
+      val pending = (prev.pending ++ arrived).distinctBy(_._2)
+      val (ready, hold) = pending.partition(_._1 <= wmUs)
+      var last = prev.last
+      val out = Seq.newBuilder[Transition]
+      ready.sortBy(t => (t._1, t._2)).foreach { e =>
+        last.foreach(l =>
+          out += Transition(userId, l._3, e._3, toTimestamp(e._1)))
+        last = Some(e)
+      }
+      state.update(TransBuf(last, math.max(prev.foldedUpTo, wmUs), hold))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
 }

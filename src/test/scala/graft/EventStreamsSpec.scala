@@ -206,6 +206,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(u1.map(_._2) === Set(1, 2)) // signup, view — no click/purchase
   }
 
+  test("streaming transitions: pair records == batch lag pairs on the " +
+    "finalized region") {
+    import graft.operators.Events
+    val ev = eventsDf
+    val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head.getDouble(0)
+    val srcDir = Files.createTempDirectory("evt-trans-src")
+    ev.filter(unix_micros($"ts") <= mid).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    ev.filter(unix_micros($"ts") > mid).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+
+    val out = Files.createTempDirectory("evt-trans-out").toFile.getAbsolutePath
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+      .transform(Tables.adaptEventsTs)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.transitionStream(src)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def countMap(rows: Seq[(Long, String, String)]) =
+      rows.groupBy(identity).map { case (k, v) => k -> v.size }
+    val streamed = countMap(spark.table("transitions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+
+    // batch lag pairs with the TO-event inside the finalized region —
+    // a strict under-approximation of what the stream must have emitted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"ts", $"event_id")
+    val maxUs = ev.agg(max(unix_micros($"ts"))).head.getLong(0)
+    val wmUs = maxUs - 2L * 3600 * 1000000 - 1000
+    val batchPairs = ev
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .select($"user_id", $"from_type", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val batchAll = countMap(batchPairs.map(t => (t._1, t._2, t._3)).toSeq)
+    val mustEmit = countMap(batchPairs.filter(_._4 < wmUs)
+      .map(t => (t._1, t._2, t._3)).toSeq)
+
+    // streamed multiset sits between the finalized under-approximation
+    // and the full batch answer
+    mustEmit.foreach { case (k, n) =>
+      assert(streamed.getOrElse(k, 0) >= n, s"missing finalized pairs $k")
+    }
+    streamed.foreach { case (k, n) =>
+      assert(batchAll.getOrElse(k, 0) >= n, s"over-emitted $k")
+    }
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize == batch on watermark-finalized sessions") {
     val src = spark.readStream
       .schema(rawSchema)
