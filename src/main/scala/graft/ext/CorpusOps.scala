@@ -1032,9 +1032,19 @@ object CorpusOps {
       .toDF("n_docs", "k", "threshold", "n_kept")
   }
 
-  def qScoreThreshold(spark: SparkSession, dir: String): DataFrame =
-    scoreThreshold(classify(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), col("score")))
+  /** The scored frame is checkpoint-materialized once: the two-phase
+    * selection makes two driver-side aggregation passes over it, and
+    * without materialization each pass re-tokenizes and re-scores the
+    * whole corpus — at 100 TB that is two full map passes where one
+    * suffices (doc_id+score is ~16 B/doc, far cheaper to hold than to
+    * recompute). Released immediately after the (literal-row) result
+    * is built. */
+  def qScoreThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, release) = graft.util.Checkpoints.checkpointTracked(
+      classify(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("score")))
+    try scoreThreshold(scored) finally release()
+  }
 
   val qScoreThresholdSql: String =
     s"""WITH w AS (

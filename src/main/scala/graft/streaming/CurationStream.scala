@@ -270,7 +270,7 @@ object CurationStream {
     * checkpointed foreachBatch): `transform` shapes the streaming frame
     * (identity for raw-docs streams), `body` handles each micro-batch.
     * A change to the ingestion contract lands once, not five times. */
-  private def runFileStream(spark: SparkSession, uploadDir: String,
+  private[graft] def runFileStream(spark: SparkSession, uploadDir: String,
                             checkpointDir: String, schema: StructType,
                             transform: DataFrame => DataFrame = identity)(
                             body: (DataFrame, Long) => Unit): StreamingQuery =

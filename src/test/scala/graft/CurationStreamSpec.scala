@@ -656,6 +656,37 @@ class CurationStreamSpec extends SparkSpec {
     assert(again === want)
   }
 
+  test("cohort store: streamed retention view == batch matrix under " +
+    "event-sliced arrival; redelivery a no-op") {
+    import graft.operators.Events
+    import graft.streaming.CohortStore
+    val tmp = Files.createTempDirectory("cohort-store").toFile.getAbsolutePath
+    val root = s"$tmp/store"
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // slice by EVENT id, not user: a user's first-ever event can arrive
+    // in any batch, so the equality below needs the min-monoid to
+    // actually converge (first-seen-in-stream ≠ first-seen-in-corpus)
+    (0 until 3).foreach(i => ev.filter(col("event_id") % 3 === i)
+      .coalesce(1).write.parquet(s"$tmp/upload/$i"))
+    CohortStore.runCohortStream(spark, s"$tmp/upload/*", root,
+      s"$tmp/ckpt", ev.schema).awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))
+    val got = CohortStore.retentionView(spark, root).collect().map(key).toSet
+    val want = Events.cohortRetention(ev).collect().map(key).toSet
+    assert(got === want)
+    // non-vacuous: one slice alone yields a DIFFERENT matrix
+    assert(Events.cohortRetention(ev.filter(col("event_id") % 3 === 0))
+      .collect().map(key).toSet !== want)
+    // redelivering a whole slice is a value no-op (min + set union)
+    CohortStore.mergeCohortBatch(spark,
+      ev.filter(col("event_id") % 3 === 1), root)
+    assert(CohortStore.retentionView(spark, root)
+      .collect().map(key).toSet === want)
+  }
+
   test("ANN refit end-to-end: retrained on the live store, atomic swap, " +
     "staleness reset, serving continuity; exhaustive recall preserved, " +
     "cells rebalanced") {
