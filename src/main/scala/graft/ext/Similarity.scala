@@ -470,6 +470,17 @@ object Similarity {
       (array_position(dists, array_min(dists)).cast("int") - 1).as("cell"))
   }
 
+  /** Deterministic hash-coin sample on vec_id — THE fit sample for
+    * every trainable artifact here ([[trainPq]], [[fitCentroids]]):
+    * one definition so a refit always trains its coarse quantizer and
+    * its codebooks on the SAME sample of the same store. */
+  private def hashSample(emb: DataFrame, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1.0)
+    if (frac >= 1.0) emb
+    else emb.filter(
+      pmod(xxhash64(col("vec_id")), lit(10000L)) < (frac * 10000).toLong)
+  }
+
   /** Fit ONLY the coarse-quantizer centroids, on an arbitrary
     * embeddings frame — the fit half of [[buildIvfIndex]] decoupled
     * from the table loader so a REFIT can retrain on a live serving
@@ -483,14 +494,9 @@ object Similarity {
                    fitSample: Double = 1.0): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    require(fitSample > 0 && fitSample <= 1.0)
-    val fit =
-      if (fitSample >= 1.0) emb
-      else emb.filter(
-        pmod(xxhash64(col("vec_id")), lit(10000L)) <
-          (fitSample * 10000).toLong)
     new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").setMaxIter(5)
-      .fit(fit.withColumn("fv", array_to_vector(col("embedding"))))
+      .fit(hashSample(emb, fitSample)
+        .withColumn("fv", array_to_vector(col("embedding"))))
       .clusterCenters.map(_.toArray)
   }
 
@@ -555,11 +561,7 @@ object Similarity {
     // FAISS train/add split). The sample is a deterministic hash coin
     // on vec_id (the qHashSample technique): reproducible across runs
     // and engines, no seeded RNG state.
-    val fit =
-      if (fitSample >= 1.0) emb
-      else emb.filter(
-        pmod(xxhash64(col("vec_id")), lit(10000L)) <
-          (fitSample * 10000).toLong)
+    val fit = hashSample(emb, fitSample)
     val dsub = dim / m
     val codebooks = (0 until m).map { j =>
       val sub = fit.select(array_to_vector(

@@ -345,23 +345,28 @@ object TextOps {
     * Plan shape: one partial-agg scan to per-source totals (#domains
     * rows), one driver scalar; nothing corpus-sized shuffles. */
   def qMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables(spark, dir, "documents")
       .select(col("source"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    // ONE corpus scan: the #domains-row per-source totals come to the
+    // driver once, and the grand total, budget and every derived column
+    // are plain Scala over those rows — materializing the result never
+    // re-runs the tokenization (the qScoreThreshold lesson: a second
+    // action over a lazy corpus-wide frame is a second full map pass)
     val perSource = docs.groupBy("source")
       .agg(sum(col("n_tokens")).as("src_tokens"))
-    val total = perSource.agg(sum(col("src_tokens"))).head().getLong(0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = perSource.map(_._2).sum
     val budget = total * 2 / 5 // mixtureBudgetShare = 0.4 exactly
-    perSource
-      .withColumn("weight_bp",
-        when(col("source").isin("src0", "src1", "src2", "src3"), 1000L)
-          .otherwise(375L))
-      .withColumn("target_tokens",
-        expr(s"${budget}L * weight_bp div 10000"))
-      .withColumn("epochs_permille",
-        expr("target_tokens * 1000 div src_tokens"))
-      .withColumn("deficit_tokens",
-        greatest(lit(0L), col("target_tokens") - col("src_tokens")))
+    val head = Set("src0", "src1", "src2", "src3")
+    perSource.toSeq.map { case (source, srcTokens) =>
+      val bp = if (head(source)) 1000L else 375L
+      val target = budget * bp / 10000
+      (source, srcTokens, bp, target, target * 1000 / srcTokens,
+        math.max(0L, target - srcTokens))
+    }.toDF("source", "src_tokens", "weight_bp", "target_tokens",
+      "epochs_permille", "deficit_tokens")
   }
 
   val qMixturePlanSql: String =

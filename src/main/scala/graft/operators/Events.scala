@@ -333,13 +333,17 @@ object Events {
     * exchange argument — which is exactly what the ANSI oracle
     * computes, so the two formulations cross-validate.
     *
-    * Plan shape: ONE shuffle (groupBy user_id) collecting each user's
-    * funnel-typed events into a sorted array, then a native
-    * `aggregate` HOF fold — no UDF, no window, no self-join, no
-    * second exchange. The fold's accumulator is the matched-timestamp
-    * array; `try_element_at` keeps every index total under ANSI mode
-    * (NULL out of range, never an error), so the whole condition
-    * stays inside whole-stage codegen.
+    * Plan shape: ONE scan and ONE shuffle — the groupBy(user_id)
+    * collects each user's funnel-typed events via a CONDITIONAL
+    * collect_list (`when(type ∈ steps, struct…)` — collect_list skips
+    * nulls, so the shuffle carries only funnel-typed structs while
+    * every user still gets a group, depth 0 falling out as an empty
+    * array; no second scan, no distinct-users join), then a native
+    * `aggregate` HOF fold — no UDF, no window, no self-join. The
+    * fold's accumulator is the matched-timestamp array;
+    * `try_element_at` keeps every index total under ANSI mode (NULL
+    * out of range, never an error), so the whole condition stays
+    * inside whole-stage codegen.
     *
     * 100 TB posture: state per user is their FUNNEL-TYPED events only
     * (the isin filter is pushed to the scan), bounded by per-user
@@ -352,11 +356,11 @@ object Events {
              steps: Seq[String] = funnelSteps): DataFrame = {
     val k = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val folded = events
-      .filter(col("event_type").isin(steps: _*))
+    events
       .groupBy("user_id")
-      .agg(array_sort(collect_list(struct(
-        col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .agg(array_sort(collect_list(
+        when(col("event_type").isin(steps: _*), struct(
+          col("ts"), col("event_id"), col("event_type"))))).as("evs"))
       .select(col("user_id"),
         aggregate(
           col("evs"),
@@ -369,10 +373,8 @@ object Events {
                 lit(true)),
             concat(acc, array(x.getField("ts")))).otherwise(acc))
           .as("m"))
-    val users = events.select("user_id").distinct()
-    users.join(folded, Seq("user_id"), "left")
       .select(col("user_id") +:
-        coalesce(size(col("m")), lit(0)).cast("long").as("depth") +:
+        size(col("m")).cast("long").as("depth") +:
         steps.zipWithIndex.map { case (s, i) =>
           try_element_at(col("m"), lit(i + 1)).as(s"t_$s")
         }: _*)

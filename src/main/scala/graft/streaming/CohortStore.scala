@@ -41,17 +41,25 @@ object CohortStore {
   private def bucketOf =
     pmod(col("user_id"), lit(CurationStream.storeBuckets.toLong))
 
-  /** Fold one micro-batch of raw events into the two stores. */
+  /** Fold one micro-batch of raw events into the two stores. The raw
+    * batch is scanned ONCE: the deduped (user, week) pair rows are
+    * checkpoint-materialized, the pairs store merges them directly,
+    * and the cohort mins derive from the same materialized rows
+    * (min(cohort candidate) per user ≡ min(week) over the deduped
+    * pair set — deduplication never changes a min). */
   def mergeCohortBatch(spark: SparkSession, batch: DataFrame,
                        rootPath: String): Unit = {
     val wk = date_trunc("week", col("ts"))
-    mergeMonoid(spark, s"$rootPath/cohorts",
-      batch.groupBy("user_id").agg(min(wk).as("cohort_week")),
-      _.groupBy("user_id").agg(min(col("cohort_week")).as("cohort_week")))
-    mergeMonoid(spark, s"$rootPath/pairs",
-      batch.select(col("user_id"), wk.as("week")).distinct(),
-      _.select("user_id", "week").distinct()
-        .select(col("user_id"), col("week")))
+    val (pairRows, release) = graft.util.Checkpoints.checkpointTracked(
+      batch.select(col("user_id"), wk.as("week")).distinct())
+    try {
+      mergeMonoid(spark, s"$rootPath/pairs", pairRows,
+        _.select("user_id", "week").distinct()
+          .select(col("user_id"), col("week")))
+      mergeMonoid(spark, s"$rootPath/cohorts",
+        pairRows.groupBy("user_id").agg(min(col("week")).as("cohort_week")),
+        _.groupBy("user_id").agg(min(col("cohort_week")).as("cohort_week")))
+    } finally release()
   }
 
   /** Generic touched-bucket monoid merge: `batchRows` (already reduced

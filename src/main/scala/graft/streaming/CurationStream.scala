@@ -915,6 +915,7 @@ object CurationStream {
     import org.apache.spark.sql.functions._
     val fs = new Path(annPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefit(spark, annPath)
     recoverStore(spark, annPath)
     val (coded, release) = graft.util.Checkpoints.checkpointTracked(
       graft.ext.Similarity.ivfAssign(batch, centroids)
@@ -955,6 +956,7 @@ object CurationStream {
   def annStaleness(spark: SparkSession, annPath: String): Double = {
     val fs = new Path(annPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefit(spark, annPath)
     if (!fs.exists(new Path(annPath))) return 0.0
     val fit = fs.listStatus(new Path(annPath)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("_fit-"))
@@ -1006,12 +1008,42 @@ object CurationStream {
     * store and is rolled back or completed by inspection; the marker
     * is written into the staged store BEFORE the swap, so the
     * published store is always complete-with-marker. */
+  /** Heal a refit swap interrupted by a crash — the state machine the
+    * two renames imply (mirrors [[recoverStore]], which only knows the
+    * per-bucket `.merge-bak-*` protocol and NOT this whole-store one):
+    *  - `.refit-bak` present and the live store MISSING: the crash hit
+    *    between the two renames — restore the backup (the complete old
+    *    store keeps serving; the refit simply re-runs). Without this,
+    *    the next appendAnnBatch would see no store and silently
+    *    recreate one from a single batch, and a later refit's
+    *    bak-delete would then destroy the old corpus.
+    *  - `.refit-bak` present and the live store present: post-publish
+    *    debris — delete the bak.
+    *  - `.refit-tmp`: an incomplete stage — delete.
+    * Runs at the start of every [[refitAnnStore]], [[appendAnnBatch]]
+    * and [[annStaleness]], so every reader/mutator of the store heals
+    * the swap before trusting it. */
+  def recoverRefit(spark: SparkSession, annPath: String): Unit = {
+    val fs = new Path(annPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(annPath + ".refit-bak")
+    val live = new Path(annPath)
+    if (fs.exists(bak)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(s"could not restore $bak")
+      } else fs.delete(bak, true)
+    }
+    fs.delete(new Path(annPath + ".refit-tmp"), true)
+  }
+
   def refitAnnStore(spark: SparkSession, annPath: String, k: Int = 16,
                     fitSample: Double = 1.0)
       : (Array[Array[Double]], graft.ext.Similarity.PqModel) = {
     import org.apache.spark.sql.functions._
     val fs = new Path(annPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRefit(spark, annPath)
     recoverStore(spark, annPath)
     // freeze ONE corpus snapshot for fit + re-encode (batches may keep
     // landing in the old store meanwhile — they are re-absorbed by the

@@ -146,6 +146,28 @@ object EventStreams extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** The shared disorder-handling bookkeeping of [[funnelStream]] and
+    * [[transitionStream]] — ONE home for the invariant so a fix to the
+    * late-drop boundary or finalization rule can never land in one
+    * stream and not the other: absorb arrivals newer than the folded
+    * boundary (beyond-watermark lates and checkpoint-replayed rows
+    * drop here), dedup by event_id, split at the watermark, and return
+    * (finalized events in exact event-time order, still-pending
+    * buffer, new folded boundary). */
+  private def finalizeArrivals(
+      prevPending: Seq[(Long, Long, String)], prevFoldedUpTo: Long,
+      it: Iterator[Event], keep: String => Boolean, wmUs: Long)
+      : (Seq[(Long, Long, String)], Seq[(Long, Long, String)], Long) = {
+    val arrived = it.toSeq
+      .filter(e => keep(e.event_type))
+      .map(e => (toMicros(e.ts), e.event_id, e.event_type))
+      .filter(_._1 > prevFoldedUpTo)
+    val pending = (prevPending ++ arrived).distinctBy(_._2)
+    val (ready, hold) = pending.partition(_._1 <= wmUs)
+    (ready.sortBy(t => (t._1, t._2)), hold,
+      math.max(prevFoldedUpTo, wmUs))
+  }
+
   /** One funnel-step completion: user advanced to `step`
     * (1-based index into [[graft.operators.Events.funnelSteps]]) at
     * event time `ts`. The append-only streaming view of
@@ -194,24 +216,19 @@ object EventStreams extends Serializable {
       val wmUs = state.getCurrentWatermarkMs() * 1000
       val prev = state.getOption
         .getOrElse(FunnelBuf(0, Long.MinValue, Long.MinValue, Nil))
-      val arrived = it.toSeq
-        .filter(e => steps.contains(e.event_type))
-        .map(e => (toMicros(e.ts), e.event_id, e.event_type))
-        .filter(_._1 > prev.foldedUpTo) // beyond-watermark lates dropped
-      val pending = (prev.pending ++ arrived).distinctBy(_._2)
-      val (ready, hold) = pending.partition(_._1 <= wmUs)
+      val (ready, hold, foldedUpTo) = finalizeArrivals(
+        prev.pending, prev.foldedUpTo, it, steps.contains, wmUs)
       var depth = prev.depth
       var lastTs = prev.lastTs
       val out = Seq.newBuilder[FunnelStep]
-      ready.sortBy(t => (t._1, t._2)).foreach { case (ts, _, tpe) =>
+      ready.foreach { case (ts, _, tpe) =>
         if (depth < steps.size && tpe == steps(depth) && ts > lastTs) {
           depth += 1
           lastTs = ts
           out += FunnelStep(userId, depth, tpe, toTimestamp(ts))
         }
       }
-      state.update(FunnelBuf(depth, lastTs,
-        math.max(prev.foldedUpTo, wmUs), hold))
+      state.update(FunnelBuf(depth, lastTs, foldedUpTo, hold))
       if (hold.nonEmpty) // re-fold when the watermark moves again
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
       out.result().iterator
@@ -252,19 +269,16 @@ object EventStreams extends Serializable {
              state: GroupState[TransBuf]): Iterator[Transition] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000
       val prev = state.getOption.getOrElse(TransBuf(None, Long.MinValue, Nil))
-      val arrived = it.toSeq
-        .map(e => (toMicros(e.ts), e.event_id, e.event_type))
-        .filter(_._1 > prev.foldedUpTo)
-      val pending = (prev.pending ++ arrived).distinctBy(_._2)
-      val (ready, hold) = pending.partition(_._1 <= wmUs)
+      val (ready, hold, foldedUpTo) = finalizeArrivals(
+        prev.pending, prev.foldedUpTo, it, _ => true, wmUs)
       var last = prev.last
       val out = Seq.newBuilder[Transition]
-      ready.sortBy(t => (t._1, t._2)).foreach { e =>
+      ready.foreach { e =>
         last.foreach(l =>
           out += Transition(userId, l._3, e._3, toTimestamp(e._1)))
         last = Some(e)
       }
-      state.update(TransBuf(last, math.max(prev.foldedUpTo, wmUs), hold))
+      state.update(TransBuf(last, foldedUpTo, hold))
       if (hold.nonEmpty)
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
       out.result().iterator

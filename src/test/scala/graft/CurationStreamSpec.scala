@@ -769,6 +769,26 @@ class CurationStreamSpec extends SparkSpec {
     CurationStream.refitAnnStore(spark, annPath)
     assert(spark.read.parquet(annPath).select("vec_id")
       .collect().map(_.getLong(0)).toSet === all.keySet)
+
+    // CRASH WINDOW between the two swap renames: the live store is
+    // displaced to .refit-bak and nothing was published. Every
+    // reader/mutator must HEAL this (restore the complete old store)
+    // before trusting fs state — without it, the next append would
+    // silently recreate a one-batch store and a later refit's
+    // bak-delete would destroy the old corpus.
+    val fs = new org.apache.hadoop.fs.Path(annPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(annPath),
+      new org.apache.hadoop.fs.Path(annPath + ".refit-bak")))
+    assert(CurationStream.annStaleness(spark, annPath) === 0.0) // healed
+    assert(fs.exists(new org.apache.hadoop.fs.Path(annPath)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(annPath + ".refit-bak")))
+    assert(spark.read.parquet(annPath).select("vec_id")
+      .collect().map(_.getLong(0)).toSet === all.keySet)
+    // post-publish debris (bak present AND live present) is deleted
+    fs.mkdirs(new org.apache.hadoop.fs.Path(annPath + ".refit-bak"))
+    CurationStream.recoverRefit(spark, annPath)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(annPath + ".refit-bak")))
   }
 
   test("threshold stream: rolling exact threshold equals batch " +

@@ -136,7 +136,10 @@ class EventStreamsSpec extends SparkSpec {
     def runStream(srcDir: String, name: String): Set[(Long, Int, Long)] = {
       val out = Files.createTempDirectory(s"evt-fun-$name")
         .toFile.getAbsolutePath
-      val src = spark.readStream.schema(rawSchema)
+      // schema of the files THIS TEST wrote (engine-facing, so the
+      // test is agnostic to the testdata's physical ts layout)
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1) // one file per batch: the
         // cross-batch arrival order is the thing under test
         .parquet(srcDir)
@@ -218,7 +221,8 @@ class EventStreamsSpec extends SparkSpec {
       .write.parquet(srcDir.resolve("b").toString)
 
     val out = Files.createTempDirectory("evt-trans-out").toFile.getAbsolutePath
-    val src = spark.readStream.schema(rawSchema)
+    val schema = spark.read.parquet(s"$srcDir/*").schema
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
       .transform(Tables.adaptEventsTs)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
