@@ -327,7 +327,15 @@ object ScaleCheck {
         // quality-aware survivor: star contraction over the memoized
         // pair view + the map-only classifier score + a duplicate-
         // bounded rank window
-        "q_dedup_keep_best")
+        "q_dedup_keep_best",
+        // rest of the round-9 events/path family: conversion rollup
+        // (|users|-sized percentile over the funnel), transitions
+        // (sessionizer plan shape), weekly top-k (WindowGroupLimit
+        // below the exchange), hourly anomaly (rollup first, one
+        // range window over |hours × types| rows), mixture plan (one
+        // partial-agg scan + #domains driver rows)
+        "q_funnel_conv", "q_event_transitions", "q_top_spenders",
+        "q_event_anomaly", "q_mixture_plan")
         .map(n => n -> SparkEntry.queries(n)))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 

@@ -22,6 +22,11 @@ object Tables {
     // sessions pin spark.sql.session.timeZone=UTC, so surfacing them as
     // plain TimestampType is value-identical — and keeps the scan native
     // (no cast node, pushdown intact) across either physical layout.
+    // NOTE this conf governs footer-based INFERENCE only: parquet that
+    // Spark itself wrote from an NTZ frame carries the logical schema in
+    // its own metadata, which wins over inference — so [[normalizeNtz]]
+    // below is the actual guarantee and this conf is the fast path that
+    // keeps driver-generated testdata cast-free.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") {
       // Schema-adaptive ingest for the one column that has drifted across
@@ -36,8 +41,25 @@ object Tables {
       // needed. Integer `div` avoids the double rounding a plain `/`
       // would introduce on ~1e18 nano values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      adaptEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      adaptEventsTs(normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")))
+    } else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Cast any TIMESTAMP_NTZ column to plain TimestampType — the layout
+    * guarantee the infer conf alone can't give: parquet written BY SPARK
+    * from an NTZ frame (e.g. a rewritten/scaled copy of the testdata)
+    * embeds NTZ in its own schema metadata, which overrides footer
+    * inference on read-back. At the engine's pinned UTC session zone
+    * the cast is value-identical; on driver-generated (non-Spark)
+    * parquet the infer conf already yields TimestampType and this is a
+    * no-op with zero plan nodes. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp")))
   }
 
   /** Normalize the events `ts` column to TimestampType whatever physical
