@@ -76,6 +76,7 @@ object SparkEntry {
     "q_bpe_stats" -> (graft.ext.Bpe.qBpeStats _),
     "q_manifest" -> (graft.ext.TextOps.qManifest _),
     "q_dataset_card" -> (graft.ext.TextOps.qDatasetCard _),
+    "q_source_cards" -> (graft.ext.TextOps.qSourceCards _),
     "q_passage_dedup" -> (graft.ext.TextOps.qPassageDedup _),
     "q_substr_dedup" -> (graft.ext.TextOps.qSubstrDedup _),
     "q_curate_e2e" -> (graft.ext.TextOps.qCurate _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_bpe_stats" -> graft.ext.Bpe.qBpeStatsSql,
     "q_manifest" -> graft.ext.TextOps.qManifestSql,
     "q_dataset_card" -> graft.ext.TextOps.qDatasetCardSql,
+    "q_source_cards" -> graft.ext.TextOps.qSourceCardsSql,
     "q_passage_dedup" -> graft.ext.TextOps.qPassageDedupSql,
     "q_substr_dedup" -> graft.ext.TextOps.qSubstrDedupSql,
     "q_curate_e2e" -> graft.ext.TextOps.qCurateSql,

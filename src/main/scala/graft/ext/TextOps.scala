@@ -528,6 +528,69 @@ object TextOps {
     * the q_count_distinct posture (swap in the KMV/HLL sketches at
     * 100 TB if exactness isn't required). All-integer except the one
     * mirrored IEEE division. */
+  /** PER-SOURCE data cards with DRIFT columns — [[qDatasetCard]] broken
+    * out by source, each row carrying its quality-pass and duplication
+    * rates in exact permille PLUS the corpus-wide rates, so a source
+    * whose quality or dedup profile drifts from the corpus reads
+    * directly off its row (the per-ingest review table: "src7's pass
+    * rate is 340‰ against a 780‰ corpus — quarantine the drop").
+    * Integer permille throughout — hash-exact. Plan: ONE corpus scan
+    * (grouping sets would also work; a |sources|-row agg plus a 1-row
+    * rollup derived from it on the driver is simpler and equal), no
+    * second tokenization: the corpus totals sum the per-source rows. */
+  def qSourceCards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split(col("text"), " ")
+    val gate = length(col("text")) >= 100 &&
+      (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        length(col("text"))) <= 0.3 &&
+      (size(filter(t, x => x.isInCollection(
+        Seq("the", "a", "of", "and", "to")))).cast("double") /
+        size(t)) >= 0.01
+    val rows = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(t).cast("bigint")).as("n_tokens"),
+        count_distinct(col("text")).as("n_distinct_texts"),
+        sum(gate.cast("bigint")).as("quality_pass"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val (nDocs, qPass, nDistinct) =
+      (rows.map(_._2).sum, rows.map(_._5).sum, rows.map(_._4).sum)
+    rows.toSeq.map { case (src, n, tok, dis, qp) =>
+      (src, n, tok, qp * 1000 / n, dis * 1000 / n,
+        qPass * 1000 / nDocs, nDistinct * 1000 / nDocs)
+    }.toDF("source", "n_docs", "n_tokens", "quality_permille",
+      "distinct_permille", "corpus_quality_permille",
+      "corpus_distinct_permille")
+  }
+
+  val qSourceCardsSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+      |    CAST(SUM(CASE WHEN length(text) >= 100
+      |      AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |          / length(text) <= 0.3
+      |      AND CAST(len(list_filter(string_split(text, ' '),
+      |            x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |          / len(string_split(text, ' ')) >= 0.01
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+      |    CAST(SUM(quality_pass) AS BIGINT) AS qp,
+      |    CAST(SUM(n_distinct_texts) AS BIGINT) AS dis
+      |  FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(quality_pass * 1000 // n_docs AS BIGINT) AS quality_permille,
+      |  CAST(n_distinct_texts * 1000 // n_docs AS BIGINT)
+      |    AS distinct_permille,
+      |  CAST(qp * 1000 // n AS BIGINT) AS corpus_quality_permille,
+      |  CAST(dis * 1000 // n AS BIGINT) AS corpus_distinct_permille
+      |FROM per, tot""".stripMargin
+
   def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val gate = length(col("text")) >= 100 &&
