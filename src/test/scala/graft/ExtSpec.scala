@@ -723,6 +723,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q_source_cards: per-source rows sum to the dataset card totals, " +
+    "baselines constant across rows") {
+    val cards = graft.ext.TextOps.qSourceCards(spark, dir).collect()
+    val card = graft.ext.TextOps.qDatasetCard(spark, dir).collect()(0)
+    assert(cards.map(_.getLong(1)).sum === card.getLong(0)) // n_docs
+    assert(cards.map(_.getLong(2)).sum === card.getLong(1)) // n_tokens
+    // the corpus-baseline columns are identical on every row
+    assert(cards.map(_.getLong(5)).toSet.size === 1)
+    assert(cards.map(_.getLong(6)).toSet.size === 1)
+    // per-source rates genuinely vary (the drift table is non-vacuous)
+    assert(cards.map(_.getLong(3)).toSet.size > 1)
+  }
+
   test("mixture sample: sampled token shares track target weights, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
