@@ -287,10 +287,11 @@ object Events {
     * range window over the tiny rollup — window cost is independent
     * of event volume. The first hour of a type (empty trailing
     * window) emits NULL. */
-  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables(spark, dir, "events")
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
+  /** The baseline scoring over ANY (event_type, hour, n) frame — shared
+    * by the batch driver query and the streaming monitor view
+    * ([[graft.streaming.EventStreams]]'s hourly-count store): one
+    * range window over the rollup, cost independent of event volume. */
+  def anomalyOver(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type")
       .orderBy(expr("unix_micros(hour) div 3600000000"))
       .rangeBetween(-24, -1)
@@ -302,6 +303,11 @@ object Events {
           expr("n * 1000L * baseline_hours div baseline_n")))
       .select("event_type", "hour", "n", "permille_of_baseline")
   }
+
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyOver(Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")))
 
   val qEventAnomalySql: String =
     """WITH hourly AS (

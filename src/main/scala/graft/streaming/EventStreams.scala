@@ -241,6 +241,34 @@ object EventStreams extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** STREAMING ANOMALY MONITOR — the deployment composition the hourly
+    * baseline exists for: [[windowedCounts]]'s watermark-finalized
+    * (hour, type) rollup appends to a parquet store (exactly-once via
+    * the sink's checkpointed commit log), and [[anomalyView]] applies
+    * [[graft.operators.Events.anomalyOver]]'s trailing-24h scoring
+    * over the store. The view equals the batch q_event_anomaly
+    * restricted to finalized hours — for any stored hour, every
+    * earlier hour of its baseline window was finalized first (window
+    * ends are monotone), so the baseline is complete by construction.
+    * Cost: the view scans |hours × types| rollup rows, NEVER events —
+    * a monitoring dashboard refreshes it per batch for free. */
+  def runHourlyCountStream(spark: SparkSession, events: DataFrame,
+                           storePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(events)
+      .writeStream.format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  def anomalyView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Events.anomalyOver(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
   /** One consecutive-pair observation for the transition matrix. */
   final case class Transition(user_id: Long, from_type: String,
                               to_type: String, ts: Timestamp)

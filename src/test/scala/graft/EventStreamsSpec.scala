@@ -209,6 +209,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(u1.map(_._2) === Set(1, 2)) // signup, view — no click/purchase
   }
 
+  test("streaming anomaly monitor: view over the streamed hourly store " +
+    "== batch anomaly on finalized hours") {
+    import graft.operators.Events
+    val store = Files.createTempDirectory("evt-anom-store")
+      .toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("evt-anom-ck").toFile.getAbsolutePath
+    val src = spark.readStream.schema(rawSchema)
+      .parquet(stageSourceDir())
+      .transform(Tables.adaptEventsTs)
+    EventStreams.runHourlyCountStream(spark, src, store, ck)
+      .awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0),
+      r.getTimestamp(1).toString, r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))
+    val streamed = EventStreams.anomalyView(spark, store)
+      .collect().map(key).toSet
+    val batchAll = Events.qEventAnomaly(spark, dir).collect().map(key).toSet
+    // the view rows ARE batch rows (baselines complete by construction)
+    assert(streamed.nonEmpty && streamed.subsetOf(batchAll))
+    // and every hour old enough to be finalized is present and scored
+    val maxTs = eventsDf.agg(max($"ts")).head.getTimestamp(0)
+    val cutoff = maxTs.getTime - 3L * 3600 * 1000
+    val mustHave = batchAll.filter(r =>
+      java.sql.Timestamp.valueOf(r._2).getTime < cutoff)
+    assert(mustHave.nonEmpty && mustHave.subsetOf(streamed))
+  }
+
   test("streaming transitions: pair records == batch lag pairs on the " +
     "finalized region") {
     import graft.operators.Events
