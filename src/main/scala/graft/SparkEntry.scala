@@ -23,6 +23,8 @@ object SparkEntry {
     "q1_agg" -> (Aggregates.q1Agg _),
     "q_scalar_min" -> (Aggregates.scalarMin _),
     "q_rollup" -> (Aggregates.qRollup _),
+    "q_grouping_sets" -> (Aggregates.qGroupingSets _),
+    "q_ntile" -> (Aggregates.qNtile _),
     "q_view_transactions" -> (Views.transactions _),
     // the scalable registered SQL surface: same rows as TRANSACTIONS,
     // two-level row_number, no single-partition window (the SQL text is
@@ -50,6 +52,9 @@ object SparkEntry {
     "q_event_transitions" -> (Events.qEventTransitions _),
     "q_top_spenders" -> (Events.qTopSpenders _),
     "q_event_anomaly" -> (Events.qEventAnomaly _),
+    "q_gap_fill" -> (Events.qGapFill _),
+    "q_islands" -> (Events.qIslands _),
+    "q_attribution" -> (Events.qAttribution _),
     "q_dedup_keep_best" -> (graft.ext.Dedup.qDedupKeepBest _),
     "q_dedup_methods" -> (graft.ext.Dedup.qDedupMethods _),
     "q_asof_join" -> (AsofJoin.qAsofJoin _),
@@ -143,6 +148,8 @@ object SparkEntry {
     "q1_agg" -> Aggregates.q1AggSql,
     "q_scalar_min" -> Aggregates.scalarMinSql,
     "q_rollup" -> Aggregates.qRollupSql,
+    "q_grouping_sets" -> Aggregates.qGroupingSetsSql,
+    "q_ntile" -> Aggregates.qNtileSql,
     "q_view_transactions" -> Views.transactionsSql,
     "q_view_transactions_scaled" -> Views.transactionsScaledSql,
     "q_view_retention" -> Views.retentionSql,
@@ -164,6 +171,9 @@ object SparkEntry {
     "q_event_transitions" -> Events.qEventTransitionsSql,
     "q_top_spenders" -> Events.qTopSpendersSql,
     "q_event_anomaly" -> Events.qEventAnomalySql,
+    "q_gap_fill" -> Events.qGapFillSql,
+    "q_islands" -> Events.qIslandsSql,
+    "q_attribution" -> Events.qAttributionSql,
     "q_dedup_keep_best" -> graft.ext.Dedup.qDedupKeepBestSql,
     "q_dedup_methods" -> graft.ext.Dedup.qDedupMethodsSql,
     "q_asof_join" -> AsofJoin.qAsofJoinSql,

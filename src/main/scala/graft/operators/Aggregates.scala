@@ -91,6 +91,74 @@ object Aggregates {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** GROUPING SETS — the general form [[qRollup]] is a special case of:
+    * an explicit lattice of grouping levels in ONE pass. Like rollup,
+    * Spark plans it as a single Expand + partial hash-aggregate: the
+    * per-level rows are generated map-side and combined before the
+    * shuffle, so the exchange carries |groups per level| rows summed
+    * over levels — one scan where the naive UNION ALL of three GROUP
+    * BYs would take three. Per-column `grouping()` flags (not the
+    * packed grouping_id, whose bit order is engine-specific) let
+    * consumers — and the oracle — distinguish "NULL key" from
+    * "aggregated-away level". */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS (
+      |  (l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+
+  /** NTILE deciles of customer spend — the quantile-bucketing reporting
+    * op ("which spend decile is this account in"), WITHOUT the
+    * single-partition window `ntile()` plans: decile is computed from
+    * the scalable two-level global row number ([[RowNumbering]], the
+    * TRANSACTIONS-scaled posture) and the row count via the exact
+    * equivalence ntile(k)[rn of n] = (rn−1)·k div n + 1 — remainder
+    * rows land in the leading tiles, which is ntile's own definition.
+    * The oracle runs DuckDB's native ntile over the same total order,
+    * cross-validating the identity. Order: spend desc, custkey asc. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"))
+    val n = spend.count()
+    RowNumbering.withGlobalRowNumber(spend,
+        Seq(col("spend").desc, col("o_custkey")), "rn")
+      .withColumn("decile",
+        expr(s"(rn - 1) * $k div ${math.max(n, 1)} + 1").cast("int"))
+      .drop("rn")
+  }
+
+  val qNtileSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |      / 100.0 AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, spend,
+      |  CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER)
+      |    AS decile
+      |FROM spend""".stripMargin
+
   /** A1 — scalar MIN aggregate used as the merge cutoff
     * (reference config.py:180-187). */
   def scalarMin(spark: SparkSession, dir: String): DataFrame =

@@ -459,6 +459,168 @@ object Events {
       |FROM seq WHERE from_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** GAP-FILL TIME SPINE — the missing half of every time-series rollup:
+    * a tumbling-window aggregate emits rows only for buckets WITH data,
+    * but dashboards, anomaly baselines and downstream joins need a dense
+    * series. Per event type, generate the full hourly spine from that
+    * type's first to last active hour (`sequence` + `explode` over the
+    * |types|-row span table — never over event volume), left-join the
+    * hourly rollup, zero-fill counts, and forward-fill the last observed
+    * hourly sum (`last(_, ignoreNulls)` over the spine order — the
+    * classic LOCF imputation).
+    *
+    * Plan shape: event volume collapses at the FIRST partial aggregation
+    * (|hours × types| rows); everything after — span, spine, join,
+    * window — runs over that rollup, so the spine's cost is independent
+    * of corpus size. The first spine row of each type always has data
+    * (the span starts at an observed hour), so ffill_sum is total. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), Aggregates.dsum(col("value")).as("sv"))
+    val spine = hourly
+      .groupBy("event_type")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.cast("int").as("is_gap"),
+        last(col("sv"), ignoreNulls = true).over(w).as("ffill_sum"))
+  }
+
+  def qGapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables(spark, dir, "events"))
+
+  val qGapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |      AS sv
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hour) AS h0, max(hour) AS h1
+      |  FROM hourly GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM span)
+      |SELECT s.event_type, s.hour,
+      |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+      |  CAST(h.n IS NULL AS INTEGER) AS is_gap,
+      |  last_value(h.sv IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+      |FROM spine s
+      |LEFT JOIN hourly h
+      |  ON s.event_type = h.event_type AND s.hour = h.hour""".stripMargin
+
+  /** GAPS-AND-ISLANDS — collapse each user's consecutive run of
+    * same-typed events into one validity interval (start, end, length):
+    * the SCD2/run-length primitive behind "state history" tables
+    * (sessions of a status column, contiguous error bursts, …). The
+    * classic two-row_number difference: rn(user) − rn(user, type) is
+    * constant exactly within a run, so a groupBy on it yields the
+    * islands — no self-join, no iterative collapse.
+    *
+    * Plan shape: both windows and the final groupBy cluster on user_id
+    * (HashPartitioning(user_id) satisfies the (user_id, type) window's
+    * ClusteredDistribution), so Catalyst plans ONE exchange with two
+    * sorts over it — the sessionizer's shape, never a global window.
+    * Event-time ties are broken by event_id for a total order both
+    * engines replay. */
+  def islands(events: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val w2 = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("grp",
+        row_number().over(w1) - row_number().over(w2))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min(col("ts")).as("island_start"), max(col("ts")).as("island_end"),
+        count(lit(1)).as("n_events"))
+      .drop("grp")
+  }
+
+  def qIslands(spark: SparkSession, dir: String): DataFrame =
+    islands(Tables(spark, dir, "events"))
+
+  val qIslandsSql: String =
+    """WITH numbered AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - row_number() OVER (
+      |          PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |      AS grp
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |  MIN(ts) AS island_start, MAX(ts) AS island_end,
+      |  COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, event_type, grp""".stripMargin
+
+  /** Attribution lookback: a purchase is credited to the last click at
+    * most this many microseconds before it (the ad-tech 30-minute
+    * last-touch window). */
+  val attributionWindowMicros: Long = 30L * 60 * 1000000
+
+  /** LAST-TOUCH ATTRIBUTION — for every purchase, the most recent click
+    * by the same user within the lookback window (the join every
+    * marketing pipeline runs between two event streams). Expressed as
+    * ONE running window instead of a self-join: order each user's
+    * click/purchase events by (ts, event_id), carry the last click
+    * timestamp forward (`last(when(click, ts), ignoreNulls)` over the
+    * strictly-preceding frame), and a purchase row is attributed when
+    * that carried click is within the window. The streaming twin
+    * ([[graft.streaming]]) is the stream-stream interval join; this
+    * batch formulation is its oracle.
+    *
+    * Plan shape: the `isin(click, purchase)` filter is pushed to the
+    * scan; everything else is one user_id exchange + sort — per-user
+    * state is a single timestamp, so the operator survives any corpus
+    * size that sessionization does. */
+  def attribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastClick = last(
+      when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+      .over(w)
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("lc", lastClick)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(unix_micros(col("ts")) - unix_micros(col("lc"))
+          <= attributionWindowMicros, col("lc")).as("click_ts"))
+      .withColumn("attributed", col("click_ts").isNotNull.cast("int"))
+  }
+
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables(spark, dir, "events"))
+
+  val qAttributionSql: String =
+    s"""WITH cp AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT event_id, user_id, ts, value,
+      |  CASE WHEN epoch_us(ts) - epoch_us(lc) <= $attributionWindowMicros
+      |    THEN lc END AS click_ts,
+      |  CAST((CASE WHEN epoch_us(ts) - epoch_us(lc)
+      |    <= $attributionWindowMicros THEN lc END) IS NOT NULL AS INTEGER)
+      |    AS attributed
+      |FROM cp WHERE event_type = 'purchase'""".stripMargin
+
   /** The min-chain formulation — each CTE's tᵢ₊₁ is the earliest
     * step-(i+1) event strictly after tᵢ; provably the greedy fold. */
   val qFunnelSql: String = {
