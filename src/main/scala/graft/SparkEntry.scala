@@ -125,6 +125,8 @@ object SparkEntry {
     "q_ann_ivf" -> (graft.ext.Similarity.qAnnIvf _),
     "q_ann_pq" -> (graft.ext.Similarity.qAnnPq _),
     "q_ann_ivf_pq" -> (graft.ext.Similarity.qAnnIvfPq _),
+    "q_kmeans" -> (graft.ext.KMeansOps.qKmeans _),
+    "q_cluster_sample" -> (graft.ext.KMeansOps.qClusterSample _),
     "q_semdedup" -> (graft.ext.SemDedup.qSemDedup _),
     "q_semdedup_det" -> (graft.ext.SemDedup.qSemDedupDet _),
     "q_count_distinct" -> (graft.ext.Similarity.qCountDistinct _),
@@ -241,6 +243,8 @@ object SparkEntry {
     "q_ann_brute" -> graft.ext.Similarity.qAnnBruteSql,
     "q_ann_cosine_by_id" -> graft.ext.Similarity.qAnnCosineByIdSql,
     "q_ann_lsh_det" -> graft.ext.Similarity.qAnnLshDetSql,
+    "q_kmeans" -> graft.ext.KMeansOps.qKmeansSql,
+    "q_cluster_sample" -> graft.ext.KMeansOps.qClusterSampleSql,
     "q_semdedup_det" -> graft.ext.SemDedup.qSemDedupDetSql,
     "q_count_distinct" -> graft.ext.Similarity.qCountDistinctSql,
     "q_approx_distinct_det" -> graft.ext.Similarity.qApproxDistinctDetSql,
