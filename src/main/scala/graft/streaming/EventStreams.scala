@@ -155,12 +155,13 @@ object EventStreams extends Serializable {
     * (finalized events in exact event-time order, still-pending
     * buffer, new folded boundary). */
   private def finalizeArrivals(
-      prevPending: Seq[(Long, Long, String)], prevFoldedUpTo: Long,
+      prevPending: Seq[(Long, Long, String, Double)], prevFoldedUpTo: Long,
       it: Iterator[Event], keep: String => Boolean, wmUs: Long)
-      : (Seq[(Long, Long, String)], Seq[(Long, Long, String)], Long) = {
+      : (Seq[(Long, Long, String, Double)],
+         Seq[(Long, Long, String, Double)], Long) = {
     val arrived = it.toSeq
       .filter(e => keep(e.event_type))
-      .map(e => (toMicros(e.ts), e.event_id, e.event_type))
+      .map(e => (toMicros(e.ts), e.event_id, e.event_type, e.value))
       .filter(_._1 > prevFoldedUpTo)
     val pending = (prevPending ++ arrived).distinctBy(_._2)
     val (ready, hold) = pending.partition(_._1 <= wmUs)
@@ -182,7 +183,7 @@ object EventStreams extends Serializable {
     * verdicts emitted; `pending` holds (tsUs, event_id, type) newer
     * than it, bounded by the watermark delay × per-user event rate. */
   final case class FunnelBuf(depth: Int, lastTs: Long, foldedUpTo: Long,
-                             pending: Seq[(Long, Long, String)])
+                             pending: Seq[(Long, Long, String, Double)])
 
   /** STREAMING FUNNEL — [[graft.operators.Events.funnel]]'s greedy
     * earliest-match fold as a stateful stream, EXACT on the
@@ -221,7 +222,7 @@ object EventStreams extends Serializable {
       var depth = prev.depth
       var lastTs = prev.lastTs
       val out = Seq.newBuilder[FunnelStep]
-      ready.foreach { case (ts, _, tpe) =>
+      ready.foreach { case (ts, _, tpe, _) =>
         if (depth < steps.size && tpe == steps(depth) && ts > lastTs) {
           depth += 1
           lastTs = ts
@@ -277,9 +278,9 @@ object EventStreams extends Serializable {
     * value), the finalized boundary, and the watermark-bounded pending
     * buffer — [[funnelStream]]'s disorder posture applied to
     * [[graft.operators.Events.qEventTransitions]]. */
-  final case class TransBuf(last: Option[(Long, Long, String)],
+  final case class TransBuf(last: Option[(Long, Long, String, Double)],
                             foldedUpTo: Long,
-                            pending: Seq[(Long, Long, String)])
+                            pending: Seq[(Long, Long, String, Double)])
 
   /** STREAMING TRANSITION MATRIX feed — append-only (from, to) pair
     * records whose corpus-wide count IS the batch
@@ -307,6 +308,71 @@ object EventStreams extends Serializable {
         last = Some(e)
       }
       state.update(TransBuf(last, foldedUpTo, hold))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** One attributed (or unattributed) purchase — the streaming record
+    * matching a row of [[graft.operators.Events.attribution]]. */
+  final case class Attribution(event_id: Long, user_id: Long,
+                               ts: Timestamp, value: Double,
+                               click_ts: Option[Timestamp],
+                               attributed: Int)
+
+  /** Per-user attribution state: the last FINALIZED click time (the
+    * running `last(when(click, ts))` value), the finalized boundary,
+    * and the watermark-bounded pending buffer. */
+  final case class AttrBuf(lastClick: Long, foldedUpTo: Long,
+                           pending: Seq[(Long, Long, String, Double)])
+
+  /** STREAMING LAST-TOUCH ATTRIBUTION — the stateful form of
+    * [[graft.operators.Events.attribution]], and the semantics a bare
+    * stream-stream interval join ([[proximityJoin]]) canNOT give: the
+    * join emits EVERY click within the window, last-touch needs only
+    * the latest preceding one, which is an order-dependent fold. Same
+    * disorder contract as [[funnelStream]]: events finalize in exact
+    * (ts, event_id) order once the watermark passes them, so the
+    * carried last-click value sees clicks and purchases in the batch
+    * window's exact frame order — an equal-timestamp click with a
+    * smaller event_id lands before its purchase, matching the batch
+    * `ROWS … 1 PRECEDING` frame. Emitted records equal the batch
+    * operator's rows restricted to the finalized region
+    * (EventStreamsSpec proves both directions).
+    *
+    * State per user: ONE long (last click) + the watermark window of
+    * pending click/purchase events — the sessionizer's bound. */
+  def attributionStream(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val windowUs = graft.operators.Events.attributionWindowMicros
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[AttrBuf]): Iterator[Attribution] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val prev = state.getOption
+        .getOrElse(AttrBuf(Long.MinValue, Long.MinValue, Nil))
+      val (ready, hold, foldedUpTo) = finalizeArrivals(
+        prev.pending, prev.foldedUpTo, it,
+        t => t == "click" || t == "purchase", wmUs)
+      var lastClick = prev.lastClick
+      val out = Seq.newBuilder[Attribution]
+      ready.foreach { case (ts, id, tpe, v) =>
+        if (tpe == "click") lastClick = ts
+        else {
+          val ok = lastClick != Long.MinValue && ts - lastClick <= windowUs
+          out += Attribution(id, userId, toTimestamp(ts), v,
+            if (ok) Some(toTimestamp(lastClick)) else None,
+            if (ok) 1 else 0)
+        }
+      }
+      state.update(AttrBuf(lastClick, foldedUpTo, hold))
       if (hold.nonEmpty)
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
       out.result().iterator

@@ -209,6 +209,82 @@ class EventStreamsSpec extends SparkSpec {
     assert(u1.map(_._2) === Set(1, 2)) // signup, view — no click/purchase
   }
 
+  test("streaming attribution == batch on the finalized region; " +
+    "late click still wins under cross-batch disorder") {
+    def attrKey(id: Long, clickUs: Option[Long], attributed: Int) =
+      (id, clickUs.getOrElse(-1L), attributed)
+    def batchSet(ev: org.apache.spark.sql.DataFrame) =
+      Events.attribution(ev).collect().map { r =>
+        (r.getLong(0),
+          Option(r.getTimestamp(4)).map(t => t.getTime * 1000 +
+            (t.getNanos % 1000000) / 1000).getOrElse(-1L),
+          r.getInt(5),
+          r.getTimestamp(2).getTime * 1000 +
+            (r.getTimestamp(2).getNanos % 1000000) / 1000)
+      }.toSet
+
+    def runStream(srcDir: String, name: String) = {
+      val out = Files.createTempDirectory(s"evt-attr-$name")
+        .toFile.getAbsolutePath
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .transform(Tables.adaptEventsTs)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+      val q = EventStreams.attributionStream(src)
+        .writeStream.format("memory").queryName(s"attr_$name")
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(s"attr_$name").collect().map { r =>
+        (r.getLong(0),
+          Option(r.getTimestamp(4)).map(t => t.getTime * 1000 +
+            (t.getNanos % 1000000) / 1000).getOrElse(-1L),
+          r.getInt(5),
+          r.getTimestamp(2).getTime * 1000 +
+            (r.getTimestamp(2).getNanos % 1000000) / 1000)
+      }.toSet
+    }
+
+    // PART 1: real corpus, two time-ordered slices
+    val ev = eventsDf
+    val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head.getDouble(0)
+    val srcDir = Files.createTempDirectory("evt-attr-src")
+    ev.filter(unix_micros($"ts") <= mid).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    ev.filter(unix_micros($"ts") > mid).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+    val streamed = runStream(s"$srcDir/*", "real")
+    val batch = batchSet(ev)
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val maxUs = ev.agg(max(unix_micros($"ts"))).head.getLong(0)
+    val wmUs = maxUs - 2L * 3600 * 1000000 - 1000
+    val mustEmit = batch.filter(_._4 < wmUs)
+    assert(mustEmit.nonEmpty && mustEmit.subsetOf(streamed))
+
+    // PART 2: the attributing click arrives one BATCH after the
+    // purchase (event-time order: click@100m, purchase@110m; arrival
+    // order reversed). Both inside the watermark window after batch A,
+    // so the fold must wait, replay event-time order, and attribute.
+    def mkEvents(rows: Seq[(Long, Long, Int, String)]) = {
+      rows.map { case (u, id, minute, tpe) =>
+        (id, new java.sql.Timestamp(minute * 60000L), u, tpe, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    }
+    val disDir = Files.createTempDirectory("evt-attr-dis")
+    mkEvents(Seq((1L, 1L, 110, "purchase")))
+      .coalesce(1).write.parquet(disDir.resolve("a").toString)
+    mkEvents(Seq((1L, 2L, 100, "click"),
+        (9L, 5L, 2000, "view"))) // watermark pusher
+      .coalesce(1).write.parquet(disDir.resolve("b").toString)
+    val disStreamed = runStream(s"$disDir/*", "dis")
+    // purchase 1 attributed to click@100m (within 30 min), exactly once
+    assert(disStreamed === Set((1L, 100L * 60000000, 1, 110L * 60000000)))
+  }
+
   test("streaming anomaly monitor: view over the streamed hourly store " +
     "== batch anomaly on finalized hours") {
     import graft.operators.Events
