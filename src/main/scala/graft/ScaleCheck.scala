@@ -119,6 +119,30 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Extra scaled copy of `part` under a DIFFERENT name: the dims stay
+    * constant by design (the broadcast premise of the view family), but
+    * the fuzzy join treats part as its FACT — its 10× point needs a
+    * 10× name corpus. Copies rotate names through the vowel alphabet
+    * (the documents transform): within-copy near-pair density is
+    * preserved (both members of a pair get the same rotation), and a
+    * rotation rewrites every vowel, so cross-copy near pairs are
+    * essentially absent — output scales ~factor×, and the timing
+    * measures candidate generation, not an inflated result. */
+  def scalePartNames(spark: SparkSession, srcDir: String, outDir: String,
+                     factor: Int): Unit = {
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    (0 until factor).map { k =>
+      val i = k % alphabet.length
+      val rot = alphabet.drop(i) + alphabet.take(i)
+      val name =
+        if (i == 0) col("p_name") else translate(col("p_name"), alphabet, rot)
+      part.select((col("p_partkey") * factor + k).as("p_partkey"),
+        name.as("p_name"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/part_scaled.parquet")
+  }
+
   def scaleFacts(spark: SparkSession, srcDir: String, outDir: String,
                  factor: Int): Unit = {
     // dims copied unscaled, so the scaled dir is a COMPLETE table
@@ -128,6 +152,7 @@ object ScaleCheck {
         spark.read.parquet(s"$srcDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       }
+    scalePartNames(spark, srcDir, outDir, factor)
     scaleEmbeddings(spark, srcDir, outDir, factor)
     def copies(src: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(src, i)).reduce(_ unionByName _)
@@ -176,7 +201,8 @@ object ScaleCheck {
     // v2: embeddings now scale too (shift/sign copies) — the version
     // suffix forces dirs from the v1 harness (constant embeddings) to
     // regenerate rather than be silently trusted
-    val marker = new java.io.File(s"$bigDir/_SCALED_OK_v2_$factor")
+    // v3: part_scaled (fuzzy-join fact twin) added to the table set
+    val marker = new java.io.File(s"$bigDir/_SCALED_OK_v3_$factor")
     val complete = Tables.names.forall(t =>
       new java.io.File(s"$bigDir/$t.parquet").exists())
     if (!marker.exists() || !complete) {
@@ -335,8 +361,26 @@ object ScaleCheck {
         // range window over |hours × types| rows), mixture plan (one
         // partial-agg scan + #domains driver rows)
         "q_funnel_conv", "q_event_transitions", "q_top_spenders",
-        "q_event_anomaly", "q_mixture_plan")
-        .map(n => n -> SparkEntry.queries(n)))
+        "q_event_anomaly", "q_mixture_plan",
+        // round-10 family: gap-fill (rollup-first — spine cost is
+        // |hours×types|, independent of event volume), islands and
+        // attribution (the sessionizer's one-exchange shape), grouping
+        // sets (one Expand + partial agg), scalable ntile (two-level
+        // row number, no single-partition window), integer Lloyd
+        // k-means + cluster sample (iters+1 scans, k·dims driver
+        // state; embeddings scale under harness v2)
+        "q_gap_fill", "q_islands", "q_attribution",
+        "q_grouping_sets", "q_ntile", "q_kmeans", "q_cluster_sample")
+        .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // fuzzy join against the DEDICATED scaled name corpus (dims
+      // don't scale; part_scaled is the fact-shaped twin) — falls back
+      // to the real part table on the unscaled source dir
+      "q_fuzzy_join" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/part_scaled.parquet")
+        val df = if (f.exists) s.read.parquet(f.getPath)
+                 else Tables(s, d, "part")
+        graft.operators.FuzzyJoin.fuzzyJoin(df)
+      })))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {

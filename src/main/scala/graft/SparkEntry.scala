@@ -64,6 +64,7 @@ object SparkEntry {
     "q_base64" -> (SetSortOps.qBase64 _),
     "q_anti_join" -> (SetSortOps.qAntiJoin _),
     "q_fuzzy_join" -> (FuzzyJoin.qFuzzyJoin _),
+    "q_pagerank" -> (PageRank.qPagerank _),
     "q_edit_distance" -> (graft.ext.TextOps.qEditDistance _),
     "q_hash_sample" -> (graft.ext.TextOps.qHashSample _),
     "q_dedup_exact" -> (graft.ext.Dedup.qDedupExact _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "q_base64" -> SetSortOps.qBase64Sql,
     "q_anti_join" -> SetSortOps.qAntiJoinSql,
     "q_fuzzy_join" -> FuzzyJoin.qFuzzyJoinSql,
+    "q_pagerank" -> PageRank.qPagerankSql,
     "q_edit_distance" -> graft.ext.TextOps.qEditDistanceSql,
     "q_hash_sample" -> graft.ext.TextOps.qHashSampleSql,
     "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,
