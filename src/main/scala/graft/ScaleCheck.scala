@@ -370,7 +370,12 @@ object ScaleCheck {
         // k-means + cluster sample (iters+1 scans, k·dims driver
         // state; embeddings scale under harness v2)
         "q_gap_fill", "q_islands", "q_attribution",
-        "q_grouping_sets", "q_ntile", "q_kmeans", "q_cluster_sample")
+        "q_grouping_sets", "q_ntile", "q_kmeans", "q_cluster_sample",
+        // pagerank: co-partitioned edge build (Σ order-size² pairs),
+        // Σedges per round; region revenue: two fact shuffles + two
+        // broadcast dims; winsorize: per-type exact percentile +
+        // map-only clip; zorder: pure map-side integer expression
+        "q_pagerank", "q_region_revenue", "q_winsorize", "q_zorder")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // fuzzy join against the DEDICATED scaled name corpus (dims
       // don't scale; part_scaled is the fact-shaped twin) — falls back

@@ -65,6 +65,9 @@ object SparkEntry {
     "q_anti_join" -> (SetSortOps.qAntiJoin _),
     "q_fuzzy_join" -> (FuzzyJoin.qFuzzyJoin _),
     "q_pagerank" -> (PageRank.qPagerank _),
+    "q_region_revenue" -> (Aggregates.qRegionRevenue _),
+    "q_winsorize" -> (Aggregates.qWinsorize _),
+    "q_zorder" -> (ZOrder.qZorder _),
     "q_edit_distance" -> (graft.ext.TextOps.qEditDistance _),
     "q_hash_sample" -> (graft.ext.TextOps.qHashSample _),
     "q_dedup_exact" -> (graft.ext.Dedup.qDedupExact _),
@@ -188,6 +191,9 @@ object SparkEntry {
     "q_anti_join" -> SetSortOps.qAntiJoinSql,
     "q_fuzzy_join" -> FuzzyJoin.qFuzzyJoinSql,
     "q_pagerank" -> PageRank.qPagerankSql,
+    "q_region_revenue" -> Aggregates.qRegionRevenueSql,
+    "q_winsorize" -> Aggregates.qWinsorizeSql,
+    "q_zorder" -> ZOrder.qZorderSql,
     "q_edit_distance" -> graft.ext.TextOps.qEditDistanceSql,
     "q_hash_sample" -> graft.ext.TextOps.qHashSampleSql,
     "q_dedup_exact" -> graft.ext.Dedup.qDedupExactSql,

@@ -159,6 +159,83 @@ object Aggregates {
       |    AS decile
       |FROM spend""".stripMargin
 
+  /** REGIONAL REVENUE — the TPC-H-Q5-shaped 5-table join rollup
+    * (lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region → revenue per
+    * region-year): the canonical star-schema chain the view family's
+    * J1–J6 don't cover in one plan. Revenue is the discounted price
+    * Σ price·(1−disc), computed EXACTLY as integer 1/10000ths:
+    * cents(price)·(100−pct(disc)) is an exact long for 2-dp inputs,
+    * and the final double/10000 is one correctly-rounded IEEE op both
+    * engines share — [[dsum]]'s argument one multiplication deeper.
+    *
+    * Plan at scale: lineitem→orders and orders→customer shuffle on
+    * their keys (facts both); nation and region broadcast (true dims);
+    * the rollup partial-aggregates to |regions × years| before its
+    * exchange. Catalyst picks exactly this given the sizes — the spec
+    * asserts the two broadcasts. */
+  def qRegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nat = Tables(spark, dir, "nation")
+    val reg = Tables(spark, dir, "region")
+    val revUnits = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(revUnits).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val qRegionRevenueSql: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** WINSORIZATION — robust-scaling of a metric column: clip each
+    * event's value to its type's exact [p1, p99] band (the outlier
+    * treatment feature pipelines apply before normalization). The
+    * per-type percentile table is |types| rows — broadcast back onto
+    * the corpus, so clipping is map-only; the exact ordered statistic
+    * sorts per group once (the q_quantiles posture; at petabyte scale
+    * the same plan takes `approx_percentile`). Both engines share the
+    * (1−d)·lo + d·hi interpolation, and min/max against the raw
+    * double are value-preserving — output hashes bit-identically. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val bounds = ev.groupBy(col("event_type").as("bt"))
+      .agg(expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+    ev.join(broadcast(bounds), col("event_type") === col("bt"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("p01")), col("p99"))
+          .as("clipped"),
+        (col("value") < col("p01") || col("value") > col("p99"))
+          .cast("int").as("was_clipped"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS bt,
+      |    quantile_cont(value, 0.01) AS p01,
+      |    quantile_cont(value, 0.99) AS p99
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, event_type, value,
+      |  least(greatest(value, p01), p99) AS clipped,
+      |  CAST(value < p01 OR value > p99 AS INTEGER) AS was_clipped
+      |FROM events JOIN b ON event_type = bt""".stripMargin
+
   /** A1 — scalar MIN aggregate used as the merge cutoff
     * (reference config.py:180-187). */
   def scalarMin(spark: SparkSession, dir: String): DataFrame =
