@@ -45,18 +45,33 @@ object PageRank {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
+  /** Broadcast the rank table into the edge scan while |nodes| is
+    * broadcast-sized (each node is 16 bytes; 10⁷ nodes ≈ 160 MB, the
+    * executor-memory edge of sanity) — each round is then ONE pass
+    * over the checkpointed edges with a map-side hash join and a
+    * partial aggregation, no edge shuffle at all. Beyond it, fall
+    * back to the shuffled join (the classic distributed PageRank
+    * round). The driver knows n exactly, so the choice is explicit
+    * rather than left to Catalyst's post-aggregation size guess. */
+  private val broadcastNodeLimit = 10000000L
+
   def pagerank(li: DataFrame, iters: Int = prIters): DataFrame = {
+    // out-degree is folded onto the edges ONCE at build time, so the
+    // per-round plan touches a single prepared table
+    val rawEdges = coPurchaseEdges(li)
+    val out = rawEdges.groupBy(col("src").as("osrc"))
+      .agg(sum(col("w")).as("outw"))
     val (edges, _) = graft.util.Checkpoints.checkpointTracked(
-      coPurchaseEdges(li))
-    val out = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+      rawEdges.join(out, col("src") === col("osrc")).drop("osrc"))
     val nodes = li.select(col("l_partkey").as("node")).distinct()
     val n = nodes.count() // |nodes| — the oracle recomputes it in SQL
     var r = nodes.withColumn("rank", lit(prMass / n))
     var release: () => Unit = () => ()
     for (i <- 1 to iters) {
+      val rankSide = r.withColumnRenamed("node", "src")
       val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .join(out, "src")
+        .join(if (n <= broadcastNodeLimit) broadcast(rankSide)
+              else rankSide, "src")
         .select(col("dst"),
           expr("(850 * rank * w) div (1000 * outw)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
