@@ -65,6 +65,9 @@ object SparkEntry {
     "q_anti_join" -> (SetSortOps.qAntiJoin _),
     "q_fuzzy_join" -> (FuzzyJoin.qFuzzyJoin _),
     "q_pagerank" -> (PageRank.qPagerank _),
+    "q_triangles" -> (Triangles.qTriangles _),
+    "q_concurrency" -> (Concurrency.qConcurrency _),
+    "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
     "q_winsorize" -> (Aggregates.qWinsorize _),
     "q_zorder" -> (ZOrder.qZorder _),
@@ -118,6 +121,7 @@ object SparkEntry {
     "q_classifier_train" -> (graft.ext.CorpusOps.qClassifierTrain _),
     "q_classifier_infer" -> (graft.ext.CorpusOps.qClassifierInfer _),
     "q_classifier_eval" -> (graft.ext.CorpusOps.qClassifierEval _),
+    "q_calibration" -> (graft.ext.CorpusOps.qCalibration _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
     "q_score_threshold" -> (graft.ext.CorpusOps.qScoreThreshold _),
@@ -191,6 +195,9 @@ object SparkEntry {
     "q_anti_join" -> SetSortOps.qAntiJoinSql,
     "q_fuzzy_join" -> FuzzyJoin.qFuzzyJoinSql,
     "q_pagerank" -> PageRank.qPagerankSql,
+    "q_triangles" -> Triangles.qTrianglesSql,
+    "q_concurrency" -> Concurrency.qConcurrencySql,
+    "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
     "q_winsorize" -> Aggregates.qWinsorizeSql,
     "q_zorder" -> ZOrder.qZorderSql,
@@ -245,6 +252,7 @@ object SparkEntry {
     "q_classifier_train" -> graft.ext.CorpusOps.qClassifierTrainSql,
     "q_classifier_infer" -> graft.ext.CorpusOps.qClassifierInferSql,
     "q_classifier_eval" -> graft.ext.CorpusOps.qClassifierEvalSql,
+    "q_calibration" -> graft.ext.CorpusOps.qCalibrationSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_score_threshold" -> graft.ext.CorpusOps.qScoreThresholdSql,

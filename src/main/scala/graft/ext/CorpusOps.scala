@@ -415,6 +415,65 @@ object CorpusOps {
       |FROM cm""".stripMargin
   }
 
+  /** CLASSIFIER CALIBRATION TABLE — the reliability diagram behind
+    * every threshold decision the curation pipeline makes with this
+    * model: split the scored corpus into equal-count score DECILES and
+    * report, per decile, the predicted-positive rate against the
+    * actual gate-label rate (exact integer permille). A well-calibrated
+    * scorer shows label_rate rising monotonically with the decile and
+    * crossing pred_rate near the decision boundary; a flat label_rate
+    * means the score carries no signal at that margin.
+    *
+    * Equal-count bins need a global rank — the single-partition-window
+    * trap — so the decile comes from the scalable two-level row number
+    * ([[graft.operators.RowNumbering]]) via the exact ntile identity
+    * `(rn−1)·k div n + 1` (the [[graft.operators.Aggregates.qNtile]]
+    * precedent, cross-validated against DuckDB's native ntile by the
+    * oracle). Everything else is one partial-agg pass over the
+    * |docs|-row inference output; rates are non-negative integer
+    * divisions, so the truncating div agrees across engines. */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val inf = qClassifierInfer(spark, dir)
+      .select(col("doc_id"), col("score"), col("pred"), col("y"))
+    val n = inf.count()
+    graft.operators.RowNumbering.withGlobalRowNumber(inf,
+        Seq(col("score").asc, col("doc_id").asc), "rn")
+      .withColumn("decile",
+        expr(s"(rn - 1) * $k div ${math.max(n, 1L)} + 1").cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("pred").cast("bigint")).as("n_pred_pos"),
+        sum(col("y").cast("bigint")).as("n_label_pos"))
+      .select(col("decile"), col("n_docs"), col("min_score"),
+        col("max_score"), col("n_pred_pos"), col("n_label_pos"),
+        expr("1000 * n_pred_pos div n_docs").as("pred_rate_permille"),
+        expr("1000 * n_label_pos div n_docs").as("label_rate_permille"))
+  }
+
+  /** The inference unroll as a subquery + DuckDB's native ntile over
+    * the same (score, doc_id) total order — cross-validating the
+    * engine's row-number identity — then the per-decile rollup. */
+  // lazy: composes qClassifierInferSql, declared later in this object
+  lazy val qCalibrationSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, score, pred, y,
+      |    ntile(10) OVER (ORDER BY score, doc_id) AS decile
+      |  FROM (${qClassifierInferSql.replace("\n", "\n  ")}) inf)
+      |SELECT CAST(decile AS INTEGER) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(score) AS BIGINT) AS min_score,
+      |  CAST(MAX(score) AS BIGINT) AS max_score,
+      |  CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+      |  CAST(SUM(y) AS BIGINT) AS n_label_pos,
+      |  CAST(1000 * SUM(pred) // COUNT(*) AS BIGINT)
+      |    AS pred_rate_permille,
+      |  CAST(1000 * SUM(y) // COUNT(*) AS BIGINT)
+      |    AS label_rate_permille
+      |FROM d GROUP BY decile""".stripMargin
+
   /** [[classifierTrainCtes]] + a scoring tail: margins under the final
     * weight generation, pred = margin > 0, the gate label from `lab`. */
   val qClassifierInferSql: String = {
