@@ -122,6 +122,7 @@ object SparkEntry {
     "q_classifier_infer" -> (graft.ext.CorpusOps.qClassifierInfer _),
     "q_classifier_eval" -> (graft.ext.CorpusOps.qClassifierEval _),
     "q_calibration" -> (graft.ext.CorpusOps.qCalibration _),
+    "q_quantile_norm" -> (graft.ext.CorpusOps.qQuantileNorm _),
     "q_boilerplate" -> (graft.ext.CorpusOps.qBoilerplate _),
     "q_lm_score" -> (graft.ext.CorpusOps.qLmScore _),
     "q_score_threshold" -> (graft.ext.CorpusOps.qScoreThreshold _),
@@ -253,6 +254,7 @@ object SparkEntry {
     "q_classifier_infer" -> graft.ext.CorpusOps.qClassifierInferSql,
     "q_classifier_eval" -> graft.ext.CorpusOps.qClassifierEvalSql,
     "q_calibration" -> graft.ext.CorpusOps.qCalibrationSql,
+    "q_quantile_norm" -> graft.ext.CorpusOps.qQuantileNormSql,
     "q_boilerplate" -> graft.ext.CorpusOps.qBoilerplateSql,
     "q_lm_score" -> graft.ext.CorpusOps.qLmScoreSql,
     "q_score_threshold" -> graft.ext.CorpusOps.qScoreThresholdSql,

@@ -474,6 +474,89 @@ object CorpusOps {
       |    AS label_rate_permille
       |FROM d GROUP BY decile""".stripMargin
 
+  /** CROSS-SOURCE QUANTILE NORMALIZATION — harmonize a quality score
+    * across heterogeneous sources before mixing them (the curation
+    * problem: the same raw score means different things in Wikipedia
+    * and CommonCrawl, so per-source thresholds drift; mapping every
+    * source onto the CORPUS distribution makes one threshold govern
+    * all). Classic quantile normalization, exactly: a doc at relative
+    * rank p within its source gets the corpus score found at relative
+    * rank p — rank arithmetic only, no floats:
+    *
+    *   permille    = (r_src − 1)·1000 div max(n_src − 1, 1)
+    *   target_rank = 1 + permille·(N − 1) div 1000
+    *   norm_score  = corpus score at target_rank (ties resolved by the
+    *                 (score, doc_id) total order both engines share)
+    *
+    * Plan shape: scoring is the map-only hashed-classifier pass; the
+    * per-source rank is one window over a source-keyed exchange (the
+    * sessionizer shape); the corpus rank table comes from the scalable
+    * two-level [[graft.operators.RowNumbering]] (NOT a single-partition
+    * window); the final lookup is a shuffle join on the long rank key.
+    * Two sorts + two joins total, each keyed and partial — the 100 TB
+    * posture for any global-distribution alignment. All divisions are
+    * non-negative, so truncating div agrees across engines. */
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"), col("source"),
+      aggregate(t, lit(0L), (acc, w) => acc + wordWeight(w)).as("score"))
+    val n = scored.count()
+    val corpusRanks = graft.operators.RowNumbering
+      .withGlobalRowNumber(scored.select(col("score"), col("doc_id")),
+        Seq(col("score").asc, col("doc_id").asc), "grank")
+      .select(col("grank").as("target_rank"), col("score").as("norm_score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val ranked = scored
+      .withColumn("r", row_number().over(
+        w.orderBy(col("score"), col("doc_id"))).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(w))
+      .withColumn("permille",
+        expr("(r - 1) * 1000 div greatest(n_s - 1, 1L)"))
+      .withColumn("target_rank",
+        expr(s"1 + permille * ($n - 1) div 1000"))
+    ranked.join(corpusRanks, "target_rank")
+      .select(col("doc_id"), col("source"), col("score"), col("permille"),
+        col("norm_score"))
+  }
+
+  val qQuantileNormSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(
+      |          CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+      |            % $classifierBuckets AS VARCHAR)), 1, 8) AS UBIGINT)
+      |        % $classifierWeightSpan AS BIGINT) - 1000) AS BIGINT)
+      |      AS score
+      |  FROM w GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.source, sc.score
+      |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+      |g AS (
+      |  SELECT score AS norm_score,
+      |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+      |      AS grank
+      |  FROM scored),
+      |r AS (
+      |  SELECT doc_id, source, score,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      |  FROM scored),
+      |p AS (
+      |  SELECT doc_id, source, score,
+      |    (r - 1) * 1000 // GREATEST(n_s - 1, 1) AS permille,
+      |    1 + ((r - 1) * 1000 // GREATEST(n_s - 1, 1))
+      |      * ((SELECT n FROM nn) - 1) // 1000 AS target_rank
+      |  FROM r)
+      |SELECT p.doc_id, p.source, p.score,
+      |  CAST(p.permille AS BIGINT) AS permille, g.norm_score
+      |FROM p JOIN g ON g.grank = p.target_rank""".stripMargin
+
   /** [[classifierTrainCtes]] + a scoring tail: margins under the final
     * weight generation, pred = margin > 0, the gate label from `lab`. */
   val qClassifierInferSql: String = {
