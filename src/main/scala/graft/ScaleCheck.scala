@@ -375,7 +375,16 @@ object ScaleCheck {
         // Σedges per round; region revenue: two fact shuffles + two
         // broadcast dims; winsorize: per-type exact percentile +
         // map-only clip; zorder: pure map-side integer expression
-        "q_pagerank", "q_region_revenue", "q_winsorize", "q_zorder")
+        "q_pagerank", "q_region_revenue", "q_winsorize", "q_zorder",
+        // graph/basket/calibration family: triangles (degree-ordered
+        // orientation — wedge candidates O(m^1.5), baskets don't cross
+        // scaled copies so edges grow ~linearly), assoc rules (Apriori
+        // prune + the same co-partitioned basket self-join),
+        // concurrency (boundary prefix sum — two jobs over the session
+        // sort), calibration (train memoized; deciles via two-level
+        // row number), quantile norm (two rank passes + rank-key join)
+        "q_triangles", "q_assoc_rules", "q_concurrency",
+        "q_calibration", "q_quantile_norm")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // fuzzy join against the DEDICATED scaled name corpus (dims
       // don't scale; part_scaled is the fact-shaped twin) — falls back

@@ -270,6 +270,35 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("n")))
 
+  /** STREAMING SESSION STORE — [[sessionize]]'s watermark-finalized
+    * sessions appended to a parquet store (exactly-once via the file
+    * sink's checkpointed commit log): the [[runHourlyCountStream]]
+    * deployment pattern applied to the stateful sessionizer. The store
+    * IS the batch session table restricted to the finalized region
+    * (EventStreamsSpec proves both directions), so every downstream
+    * batch operator over sessions — concurrency, duration rollups —
+    * runs unchanged against it. */
+  def runSessionStream(spark: SparkSession, events: Dataset[Event],
+                       storePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessionize(events)
+      .writeStream.format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** LIVE CONCURRENCY VIEW over the session store — the capacity
+    * dashboard query: [[graft.operators.Concurrency.peakConcurrency]]
+    * (boundary events + scalable prefix sum) applied to the streamed
+    * sessions. Refresh cost is the |sessions|-row store scan, never
+    * event volume; on finalized days the view equals the batch
+    * q_concurrency by the store-equivalence argument above. */
+  def concurrencyView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Concurrency.peakConcurrency(
+      spark.read.parquet(storePath))
+
   /** One consecutive-pair observation for the transition matrix. */
   final case class Transition(user_id: Long, from_type: String,
                               to_type: String, ts: Timestamp)

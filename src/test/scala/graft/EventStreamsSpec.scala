@@ -403,4 +403,46 @@ class EventStreamsSpec extends SparkSpec {
     val mustEmit = batch.filter(_._3.getTime < cutoff)
     assert(mustEmit.subsetOf(streamed))
   }
+
+  test("streaming session store: concurrency view == batch on days " +
+      "where every contributing session is finalized") {
+    val src = spark.readStream
+      .schema(rawSchema)
+      .parquet(stageSourceDir())
+      .transform(Tables.adaptEventsTs)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val out = Files.createTempDirectory("evt-store").toFile.getAbsolutePath
+    EventStreams.runSessionStream(spark, src,
+      s"$out/store", s"$out/ckpt").awaitTermination()
+
+    val view = EventStreams.concurrencyView(spark, s"$out/store")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(view.nonEmpty)
+
+    // batch concurrency over ALL sessions; comparison domain = days
+    // strictly before the earliest session the stream could still be
+    // holding open (earliest unfinalized start), so every boundary the
+    // batch side sees on those days is in the store too
+    val batchSessions = Events.qSessionize(spark, dir)
+    val maxTs = eventsDf.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val gapMs = Events.sessionGapMicros / 1000
+    val wmCutoff = maxTs.getTime - (2L * 3600 * 1000) - gapMs
+    val unfinalized = batchSessions
+      .filter($"session_end" >= new java.sql.Timestamp(wmCutoff))
+    val earliestOpenStart = unfinalized.agg(min($"session_start"))
+      .as[java.sql.Timestamp].head()
+    val dayCut = java.time.Instant.ofEpochMilli(earliestOpenStart.getTime)
+      .truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+    val batchPeaks = graft.operators.Concurrency
+      .peakConcurrency(batchSessions)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val closedDays = batchPeaks.keySet
+      .filter(_.getTime < dayCut.toEpochMilli)
+    assert(closedDays.nonEmpty)
+    closedDays.foreach { d =>
+      assert(view.get(d) === batchPeaks.get(d),
+        s"day $d: view=${view.get(d)} batch=${batchPeaks.get(d)}")
+    }
+  }
 }
