@@ -66,6 +66,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (FuzzyJoin.qFuzzyJoin _),
     "q_pagerank" -> (PageRank.qPagerank _),
     "q_triangles" -> (Triangles.qTriangles _),
+    "q_label_prop" -> (LabelProp.qLabelProp _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_fuzzy_join" -> FuzzyJoin.qFuzzyJoinSql,
     "q_pagerank" -> PageRank.qPagerankSql,
     "q_triangles" -> Triangles.qTrianglesSql,
+    "q_label_prop" -> LabelProp.qLabelPropSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
