@@ -67,6 +67,7 @@ object SparkEntry {
     "q_pagerank" -> (PageRank.qPagerank _),
     "q_triangles" -> (Triangles.qTriangles _),
     "q_label_prop" -> (LabelProp.qLabelProp _),
+    "q_skyline" -> (Skyline.qSkyline _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "q_pagerank" -> PageRank.qPagerankSql,
     "q_triangles" -> Triangles.qTrianglesSql,
     "q_label_prop" -> LabelProp.qLabelPropSql,
+    "q_skyline" -> Skyline.qSkylineSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
