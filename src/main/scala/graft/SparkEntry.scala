@@ -68,6 +68,7 @@ object SparkEntry {
     "q_triangles" -> (Triangles.qTriangles _),
     "q_label_prop" -> (LabelProp.qLabelProp _),
     "q_skyline" -> (Skyline.qSkyline _),
+    "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_triangles" -> Triangles.qTrianglesSql,
     "q_label_prop" -> LabelProp.qLabelPropSql,
     "q_skyline" -> Skyline.qSkylineSql,
+    "q_heavy_hitters" -> HeavyHitters.qHeavyHittersSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
