@@ -69,6 +69,7 @@ object SparkEntry {
     "q_label_prop" -> (LabelProp.qLabelProp _),
     "q_skyline" -> (Skyline.qSkyline _),
     "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
+    "q_bfs" -> (Bfs.qBfs _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_label_prop" -> LabelProp.qLabelPropSql,
     "q_skyline" -> Skyline.qSkylineSql,
     "q_heavy_hitters" -> HeavyHitters.qHeavyHittersSql,
+    "q_bfs" -> Bfs.qBfsSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
