@@ -70,6 +70,7 @@ object SparkEntry {
     "q_skyline" -> (Skyline.qSkyline _),
     "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
     "q_bfs" -> (Bfs.qBfs _),
+    "q_scd2" -> (Scd2.qScd2 _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_skyline" -> Skyline.qSkylineSql,
     "q_heavy_hitters" -> HeavyHitters.qHeavyHittersSql,
     "q_bfs" -> Bfs.qBfsSql,
+    "q_scd2" -> Scd2.qScd2Sql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
