@@ -71,6 +71,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (HeavyHitters.qHeavyHitters _),
     "q_bfs" -> (Bfs.qBfs _),
     "q_scd2" -> (Scd2.qScd2 _),
+    "q_cdc_apply" -> (CdcApply.qCdcApply _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -207,6 +208,7 @@ object SparkEntry {
     "q_heavy_hitters" -> HeavyHitters.qHeavyHittersSql,
     "q_bfs" -> Bfs.qBfsSql,
     "q_scd2" -> Scd2.qScd2Sql,
+    "q_cdc_apply" -> CdcApply.qCdcApplySql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
