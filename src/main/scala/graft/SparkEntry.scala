@@ -72,6 +72,7 @@ object SparkEntry {
     "q_bfs" -> (Bfs.qBfs _),
     "q_scd2" -> (Scd2.qScd2 _),
     "q_cdc_apply" -> (CdcApply.qCdcApply _),
+    "q_bm25" -> (graft.ext.Bm25.qBm25 _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_bfs" -> Bfs.qBfsSql,
     "q_scd2" -> Scd2.qScd2Sql,
     "q_cdc_apply" -> CdcApply.qCdcApplySql,
+    "q_bm25" -> graft.ext.Bm25.qBm25Sql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
