@@ -384,8 +384,29 @@ object ScaleCheck {
         // sort), calibration (train memoized; deciles via two-level
         // row number), quantile norm (two rank passes + rank-key join)
         "q_triangles", "q_assoc_rules", "q_concurrency",
-        "q_calibration", "q_quantile_norm")
+        "q_calibration", "q_quantile_norm",
+        // round-9 late family: BFS (frontier joins — edge build is the
+        // dominant self-join, distinct part-pair edges saturate at
+        // |parts|² while edge MASS grows ~factor), SCD2 (grain agg +
+        // two key-partitioned windows over 10× per-key depth), CDC
+        // apply (max_by partial agg — shuffle bounded by touched keys,
+        // not log depth), BM25 (tokenize + dlen agg scale; query-term
+        // tf stays copy-0-sized because rotations rewrite the terms),
+        // skyline (two partial-agg scans + bucket-keyed window)
+        "q_bfs", "q_scd2", "q_cdc_apply", "q_bm25", "q_skyline")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // heavy hitters at a FIXED absolute threshold (the small corpus'
+      // T): the scaled corpus' disjoint vocabularies make nothing
+      // RELATIVELY heavy, so the relative form would time an empty
+      // prune; fixing T keeps candidate mass ~factor× and measures the
+      // sketch + prune + exact passes at honest selectivity
+      "q_heavy_hitters_absT" -> ((s: SparkSession, d: String) => {
+        val b = graft.operators.HeavyHitters.bigrams(Tables(s, d, "documents"))
+        // 250 ≈ the sf0.1 corpus' N/1000 relative threshold (N≈266k,
+        // max bigram count 357): ~900 heavy keys at small, ~factor×
+        // that at big (each rotated copy contributes its own set)
+        graft.operators.HeavyHitters.heavyHitters(b, absoluteT = Some(250L))
+      }),
       // fuzzy join against the DEDICATED scaled name corpus (dims
       // don't scale; part_scaled is the fact-shaped twin) — falls back
       // to the real part table on the unscaled source dir

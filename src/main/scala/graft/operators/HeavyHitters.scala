@@ -50,12 +50,18 @@ object HeavyHitters {
   val floorCount = 2L
 
   /** Exact heavy hitters of the single string column `key` in `keys`.
-    * Returns (key, cnt) for every key with cnt ≥ max(N/φ⁻¹, floor). */
-  def heavyHitters(keys: DataFrame): DataFrame = {
+    * Returns (key, cnt) for every key with cnt ≥ max(N/φ⁻¹, floor).
+    * `absoluteT` overrides the relative threshold — the scale-check
+    * posture (a 10× disjoint-vocabulary corpus has no RELATIVELY heavy
+    * keys, so timing the relative form would measure an empty prune). */
+  def heavyHitters(keys: DataFrame, absoluteT: Option[Long] = None)
+      : DataFrame = {
     val spark = keys.sparkSession
     // one scalar scan: total mass → threshold
-    val n = keys.count()
-    val t = math.max(n / phiDenom, floorCount)
+    val t = absoluteT.getOrElse {
+      val n = keys.count()
+      math.max(n / phiDenom, floorCount)
+    }
     // sketch pass: depth rows per key row, constant groupBy key space
     val hashed = keys.select(
       posexplode(array((0 until hhDepth).map(i =>
@@ -78,11 +84,9 @@ object HeavyHitters {
       .filter(col("cnt") >= t)
   }
 
-  /** Driver query: heavy token bigrams across the documents corpus —
-    * the frequent-phrase report (boilerplate candidates, template
-    * detection) at n-gram cardinality. */
-  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables(spark, dir, "documents")
+  /** The corpus bigram stream (map-only). */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs
       .select(expr(
         "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
         .as("toks"))
@@ -94,8 +98,13 @@ object HeavyHitters {
       .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> concat(toks[i], ' ', toks[i + 1]))")).as("key"))
-    heavyHitters(bigrams).select(col("key").as("bigram"), col("cnt"))
-  }
+
+  /** Driver query: heavy token bigrams across the documents corpus —
+    * the frequent-phrase report (boilerplate candidates, template
+    * detection) at n-gram cardinality. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(bigrams(Tables(spark, dir, "documents")))
+      .select(col("key").as("bigram"), col("cnt"))
 
   /** Naive exact formulation — groupBy the full key space. The sketch
     * path must reproduce this bit-for-bit. */
