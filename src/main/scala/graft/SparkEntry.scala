@@ -73,6 +73,7 @@ object SparkEntry {
     "q_scd2" -> (Scd2.qScd2 _),
     "q_cdc_apply" -> (CdcApply.qCdcApply _),
     "q_bm25" -> (graft.ext.Bm25.qBm25 _),
+    "q_rolling_hll" -> (Events.qRollingHll _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_scd2" -> Scd2.qScd2Sql,
     "q_cdc_apply" -> CdcApply.qCdcApplySql,
     "q_bm25" -> graft.ext.Bm25.qBm25Sql,
+    "q_rolling_hll" -> Events.qRollingHllSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,

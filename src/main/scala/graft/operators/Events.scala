@@ -239,6 +239,96 @@ object Events {
       |JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1""".stripMargin
 
+  /** Sketch size for [[qRollingHll]] — same budget as
+    * [[graft.ext.Similarity.kmvK]] (error ≈ 1/√k ≈ 12.5%); windows
+    * whose distinct count is under k are EXACT (60-bit hashes don't
+    * collide at corpus scale). */
+  val rollingKmvK = 64
+
+  /** ROLLING DISTINCT VIA MERGEABLE SKETCHES — the 100 TB form of
+    * [[rollingActive]]: the exact operator explodes the (user, day)
+    * PAIR SET 7× (fine while |users·days| shuffles comfortably); this
+    * twin explodes only per-day KMV SKETCHES — a constant ≤k rows per
+    * day — so the window merge costs |days|·7·k regardless of user
+    * volume. That trade (per-day partial sketch, window = sketch
+    * merge) is exactly how production rolling-distinct dashboards
+    * stay sublinear, and KMV's merge is closed under it: the bottom-k
+    * of unioned bottom-k sketches IS the bottom-k of the unioned key
+    * sets, so a window's sketch is the same object a single-pass
+    * sketch of the window would be — no compounding of error across
+    * the merge.
+    *
+    * Per-day bottom-k plans as a rank-≤-k window — Spark's
+    * WindowGroupLimit keeps per-group heaps BELOW the exchange (the
+    * [[qTopSpenders]] observation), so no day ever shuffles more than
+    * its distinct-hash stream. Deterministic end to end (md5-Horner
+    * 60-bit hashes, [[graft.ext.Similarity.qApproxDistinctDet]]'s
+    * estimator) — the ORACLE full-replays sketches, merge, and
+    * estimates; the spec separately bounds the estimate against the
+    * exact [[rollingActive]]. */
+  def rollingHll(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val dayHash = events.select(
+      date_trunc("day", col("ts")).cast("date").as("day"),
+      conv(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 15), 16, 10).cast("bigint").as("h"))
+      .distinct()
+    val byDay = Window.partitionBy("day").orderBy("h")
+    val daySketch = dayHash
+      .withColumn("rk", row_number().over(byDay))
+      .filter(col("rk") <= rollingKmvK).drop("rk")
+    val activityDays = dayHash.select(col("day")).distinct()
+    val windowHashes = daySketch
+      .select(col("h"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("report_day"))
+      .join(activityDays.select(col("day").as("report_day")), "report_day")
+      .distinct() // same user may appear in several merged day sketches
+    val byReport = Window.partitionBy("report_day").orderBy("h")
+    windowHashes
+      .withColumn("rk", row_number().over(byReport))
+      .filter(col("rk") <= rollingKmvK)
+      .groupBy("report_day")
+      .agg(count(lit(1)).cast("bigint").as("k_used"), max(col("h")).as("kth"))
+      .select(col("report_day").cast("timestamp").as("report_day"),
+        col("k_used"), col("kth"),
+        when(col("k_used") < rollingKmvK, col("k_used").cast("double"))
+          .otherwise((col("k_used").cast("double") - 1.0) *
+            lit(1152921504606846976.0) / col("kth").cast("double"))
+          .as("est"))
+  }
+
+  def qRollingHll(spark: SparkSession, dir: String): DataFrame =
+    rollingHll(Tables(spark, dir, "events"))
+
+  val qRollingHllSql: String =
+    s"""WITH dh AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+      |      AS UBIGINT) AS BIGINT) AS h
+      |  FROM events),
+      |sk AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h, ROW_NUMBER() OVER (
+      |      PARTITION BY day ORDER BY h) AS rk FROM dh)
+      |  WHERE rk <= $rollingKmvK),
+      |days AS (SELECT DISTINCT day FROM dh),
+      |wh AS (
+      |  SELECT DISTINCT d.day AS report_day, sk.h
+      |  FROM days d JOIN sk ON sk.day BETWEEN d.day - 6 AND d.day),
+      |merged AS (
+      |  SELECT report_day, h FROM (
+      |    SELECT report_day, h, ROW_NUMBER() OVER (
+      |      PARTITION BY report_day ORDER BY h) AS rk FROM wh)
+      |  WHERE rk <= $rollingKmvK),
+      |s AS (
+      |  SELECT report_day, CAST(COUNT(*) AS BIGINT) AS k_used,
+      |    MAX(h) AS kth
+      |  FROM merged GROUP BY 1)
+      |SELECT CAST(report_day AS TIMESTAMP) AS report_day, k_used, kth,
+      |  CASE WHEN k_used < $rollingKmvK THEN CAST(k_used AS DOUBLE)
+      |    ELSE (CAST(k_used AS DOUBLE) - 1.0) * 1152921504606846976.0
+      |      / CAST(kth AS DOUBLE) END AS est
+      |FROM s""".stripMargin
+
   /** GROUPED TOP-K — top 3 users by exact spend per week: the "top N
     * per group" reporting classic. Expressed as rank-over-partition ≤ k
     * so Spark plans a WindowGroupLimit: the per-group limit is pushed
