@@ -393,7 +393,12 @@ object ScaleCheck {
         // not log depth), BM25 (tokenize + dlen agg scale; query-term
         // tf stays copy-0-sized because rotations rewrite the terms),
         // skyline (two partial-agg scans + bucket-keyed window)
-        "q_bfs", "q_scd2", "q_cdc_apply", "q_bm25", "q_skyline")
+        "q_bfs", "q_scd2", "q_cdc_apply", "q_bm25", "q_skyline",
+        // rolling KMV: per-day distinct-hash stream grows ~factor
+        // (users remap ×factor, days constant) but sketches stay ≤k
+        // per day — the merge is constant, the slope is the distinct
+        // pass; bloom join: build ~|urgent|×factor, probe map-only
+        "q_rolling_hll", "q_bloom_join")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing

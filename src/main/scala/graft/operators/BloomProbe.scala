@@ -252,4 +252,61 @@ object BloomProbe {
       |SELECT doc_id, lang, source FROM probe
       |WHERE $novel""".stripMargin
   }
+
+  // ─────────── Runtime bloom-filter join (the manual runtime filter) ───────────
+
+  /** BLOOM-PREFILTERED JOIN — the runtime-filter pattern applied BY
+    * HAND: when a selective dimension filter means most fact rows will
+    * die in the join anyway, build a bloom over the surviving dim keys
+    * and kill fact rows AT THE SCAN, before they pay the join shuffle.
+    * Catalyst injects this itself in friendly conditions
+    * (`runtime.bloomFilter.enabled`, creation-side thresholds); the
+    * explicit form exists for the cases the injection declines — a
+    * pre-built dim artifact reused across queries, a creation side
+    * above the planner's size gates, or a probe under a join the
+    * optimizer reshapes — and makes the 100 TB arithmetic visible:
+    * shuffling 100 TB of facts to keep 20% costs 5× the network the
+    * kept rows need; an ~x-bits/key bloom broadcast kills the dead 80%
+    * map-side for ~fpRate of false passengers, every one of which the
+    * EXACT join after still removes. Result is therefore exactly the
+    * plain join — the bloom only prunes — which is what the ORACLE
+    * (a bloom-free join) certifies. */
+  def bloomJoin(fact: DataFrame, factKey: String,
+                dim: DataFrame, dimKey: String,
+                expectedKeys: Long, fpRate: Double = 0.01): DataFrame = {
+    val filter = buildFilter(dim.select(dimKey), dimKey,
+      expectedKeys, fpRate)
+    fact.filter(mightContain(filter, col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** Driver query: urgent-order revenue by month — the ~20%-selective
+    * priority predicate lives on orders (the dim side); the bloom over
+    * urgent orderkeys prunes lineitem at the scan, the exact join
+    * drops the false positives, and the rollup is exact cents. */
+  def qBloomJoin(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    val urgent = graft.Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val n = urgent.count() // the dim side is the SMALL side by premise
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    bloomJoin(li, "l_orderkey", urgent, "o_orderkey",
+      expectedKeys = math.max(n, 1L))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("revenue_cents"))
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT date_trunc('month', o.o_orderdate) AS month,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
 }

@@ -121,4 +121,33 @@ class BloomProbeSpec extends SparkSpec {
     assert(!plan.contains("UDF") && !plan.contains("BatchEval"),
       plan.take(500))
   }
+
+  test("bloom join: result equals the plain join; probe prunes BELOW the " +
+    "join exchange") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    val got = BloomProbe.qBloomJoin(spark, dir)
+    val want = spark.sql(BloomProbe.qBloomJoinSql)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+    // the might_contain filter must sit on the fact SCAN side, below
+    // the join: in the executed plan string the probe appears before
+    // any join node materializes the fact rows
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    // and the prune is real: probed fact rows ≈ urgent fraction
+    val li = Tables(spark, dir, "lineitem")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val filter = BloomProbe.buildFilter(urgent, "o_orderkey",
+      math.max(urgent.count(), 1L))
+    val kept = li.filter(
+      BloomProbe.mightContain(filter, col("l_orderkey"))).count()
+    val exact = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(kept >= exact)                    // one-sided: never under-keep
+    assert(kept <= (exact * 1.1 + 50).toLong, // and barely over
+      s"bloom kept $kept vs exact $exact")
+  }
 }
