@@ -75,6 +75,7 @@ object SparkEntry {
     "q_bm25" -> (graft.ext.Bm25.qBm25 _),
     "q_rolling_hll" -> (Events.qRollingHll _),
     "q_bloom_join" -> (BloomProbe.qBloomJoin _),
+    "q_interval_join" -> (IntervalJoin.qIntervalJoin _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "q_bm25" -> graft.ext.Bm25.qBm25Sql,
     "q_rolling_hll" -> Events.qRollingHllSql,
     "q_bloom_join" -> BloomProbe.qBloomJoinSql,
+    "q_interval_join" -> IntervalJoin.qIntervalJoinSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,
