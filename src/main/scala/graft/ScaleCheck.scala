@@ -398,7 +398,10 @@ object ScaleCheck {
         // (users remap ×factor, days constant) but sketches stay ≤k
         // per day — the merge is constant, the slope is the distinct
         // pass; bloom join: build ~|urgent|×factor, probe map-only
-        "q_rolling_hll", "q_bloom_join")
+        "q_rolling_hll", "q_bloom_join",
+        // banded interval join: sessions ×factor (users remap), burst
+        // side bounded by |hours|; shuffle is Σ interval-length/bucket
+        "q_interval_join")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
