@@ -76,6 +76,8 @@ object SparkEntry {
     "q_rolling_hll" -> (Events.qRollingHll _),
     "q_bloom_join" -> (BloomProbe.qBloomJoin _),
     "q_interval_join" -> (IntervalJoin.qIntervalJoin _),
+    "q_path_trigrams" -> (Events.qPathTrigrams _),
+    "q_cusum" -> (Events.qCusum _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -217,6 +219,8 @@ object SparkEntry {
     "q_rolling_hll" -> Events.qRollingHllSql,
     "q_bloom_join" -> BloomProbe.qBloomJoinSql,
     "q_interval_join" -> IntervalJoin.qIntervalJoinSql,
+    "q_path_trigrams" -> Events.qPathTrigramsSql,
+    "q_cusum" -> Events.qCusumSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,

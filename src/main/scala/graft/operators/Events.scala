@@ -549,6 +549,146 @@ object Events {
       |FROM seq WHERE from_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** SESSION PATH TRIGRAMS — the 3-step extension of the first-order
+    * transition matrix [[qEventTransitions]]: counts of consecutive
+    * (a → b → c) event triples WITHIN a session, the clickstream
+    * pattern-mining staple (what do users actually do around a
+    * purchase). Where the transition matrix is Markov-1 (memoryless),
+    * trigram counts expose the second-order structure a funnel
+    * designer cares about.
+    *
+    * Plan shape: the session id and both lags ride ONE window layout
+    * (partition user, order ts — the sessionizer's exchange); triples
+    * never cross a session boundary (both lagged session ids must
+    * match). Event volume collapses at the trigram partial agg —
+    * |distinct triples| ≤ |types|³ rows out. */
+  def pathTrigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_session", when(
+        col("us") - lag(col("us"), 1).over(w) > sessionGapMicros, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .withColumn("s1", lag(col("session_id"), 2).over(w))
+      .withColumn("s2", lag(col("session_id"), 1).over(w))
+      .filter(col("s1") === col("session_id") &&
+        col("s2") === col("session_id"))
+      .groupBy(col("t1").as("step1"), col("t2").as("step2"),
+        col("event_type").as("step3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def qPathTrigrams(spark: SparkSession, dir: String): DataFrame =
+    pathTrigrams(Tables(spark, dir, "events"))
+
+  val qPathTrigramsSql: String =
+    s"""WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+      |              > $sessionGapMicros
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), tri AS (
+      |  SELECT event_type,
+      |    lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2,
+      |    lag(session_id, 2) OVER w AS s1, lag(session_id, 1) OVER w AS s2,
+      |    session_id
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT t1 AS step1, t2 AS step2, event_type AS step3,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM tri
+      |WHERE s1 = session_id AND s2 = session_id
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** INTEGER CUSUM CHANGE DETECTION over the hourly rate — the classic
+    * sequential drift detector (Page 1954) beside [[anomalyOver]]'s
+    * trailing-ratio spike score: a spike test fires on one bad hour;
+    * CUSUM accumulates SUSTAINED excess over the expected rate and
+    * fires when the cumulative drift crosses a decision interval, which
+    * is what catches slow leaks (a 20% elevated error rate for six
+    * hours) that never trip a per-hour threshold.
+    *
+    * The recurrence s_t = max(0, s_{t−1} + x_t − k) is not a window
+    * function, but its closed form is: s_t = cum_t − min_{i≤t} cum_i
+    * over the raw drift cumsum — a prefix sum plus a running min, two
+    * frames of ONE type-partitioned window over the |hours × types|
+    * ROLLUP (the gap-fill posture: event volume collapses first; the
+    * dense zero-filled spine keeps silent hours draining the
+    * statistic). All INTEGER: drift is scaled by |hours_type| so the
+    * per-type mean rate k = total/|hours| needs no division —
+    * drift_t = n_t·H − T exactly; the alarm fires at 4 mean-hours of
+    * accumulated excess (cusum > 4·T). */
+  def cusum(events: DataFrame): DataFrame = {
+    val dense = gapFill(events)
+      .select(col("event_type"), col("hour"), col("n_events").as("n"))
+    val stats = dense.groupBy("event_type")
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val cum = dense.join(broadcast(stats), "event_type")
+      .withColumn("drift", col("n") * col("h") - col("total"))
+      .withColumn("cum", sum(col("drift")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("runmin", min(col("cum")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum
+      .withColumn("cusum", col("cum") - col("runmin"))
+      .withColumn("alarm",
+        (col("cusum") > col("total") * 4).cast("integer"))
+      .select("event_type", "hour", "n", "cusum", "alarm")
+  }
+
+  def qCusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(Tables(spark, dir, "events"))
+
+  val qCusumSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hour) AS h0, max(hour) AS h1
+      |  FROM hourly GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM span),
+      |dense AS (
+      |  SELECT s.event_type, s.hour,
+      |    CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      |  FROM spine s LEFT JOIN hourly h
+      |    ON s.event_type = h.event_type AND s.hour = h.hour),
+      |stats AS (
+      |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS h
+      |  FROM dense GROUP BY 1),
+      |cum AS (
+      |  SELECT d.event_type, d.hour, d.n, st.total,
+      |    CAST(SUM(d.n * st.h - st.total) OVER (
+      |      PARTITION BY d.event_type ORDER BY d.hour
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM dense d JOIN stats st USING (event_type)),
+      |runs AS (
+      |  SELECT *, MIN(cum) OVER (
+      |      PARTITION BY event_type ORDER BY hour
+      |      ROWS UNBOUNDED PRECEDING) AS runmin
+      |  FROM cum)
+      |SELECT event_type, hour, n, cum - runmin AS cusum,
+      |  CAST(cum - runmin > total * 4 AS INTEGER) AS alarm
+      |FROM runs""".stripMargin
+
   /** GAP-FILL TIME SPINE — the missing half of every time-series rollup:
     * a tumbling-window aggregate emits rows only for buckets WITH data,
     * but dashboards, anomaly baselines and downstream joins need a dense
