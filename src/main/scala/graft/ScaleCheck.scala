@@ -401,7 +401,11 @@ object ScaleCheck {
         "q_rolling_hll", "q_bloom_join",
         // banded interval join: sessions ×factor (users remap), burst
         // side bounded by |hours|; shuffle is Σ interval-length/bucket
-        "q_interval_join")
+        "q_interval_join",
+        // trigrams: one per-user window layout, |types|³-bounded agg;
+        // cusum: rollup-first — windows run over |hours×types| rows,
+        // never event volume
+        "q_path_trigrams", "q_cusum")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
