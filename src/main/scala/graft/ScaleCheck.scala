@@ -185,6 +185,16 @@ object ScaleCheck {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(1).getOrElse("/tmp/sfbig")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // The generator OVERWRITES bigDir. Writing into the source dir (or
+    // any testdata dir) destroys the corpus the engine is graded
+    // against — this exact foot-gun fired once (src==big "isolation
+    // timing"); the small side of a normal run is the isolation number.
+    require(new java.io.File(bigDir).getCanonicalPath !=
+      new java.io.File(srcDir).getCanonicalPath,
+      "bigDir must differ from srcDir (the generator overwrites bigDir)")
+    require(!new java.io.File(bigDir).getCanonicalPath
+      .startsWith("/root/testdata"),
+      "bigDir must never point into /root/testdata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

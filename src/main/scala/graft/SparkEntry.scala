@@ -78,6 +78,8 @@ object SparkEntry {
     "q_interval_join" -> (IntervalJoin.qIntervalJoin _),
     "q_path_trigrams" -> (Events.qPathTrigrams _),
     "q_cusum" -> (Events.qCusum _),
+    "q_unpivot" -> (Events.qUnpivot _),
+    "q_seasonal_naive" -> (Events.qSeasonalNaive _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -221,6 +223,8 @@ object SparkEntry {
     "q_interval_join" -> IntervalJoin.qIntervalJoinSql,
     "q_path_trigrams" -> Events.qPathTrigramsSql,
     "q_cusum" -> Events.qCusumSql,
+    "q_unpivot" -> Events.qUnpivotSql,
+    "q_seasonal_naive" -> Events.qSeasonalNaiveSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,

@@ -113,6 +113,89 @@ object Events {
         s"  COUNT(*) FILTER (event_type = '$t') AS \"$t\"").mkString(",\n")}
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** UNPIVOT — the inverse reshape of [[qPivot]], closing the
+    * wide↔long pair every reporting layer needs: the wide user × type
+    * count matrix melts back to (user_id, event_type, n) rows via a
+    * single `stack` projection (one codegen'd Expand node — map-only,
+    * no shuffle beyond the pivot's own). Dropping the zero cells the
+    * pivot manufactured makes the round trip EXACT: unpivot ∘ pivot ≡
+    * the plain groupBy — which is precisely what the ORACLE computes,
+    * so the driver gate certifies the inversion law, not just the
+    * reshape. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = qPivot(spark, dir)
+    val stackExpr = s"stack(${eventTypes.length}, " +
+      eventTypes.map(t => s"'$t', `$t`").mkString(", ") +
+      ") AS (event_type, n)"
+    wide.select(col("user_id"), expr(stackExpr))
+      .filter(col("n") > 0)
+  }
+
+  val qUnpivotSql: String =
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** SEASONAL-NAIVE FORECAST ERROR (the MASE decomposition) — the
+    * honest baseline every traffic forecast must beat: predict each
+    * hour by the same hour YESTERDAY (lag 24 on the dense spine) and
+    * score it against the naive lag-1 prediction. The ratio of the two
+    * absolute-error masses is Hyndman's MASE; emitting the two integer
+    * SUMS (plus the double ratio, one division on both engines) keeps
+    * the row hash-exact while giving the consumer the scale-free
+    * statistic. Window depth is the |hours×types| ROLLUP (gap-fill
+    * posture) — the lags never see event volume; silent hours are real
+    * zeros, so the baseline is scored on the series a forecaster
+    * would actually see. */
+  def seasonalNaive(events: DataFrame): DataFrame = {
+    val dense = gapFill(events)
+      .select(col("event_type"), col("hour"), col("n_events").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    dense
+      .withColumn("lag24", lag(col("n"), 24).over(w))
+      .withColumn("lag1", lag(col("n"), 1).over(w))
+      .filter(col("lag24").isNotNull && col("lag1").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("lag24"))).as("seasonal_abs_err"),
+        sum(abs(col("n") - col("lag1"))).as("naive_abs_err"))
+      .withColumn("mase",
+        col("seasonal_abs_err").cast("double") /
+          col("naive_abs_err").cast("double"))
+  }
+
+  def qSeasonalNaive(spark: SparkSession, dir: String): DataFrame =
+    seasonalNaive(Tables(spark, dir, "events"))
+
+  val qSeasonalNaiveSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hour) AS h0, max(hour) AS h1
+      |  FROM hourly GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM span),
+      |dense AS (
+      |  SELECT s.event_type, s.hour, CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      |  FROM spine s LEFT JOIN hourly h
+      |    ON s.event_type = h.event_type AND s.hour = h.hour),
+      |lagged AS (
+      |  SELECT event_type, n,
+      |    lag(n, 24) OVER w AS lag24, lag(n, 1) OVER w AS lag1
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(ABS(n - lag24)) AS BIGINT) AS seasonal_abs_err,
+      |  CAST(SUM(ABS(n - lag1)) AS BIGINT) AS naive_abs_err,
+      |  CAST(SUM(ABS(n - lag24)) AS DOUBLE)
+      |    / CAST(SUM(ABS(n - lag1)) AS DOUBLE) AS mase
+      |FROM lagged
+      |WHERE lag24 IS NOT NULL AND lag1 IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   /** Exact continuous percentiles per event type (both engines use the
     * same (1-d)·lower + d·upper interpolation). Exact ordered statistics
     * sort each group — the honest cost; the constant-memory scale path

@@ -46,6 +46,32 @@ class PathCusumSpec extends SparkSpec {
     assert(out(8)._2 > 0L && out(9)._2 > out(8)._2)
   }
 
+  test("unpivot: inversion law — unpivot(pivot(events)) == plain groupBy") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.qUnpivot(spark, dir)
+    val want = Tables(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("seasonal naive: a 24-periodic signal scores ZERO seasonal error") {
+    // 72 dense hours of a clean 24-periodic pattern (h%24 + 1 events in
+    // hour h): lag-24 predicts perfectly once a full day is behind it,
+    // the naive lag-1 cannot — MASE 0
+    val rows = for {
+      h <- 0 until 72
+      _ <- 0 until (h % 24) + 1
+    } yield (1L, f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:15:00", "x")
+    val out = Events.seasonalNaive(ev(rows: _*)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 0L)       // seasonal_abs_err
+    assert(r.getLong(3) > 0L)         // naive_abs_err
+    assert(r.getDouble(4) === 0.0)    // mase
+    assert(r.getLong(1) === 72L - 24L) // hours scored
+  }
+
   test("both: corpus plans equal their SQL replays") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)
