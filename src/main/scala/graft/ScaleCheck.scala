@@ -415,7 +415,10 @@ object ScaleCheck {
         // trigrams: one per-user window layout, |types|³-bounded agg;
         // cusum: rollup-first — windows run over |hours×types| rows,
         // never event volume
-        "q_path_trigrams", "q_cusum")
+        "q_path_trigrams", "q_cusum",
+        // unpivot: one Expand over the pivot's |users|-row matrix;
+        // seasonal naive: rollup-first lags over |hours×types|
+        "q_unpivot", "q_seasonal_naive")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
