@@ -80,6 +80,8 @@ object SparkEntry {
     "q_cusum" -> (Events.qCusum _),
     "q_unpivot" -> (Events.qUnpivot _),
     "q_seasonal_naive" -> (Events.qSeasonalNaive _),
+    "q_robust_z" -> (Events.qRobustZ _),
+    "q_pmi" -> (graft.ext.Collocations.qPmi _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
     "q_region_revenue" -> (Aggregates.qRegionRevenue _),
@@ -225,6 +227,8 @@ object SparkEntry {
     "q_cusum" -> Events.qCusumSql,
     "q_unpivot" -> Events.qUnpivotSql,
     "q_seasonal_naive" -> Events.qSeasonalNaiveSql,
+    "q_robust_z" -> Events.qRobustZSql,
+    "q_pmi" -> graft.ext.Collocations.qPmiSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
     "q_region_revenue" -> Aggregates.qRegionRevenueSql,

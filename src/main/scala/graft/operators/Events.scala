@@ -217,6 +217,77 @@ object Events {
       |  quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** ROBUST Z-SCORE OUTLIERS (median/MAD) — the third member of the
+    * monitoring trio beside the trailing-ratio spike score
+    * ([[anomalyOver]]) and the sustained-drift CUSUM ([[cusum]]): a
+    * mean/stddev z-score is poisoned by the very outliers it hunts
+    * (one 100× hour inflates σ until nothing is 3σ out), so the robust
+    * form centers on the MEDIAN and scales by the MEDIAN absolute
+    * deviation — 50% breakdown point, the monitoring-statistics
+    * standard (Hampel). Two exact grouped percentiles (the
+    * [[qQuantiles]] machinery) over the DENSE hourly rollup, a
+    * broadcast join of the |types|-row med/mad table back onto the
+    * spine, and a map-only score: 1.4826·MAD estimates σ under
+    * normality, so |z| > 3.5 is the usual Hampel cut. Everything after
+    * the first partial agg runs over |hours × types| rows. */
+  def robustZ(events: DataFrame): DataFrame = {
+    val dense = gapFill(events)
+      .select(col("event_type"), col("hour"), col("n_events").as("n"))
+    val med = dense.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val mad = dense.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    dense
+      .join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      // MAD = 0 (>50% of hours identical — a flat or very sparse type)
+      // has no finite scale: z is NULL and ANY deviation from the
+      // median flags. Spelled as an explicit CASE on both engines —
+      // ANSI Spark errors on the division and DuckDB would return ±inf,
+      // so the degenerate branch must never evaluate the ratio.
+      .withColumn("z", when(col("mad") > 0,
+        (col("n").cast("double") - col("med")) / (lit(1.4826) * col("mad"))))
+      .withColumn("is_outlier",
+        when(col("mad") > 0, abs(col("z")) > 3.5)
+          .otherwise(col("n").cast("double") =!= col("med"))
+          .cast("integer"))
+      .select("event_type", "hour", "n", "med", "mad", "z", "is_outlier")
+  }
+
+  def qRobustZ(spark: SparkSession, dir: String): DataFrame =
+    robustZ(Tables(spark, dir, "events"))
+
+  val qRobustZSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hour) AS h0, max(hour) AS h1
+      |  FROM hourly GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM span),
+      |dense AS (
+      |  SELECT s.event_type, s.hour, CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      |  FROM spine s LEFT JOIN hourly h
+      |    ON s.event_type = h.event_type AND s.hour = h.hour),
+      |med AS (
+      |  SELECT event_type, quantile_cont(n, 0.5) AS med
+      |  FROM dense GROUP BY 1),
+      |mad AS (
+      |  SELECT d.event_type, quantile_cont(abs(d.n - m.med), 0.5) AS mad
+      |  FROM dense d JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT d.event_type, d.hour, d.n, m.med, a.mad,
+      |  CASE WHEN a.mad > 0
+      |    THEN (CAST(d.n AS DOUBLE) - m.med) / (1.4826 * a.mad) END AS z,
+      |  CAST(CASE WHEN a.mad > 0
+      |    THEN abs((CAST(d.n AS DOUBLE) - m.med) / (1.4826 * a.mad)) > 3.5
+      |    ELSE CAST(d.n AS DOUBLE) <> m.med END AS INTEGER) AS is_outlier
+      |FROM dense d JOIN med m USING (event_type)
+      |JOIN mad a USING (event_type)""".stripMargin
+
   /** JSON property extraction from the `props` column (every training
     * pipeline parses sidecar JSON metadata): pull `$.k` as a typed
     * column and keep the raw event key. */
