@@ -418,7 +418,10 @@ object ScaleCheck {
         "q_path_trigrams", "q_cusum",
         // unpivot: one Expand over the pivot's |users|-row matrix;
         // seasonal naive: rollup-first lags over |hours×types|
-        "q_unpivot", "q_seasonal_naive")
+        "q_unpivot", "q_seasonal_naive",
+        // robust z: two grouped percentiles over |hours×types|;
+        // pmi: two partial aggs + vocabulary-sized broadcast joins
+        "q_robust_z", "q_pmi")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
