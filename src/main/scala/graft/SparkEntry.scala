@@ -81,6 +81,7 @@ object SparkEntry {
     "q_unpivot" -> (Events.qUnpivot _),
     "q_seasonal_naive" -> (Events.qSeasonalNaive _),
     "q_robust_z" -> (Events.qRobustZ _),
+    "q_shortest_path" -> (ShortestPath.qShortestPath _),
     "q_pmi" -> (graft.ext.Collocations.qPmi _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
@@ -228,6 +229,7 @@ object SparkEntry {
     "q_unpivot" -> Events.qUnpivotSql,
     "q_seasonal_naive" -> Events.qSeasonalNaiveSql,
     "q_robust_z" -> Events.qRobustZSql,
+    "q_shortest_path" -> ShortestPath.qShortestPathSql,
     "q_pmi" -> graft.ext.Collocations.qPmiSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,
