@@ -421,7 +421,10 @@ object ScaleCheck {
         "q_unpivot", "q_seasonal_naive",
         // robust z: two grouped percentiles over |hours×types|;
         // pmi: two partial aggs + vocabulary-sized broadcast joins
-        "q_robust_z", "q_pmi")
+        "q_robust_z", "q_pmi",
+        // min-plus relaxation: edge build dominates (as BFS); rounds
+        // ride the saturated distinct-edge table
+        "q_shortest_path")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
