@@ -420,17 +420,31 @@ object Events {
     * estimator) — the ORACLE full-replays sketches, merge, and
     * estimates; the spec separately bounds the estimate against the
     * exact [[rollingActive]]. */
-  def rollingHll(events: DataFrame, windowDays: Int = 7): DataFrame = {
+  def rollingHll(events: DataFrame, windowDays: Int = 7): DataFrame =
+    rollingFromDaySketches(daySketches(events), windowDays)
+
+  /** Per-day bottom-k sketch of the distinct user-hash stream — the
+    * mergeable unit the rolling report (and the [[graft.streaming
+    * .KmvStore]] incremental store) is built from. */
+  def daySketches(events: DataFrame): DataFrame = {
     val dayHash = events.select(
       date_trunc("day", col("ts")).cast("date").as("day"),
       conv(substring(md5(col("user_id").cast("string").cast("binary")),
         1, 15), 16, 10).cast("bigint").as("h"))
       .distinct()
     val byDay = Window.partitionBy("day").orderBy("h")
-    val daySketch = dayHash
+    dayHash
       .withColumn("rk", row_number().over(byDay))
       .filter(col("rk") <= rollingKmvK).drop("rk")
-    val activityDays = dayHash.select(col("day")).distinct()
+  }
+
+  /** The 7-day merge + estimator over a day-sketch table: every day
+    * present in `daySketch` is an activity day (a sketch exists iff
+    * the day had events), so report days derive from the sketches
+    * themselves — the store needs no separate day table. */
+  def rollingFromDaySketches(daySketch: DataFrame,
+                             windowDays: Int = 7): DataFrame = {
+    val activityDays = daySketch.select(col("day")).distinct()
     val windowHashes = daySketch
       .select(col("h"), explode(sequence(col("day"),
         date_add(col("day"), windowDays - 1))).as("report_day"))

@@ -65,15 +65,19 @@ object CohortStore {
   /** Generic touched-bucket monoid merge: `batchRows` (already reduced
     * map-side) union the touched store buckets, re-reduced by
     * `reduce`, republished. `reduce` must be the store's monoid
-    * applied over (store ∪ batch) — idempotent + order-independent. */
-  private def mergeMonoid(spark: SparkSession, storePath: String,
+    * applied over (store ∪ batch) — idempotent + order-independent.
+    * `bucket` keys the partition layout (defaults to the user bucket;
+    * other stores pass their own key — shared by [[KmvStore]]). */
+  private[streaming] def mergeMonoid(spark: SparkSession, storePath: String,
                           batchRows: DataFrame,
-                          reduce: DataFrame => DataFrame): Unit = {
+                          reduce: DataFrame => DataFrame,
+                          bucket: org.apache.spark.sql.Column = bucketOf)
+      : Unit = {
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     CurationStream.recoverStore(spark, storePath)
     val (staged, release) = graft.util.Checkpoints.checkpointTracked(
-      batchRows.withColumn("bucket", bucketOf))
+      batchRows.withColumn("bucket", bucket))
     try {
       val touched = staged.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSet // ≤ storeBuckets
@@ -85,7 +89,7 @@ object CohortStore {
         else None
       val merged = reduce(
         existing.fold(staged)(staged.unionByName(_)).drop("bucket"))
-        .withColumn("bucket", bucketOf)
+        .withColumn("bucket", bucket)
       CurationStream.publishTouchedBuckets(spark, storePath, merged, touched)
     } finally release()
   }
