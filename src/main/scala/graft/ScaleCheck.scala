@@ -424,7 +424,10 @@ object ScaleCheck {
         "q_robust_z", "q_pmi",
         // min-plus relaxation: edge build dominates (as BFS); rounds
         // ride the saturated distinct-edge table
-        "q_shortest_path")
+        "q_shortest_path",
+        // two-phase weighted selection: two partial-agg scans +
+        // one bounded-bucket window, driver state ≤ wmBuckets longs
+        "q_weighted_median")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
