@@ -83,6 +83,7 @@ object SparkEntry {
     "q_robust_z" -> (Events.qRobustZ _),
     "q_shortest_path" -> (ShortestPath.qShortestPath _),
     "q_weighted_median" -> (WeightedMedian.qWeightedMedian _),
+    "q_mix_drift" -> (MixDrift.qMixDrift _),
     "q_pmi" -> (graft.ext.Collocations.qPmi _),
     "q_concurrency" -> (Concurrency.qConcurrency _),
     "q_assoc_rules" -> (AssocRules.qAssocRules _),
@@ -232,6 +233,7 @@ object SparkEntry {
     "q_robust_z" -> Events.qRobustZSql,
     "q_shortest_path" -> ShortestPath.qShortestPathSql,
     "q_weighted_median" -> WeightedMedian.qWeightedMedianSql,
+    "q_mix_drift" -> MixDrift.qMixDriftSql,
     "q_pmi" -> graft.ext.Collocations.qPmiSql,
     "q_concurrency" -> Concurrency.qConcurrencySql,
     "q_assoc_rules" -> AssocRules.qAssocRulesSql,

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.MixDrift
+
+/** Mix drift: a uniform mix scores ~0, a flipped-mix period alarms,
+  * and the corpus plan equals its SQL replay. */
+class MixDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniform mix scores ~0; a flipped period alarms") {
+    // periods p1/p2: 50/50 a-b (baseline); p3: 95/5 — strong drift
+    val obs = (
+      Seq.fill(50)(("p1", "a")) ++ Seq.fill(50)(("p1", "b")) ++
+      Seq.fill(50)(("p2", "a")) ++ Seq.fill(50)(("p2", "b")) ++
+      Seq.fill(95)(("p3", "a")) ++ Seq.fill(5)(("p3", "b")))
+      .toDF("period", "cat")
+    val out = MixDrift.mixDrift(obs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    // the baseline is the CORPUS mix (65/35 here — p3 pulls it), so
+    // the balanced periods sit below the alarm line but not at zero
+    assert(out("p1")._2 === 0 && out("p2")._2 === 0)
+    assert(out("p3")._2 === 1)
+    assert(out("p3")._1 > out("p1")._1 * 2)
+  }
+
+  test("a category absent from one period contributes zero, not NaN") {
+    val obs = (Seq.fill(30)(("p1", "a")) ++ Seq.fill(30)(("p1", "b")) ++
+      Seq.fill(30)(("p2", "a"))).toDF("period", "cat")
+    val out = MixDrift.mixDrift(obs).collect()
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+  }
+
+  test("corpus plan equals the SQL replay") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    // float G sums compare within tolerance (partial-agg order may
+    // differ between the two plans); integers compare exact
+    def key(r: org.apache.spark.sql.Row) =
+      r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2), r.getInt(3))
+    val got = MixDrift.qMixDrift(spark, dir).collect().map(key).toMap
+    val want = spark.sql(MixDrift.qMixDriftSql).collect().map(key).toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (p, (n, g, d)) =>
+      val (wn, wg, wd) = want(p)
+      assert(n === wn && d === wd)
+      assert(math.abs(g - wg) <= 1e-9 * math.max(1.0, math.abs(wg)))
+    }
+  }
+}
