@@ -427,7 +427,9 @@ object ScaleCheck {
         "q_shortest_path",
         // two-phase weighted selection: two partial-agg scans +
         // one bounded-bucket window, driver state ≤ wmBuckets longs
-        "q_weighted_median")
+        "q_weighted_median",
+        // G-test drift: one scan to the |periods×cats| rollup
+        "q_mix_drift")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
