@@ -29,8 +29,16 @@ object MixDrift {
 
   /** G-test of `obs(period, cat)` counts vs the all-period mix:
     * (period, n, g, drifted). */
-  def mixDrift(obs: DataFrame): DataFrame = {
-    val cell = obs.groupBy("period", "cat").agg(count(lit(1)).as("o"))
+  def mixDrift(obs: DataFrame): DataFrame =
+    mixDriftCells(
+      obs.groupBy("period", "cat").agg(count(lit(1)).as("o")))
+
+  /** The statistic over a PRE-AGGREGATED contingency table
+    * `cell(period, cat, o)` — the form incremental stores serve
+    * directly (the hourly count store's day rollup IS this table, so
+    * the streaming view shares this one definition with batch). */
+  def mixDriftCells(cellIn: DataFrame): DataFrame = {
+    val cell = cellIn
     val rowT = cell.groupBy("period").agg(sum(col("o")).as("rt"))
     val colT = cell.groupBy("cat").agg(sum(col("o")).as("ct"))
     val n = cell.agg(sum(col("o")).as("n"))

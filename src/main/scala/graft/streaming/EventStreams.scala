@@ -270,6 +270,27 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("n")))
 
+  /** STREAMING MIX-DRIFT VIEW — [[graft.operators.MixDrift]]'s G-test
+    * served from the hourly count store: the store's day rollup IS the
+    * contingency table, so the view runs `mixDriftCells` — the one
+    * shared definition — over |days × types| rows, never events. Only
+    * COMPLETE days score (days strictly before the last stored hour's
+    * day): window ends are monotone and every finalized hour up to the
+    * max is stored, so every earlier day's cells are final; the
+    * in-flight day would otherwise score a partial (wrong) mix rather
+    * than a missing row — aggregation over time buckets makes "late"
+    * mean "corrupt", not "absent", hence the explicit cut. */
+  def mixDriftView(spark: SparkSession, storePath: String): DataFrame = {
+    val store = spark.read.parquet(storePath)
+    val maxWs = store.agg(max(col("ws"))).head.getTimestamp(0)
+    val dayCut = date_trunc("DAY", lit(maxWs))
+    graft.operators.MixDrift.mixDriftCells(
+      store.filter(col("ws") < dayCut)
+        .groupBy(date_trunc("DAY", col("ws")).as("period"),
+          col("event_type").as("cat"))
+        .agg(sum(col("n_events")).as("o")))
+  }
+
   /** STREAMING SESSION STORE — [[sessionize]]'s watermark-finalized
     * sessions appended to a parquet store (exactly-once via the file
     * sink's checkpointed commit log): the [[runHourlyCountStream]]

@@ -30,6 +30,40 @@ class MixDriftSpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("streaming view == batch statistic on complete days") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("mix-drift-stream")
+      .toFile.getAbsolutePath
+    val ev = Tables(spark, dir, "events")
+    ev.coalesce(1).write.parquet(s"$tmp/src/part0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/src/part0").schema)
+      .parquet(s"$tmp/src/*")
+    EventStreams.runHourlyCountStream(spark, src, s"$tmp/store",
+      s"$tmp/ckpt").awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2), r.getInt(3))
+    val got = EventStreams.mixDriftView(spark, s"$tmp/store")
+      .collect().map(key).toMap
+    // batch over raw events restricted to the SAME complete-day set
+    val maxWs = spark.read.parquet(s"$tmp/store")
+      .agg(max(col("ws"))).head.getTimestamp(0)
+    val batch = graft.operators.MixDrift.mixDrift(
+      ev.filter(col("ts") < date_trunc("DAY", lit(maxWs)))
+        .select(date_trunc("DAY", col("ts")).as("period"),
+          col("event_type").as("cat")))
+      .collect().map(key).toMap
+    assert(got.keySet === batch.keySet && got.nonEmpty)
+    got.foreach { case (p, (n, g, d)) =>
+      val (bn, bg, bd) = batch(p)
+      assert(n === bn && d === bd)
+      assert(math.abs(g - bg) <= 1e-9 * math.max(1.0, math.abs(bg)))
+    }
+  }
+
   test("corpus plan equals the SQL replay") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)
