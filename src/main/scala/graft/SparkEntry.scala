@@ -165,6 +165,14 @@ object SparkEntry {
     "q_embed_prototype" -> (graft.ext.Similarity.qEmbedPrototype _),
     "q_ncm_predict" -> (graft.ext.Similarity.qNcmPredict _),
     "q_knn_probe_ann" -> (graft.ext.Similarity.qKnnProbeAnn _),
+    "q_dq_profile" -> (DataQuality.qDqProfile _),
+    "q_benford" -> (DataQuality.qBenford _),
+    "q_dq_rules" -> (DataQuality.qDqRules _),
+    "q_skew_profile" -> (DataQuality.qSkewProfile _),
+    "q_acf" -> (Autocorr.qAcf _),
+    "q_kcore" -> (KCore.qKcore _),
+    "q_item_cf" -> (ItemCf.qItemCf _),
+    "q_kmv_intersect" -> (KmvSetOps.qKmvIntersect _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -309,6 +317,14 @@ object SparkEntry {
     "q_knn_probe" -> graft.ext.Similarity.qKnnProbeSql,
     "q_embed_prototype" -> graft.ext.Similarity.qEmbedPrototypeSql,
     "q_ncm_predict" -> graft.ext.Similarity.qNcmPredictSql,
+    "q_dq_profile" -> DataQuality.qDqProfileSql,
+    "q_benford" -> DataQuality.qBenfordSql,
+    "q_dq_rules" -> DataQuality.qDqRulesSql,
+    "q_skew_profile" -> DataQuality.qSkewProfileSql,
+    "q_acf" -> Autocorr.qAcfSql,
+    "q_kcore" -> KCore.qKcoreSql,
+    "q_item_cf" -> ItemCf.qItemCfSql,
+    "q_kmv_intersect" -> KmvSetOps.qKmvIntersectSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained DATA-PROFILE store — the streaming half of
+  * [[graft.operators.DataQuality.qDqProfile]]: order batches arrive as
+  * files and the live per-column profile (rows, nulls, min/max,
+  * distinct) is a view over constant-size per-batch summaries, equal
+  * at every point to a single batch pass over the absorbed corpus.
+  *
+  * Monoid split — each statistic rides the algebra it actually has:
+  *  - n / n_null are SUM monoids (not idempotent) → redelivery safety
+  *    comes from the per-batch-dir layout ([[HeavyHittersStore]]
+  *    posture): a replayed batch OVERWRITES its own `batch=<id>` dir.
+  *  - min/max are idempotent lattice joins — summing layout works for
+  *    them trivially (min of mins, max of maxes).
+  *  - distinct-count becomes the KMV bottom-k sketch (the
+  *    [[KmvStore]] algebra): per-batch bottom-k rows, re-bottom-k'd
+  *    at view time — KMV's merge closure makes any slicing/redelivery
+  *    converge to the sketch of the union key set. EXACT per-column
+  *    distinct is the one statistic that fundamentally cannot be
+  *    maintained in constant state (it IS the key set) — the sketch
+  *    swap is the 100 TB answer, with 1/√k error and a deterministic
+  *    md5 hash so the spec can prove stream ≡ batch EXACTLY (same
+  *    sketch, not just close estimates).
+  *
+  * Per batch the store grows by ≤ |cols| stats rows + |cols|·k sketch
+  * rows — constant in batch size; the view's cost is |batches|·|cols|
+  * + |cols|·k, never the corpus. */
+object ProfileStore {
+
+  val sketchK = 128
+
+  private case class PCol(name: String, kind: String) // num | ts | str
+  private val cols = Seq(
+    PCol("o_orderkey", "num"), PCol("o_custkey", "num"),
+    PCol("o_orderstatus", "str"), PCol("o_totalprice", "num"),
+    PCol("o_orderdate", "ts"), PCol("o_orderpriority", "str"))
+
+  private def numAxis(pc: PCol) = pc.kind match {
+    case "num" => col(pc.name).cast(DoubleType)
+    case "ts" => unix_micros(col(pc.name)).cast(DoubleType)
+    case _ => lit(null).cast(DoubleType)
+  }
+  private def strAxis(pc: PCol) =
+    if (pc.kind == "str") col(pc.name) else lit(null).cast(StringType)
+
+  /** One batch's per-column stats delta (constant ≤ |cols| rows). */
+  def statsDelta(batch: DataFrame): DataFrame =
+    cols.map { pc =>
+      batch.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(pc.name).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(numAxis(pc)).as("min_num"), max(numAxis(pc)).as("max_num"),
+        min(strAxis(pc)).as("min_str"), max(strAxis(pc)).as("max_str"))
+        .select(lit(pc.name).as("col_name"), col("n"), col("n_null"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }.reduce(_ unionAll _)
+
+  /** One batch's per-column bottom-k hash sketch delta (≤ |cols|·k
+    * rows) — md5-Horner over the value's string rendering, the
+    * engine-portable hash family. */
+  def sketchDelta(batch: DataFrame): DataFrame = {
+    val hashed = cols.map { pc =>
+      batch.filter(col(pc.name).isNotNull)
+        .select(lit(pc.name).as("col_name"),
+          conv(substring(md5(col(pc.name).cast(StringType)
+            .cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
+    }.reduce(_ unionAll _).distinct()
+    bottomK(hashed)
+  }
+
+  private def bottomK(hashes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("col_name").orderBy("h")
+    hashes.select("col_name", "h").distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sketchK).drop("rk")
+  }
+
+  /** Write (or on replay, overwrite) this batch's delta dirs. */
+  def appendProfileBatch(spark: SparkSession, batch: DataFrame,
+                         storePath: String, batchId: Long): Unit = {
+    statsDelta(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/stats/batch=$batchId")
+    sketchDelta(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/sketch/batch=$batchId")
+  }
+
+  def runProfileStream(spark: SparkSession, uploadDir: String,
+                       storePath: String, checkpointDir: String,
+                       schema: StructType): StreamingQuery =
+    CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
+      (batch, id) => appendProfileBatch(spark, batch, storePath, id)
+    }
+
+  /** The live profile over everything absorbed: (col_name, n_rows,
+    * n_null, est_distinct, min_num, max_num, min_str, max_str) —
+    * equal to [[profileOf]] on the union corpus. */
+  def profileView(spark: SparkSession, storePath: String): DataFrame = {
+    val stats = spark.read.parquet(s"$storePath/stats")
+      .groupBy("col_name")
+      .agg(sum(col("n")).as("n_rows"), sum(col("n_null")).as("n_null"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+    val est = estimateFromSketch(
+      bottomK(spark.read.parquet(s"$storePath/sketch")))
+    stats.join(est, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+
+  /** The batch twin the view must equal: same stats + same sketch
+    * estimator in one pass over a corpus frame. */
+  def profileOf(corpus: DataFrame): DataFrame = {
+    val est = estimateFromSketch(bottomK(
+      cols.map { pc =>
+        corpus.filter(col(pc.name).isNotNull)
+          .select(lit(pc.name).as("col_name"),
+            conv(substring(md5(col(pc.name).cast(StringType)
+              .cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
+      }.reduce(_ unionAll _).distinct()))
+    statsDelta(corpus).join(est, Seq("col_name"), "left")
+      .select(col("col_name"), col("n").as("n_rows"), col("n_null"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+
+  private def estimateFromSketch(sk: DataFrame): DataFrame =
+    sk.groupBy("col_name")
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      .select(col("col_name"),
+        when(col("k_used") < sketchK, col("k_used").cast(DoubleType))
+          .otherwise((col("k_used").cast(DoubleType) - 1.0) *
+            lit(1152921504606846976.0) / col("kth").cast(DoubleType))
+          .as("est_distinct"))
+}
