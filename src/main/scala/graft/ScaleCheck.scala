@@ -212,7 +212,15 @@ object ScaleCheck {
     // suffix forces dirs from the v1 harness (constant embeddings) to
     // regenerate rather than be silently trusted
     // v3: part_scaled (fuzzy-join fact twin) added to the table set
-    val marker = new java.io.File(s"$bigDir/_SCALED_OK_v3_$factor")
+    // The marker also embeds the SOURCE corpus' max mtime: the driver
+    // regenerates /root/testdata between rounds, and a big dir scaled
+    // from the previous generation would silently pair stale big-side
+    // numbers with fresh small-side ones (worse: the old events ts
+    // layout). A source refresh now forces regeneration.
+    val srcStamp = Tables.names.map(t =>
+      new java.io.File(s"$srcDir/$t.parquet").lastModified()).max
+    val marker =
+      new java.io.File(s"$bigDir/_SCALED_OK_v3_${factor}_$srcStamp")
     val complete = Tables.names.forall(t =>
       new java.io.File(s"$bigDir/$t.parquet").exists())
     if (!marker.exists() || !complete) {
@@ -429,7 +437,25 @@ object ScaleCheck {
         // one bounded-bucket window, driver state ≤ wmBuckets longs
         "q_weighted_median",
         // G-test drift: one scan to the |periods×cats| rollup
-        "q_mix_drift")
+        "q_mix_drift",
+        // round-10 data-quality family: profile (one multi-distinct
+        // Expand scan — distinct mass grows with remapped keys), rules
+        // (conditional partial aggs + one key-keyed join/anti-join),
+        // benford (map + 9-row rollup), skew profile (per-key counts
+        // then stats over the count table)
+        "q_dq_profile", "q_dq_rules", "q_benford", "q_skew_profile",
+        // ACF: rollup-first — the window + per-lag aggs ride the
+        // |hours| spine, never event volume
+        "q_acf",
+        // k-core / item-CF: the support-2 pair build is the dominant
+        // basket self-join (Σ basket² — co-purchase precedent); peel
+        // rounds ride the support-filtered edge set, the CF window
+        // rides the pair table partitioned by item
+        "q_kcore", "q_item_cf",
+        // KMV set algebra: distinct (type,user) pass ~factor; the
+        // pairwise sketch math is |types|²·k regardless of corpus —
+        // the exact-audit self-join is the only other corpus-sized leg
+        "q_kmv_intersect")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
