@@ -291,6 +291,21 @@ object EventStreams extends Serializable {
         .agg(sum(col("n_events")).as("o")))
   }
 
+  /** STREAMING ACF VIEW — [[graft.operators.Autocorr]]'s 24-lag
+    * autocorrelation served from the hourly count store: the store's
+    * cross-type hour rollup IS the series, so the view runs `acf` —
+    * the one shared definition — over |hours| rows, never events.
+    * Like [[mixDriftView]], the statistic is a lazy view: per-batch
+    * refresh cost is the store scan plus the bounded spine window.
+    * Equal to the batch [[graft.operators.Autocorr.qAcf]] on the
+    * absorbed corpus once all hours are watermark-finalized
+    * (spec-proven). */
+  def acfView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Autocorr.acf(
+      spark.read.parquet(storePath)
+        .groupBy(expr("unix_micros(ws) div 3600000000").as("h"))
+        .agg(sum(col("n_events")).as("c")))
+
   /** STREAMING SESSION STORE — [[sessionize]]'s watermark-finalized
     * sessions appended to a parquet store (exactly-once via the file
     * sink's checkpointed commit log): the [[runHourlyCountStream]]

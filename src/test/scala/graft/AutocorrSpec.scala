@@ -34,6 +34,35 @@ class AutocorrSpec extends SparkSpec {
     assert(math.abs(out(1L) + 1.0) < 1e-12)
   }
 
+  test("streaming view == batch ACF on fully-finalized data") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("acf-stream")
+      .toFile.getAbsolutePath
+    val ev = Tables(spark, dir, "events")
+    ev.coalesce(1).write.parquet(s"$tmp/src/part0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/src/part0").schema)
+      .parquet(s"$tmp/src/*")
+    graft.streaming.EventStreams
+      .runHourlyCountStream(spark, src, s"$tmp/store", s"$tmp/ckpt")
+      .awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))
+    val got = graft.streaming.EventStreams.acfView(spark, s"$tmp/store")
+      .collect().map(key).toMap
+    // batch over raw events restricted to the same finalized hour set
+    // (the 2h watermark holds back the trailing hours)
+    import org.apache.spark.sql.functions._
+    val hmax = spark.read.parquet(s"$tmp/store")
+      .agg(max(expr("unix_micros(ws) div 3600000000"))).head.getLong(0)
+    val want = Autocorr.acf(
+      ev.select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .filter(col("h") <= hmax)
+        .groupBy("h").agg(count(lit(1)).as("c")))
+      .collect().map(key).toMap
+    assert(got === want && got.size === 24)
+  }
+
   test("driver query: 24 lags, every r in [-1, 1]") {
     val rows = Autocorr.qAcf(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 24)
