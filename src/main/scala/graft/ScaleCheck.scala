@@ -455,7 +455,10 @@ object ScaleCheck {
         // KMV set algebra: distinct (type,user) pass ~factor; the
         // pairwise sketch math is |types|²·k regardless of corpus —
         // the exact-audit self-join is the only other corpus-sized leg
-        "q_kmv_intersect")
+        "q_kmv_intersect",
+        // EWMA level monitor: rollup-first like cusum — the lag window
+        // rides |types×hours| rows, never event volume
+        "q_ewma")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing

@@ -173,6 +173,7 @@ object SparkEntry {
     "q_kcore" -> (KCore.qKcore _),
     "q_item_cf" -> (ItemCf.qItemCf _),
     "q_kmv_intersect" -> (KmvSetOps.qKmvIntersect _),
+    "q_ewma" -> (Ewma.qEwma _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -325,6 +326,7 @@ object SparkEntry {
     "q_kcore" -> KCore.qKcoreSql,
     "q_item_cf" -> ItemCf.qItemCfSql,
     "q_kmv_intersect" -> KmvSetOps.qKmvIntersectSql,
+    "q_ewma" -> Ewma.qEwmaSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,

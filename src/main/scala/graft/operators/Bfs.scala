@@ -62,9 +62,8 @@ object Bfs {
   /** Driver query: hop distance from the Brand#11 parts over the
     * co-purchase graph, ≤ 3 hops. */
   def qBfs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val (edges, _) = graft.util.Checkpoints.checkpointTracked(
-      PageRank.coPurchaseEdges(li).select("src", "dst"))
+    val edges =
+      PageRank.coPurchaseEdgesMemo(spark, dir).select("src", "dst")
     val seeds = Tables(spark, dir, "part")
       .filter(col("p_brand") === "Brand#11")
       .select(col("p_partkey").as("node"))

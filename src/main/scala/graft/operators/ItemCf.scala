@@ -46,14 +46,36 @@ object ItemCf {
              minSup: Int = minSupport): DataFrame = {
     val basket = basketIn.select("ok", "item").distinct()
     val freq = basket.groupBy("item").agg(count(lit(1)).as("f"))
-    // unordered pairs once (src < dst), mirrored after scoring — halves
-    // the pair shuffle; the mirror is a projection, not a recompute
-    val pairs = basket.join(
+    scorePairs(supportPairs(basket, minSup), freq, n)
+  }
+
+  /** Unordered co-occurrence pairs (item < item2, co ≥ minSup) from a
+    * deduplicated basket frame — generated once, mirrored only after
+    * scoring (the mirror is a projection, not a recompute). */
+  def supportPairs(basket: DataFrame,
+                   minSup: Int = minSupport): DataFrame =
+    basket.join(
         basket.select(col("ok"), col("item").as("item2")), "ok")
       .filter(col("item") < col("item2"))
       .groupBy(col("item"), col("item2"))
       .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minSupport)
+      .filter(col("co") >= minSup)
+
+  /** Per-(session, dir) memoized support pair table over lineitem
+    * baskets — shared by [[qItemCf]] and [[KCore.qKcore]], which
+    * otherwise each pay the basket self-join independently in a
+    * sweep. */
+  def supportPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.memoize(spark, "copairs", dir) {
+      supportPairs(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()).localCheckpoint()
+    }
+
+  /** Score + rank a prepared unordered pair table against item
+    * frequencies. */
+  def scorePairs(pairs: DataFrame, freq: DataFrame,
+                 n: Int = topN): DataFrame = {
     val scored = pairs
       .join(freq.select(col("item"), col("f").as("f1")), "item")
       .join(freq.select(col("item").as("item2"), col("f").as("f2")), "item2")
@@ -70,11 +92,14 @@ object ItemCf {
         col("co"), col("cosine"), col("rank").cast(LongType).as("rank"))
   }
 
-  /** Driver query: top-5 co-purchase recommendations per part. */
+  /** Driver query: top-5 co-purchase recommendations per part (pair
+    * table shared with q_kcore via [[supportPairsMemo]]). */
   def qItemCf(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    itemCf(li.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("item")))
+    val basket = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val freq = basket.groupBy("item").agg(count(lit(1)).as("f"))
+    scorePairs(supportPairsMemo(spark, dir), freq)
       .select(col("item").as("p_partkey"), col("rec").as("rec_partkey"),
         col("co"), col("cosine"), col("rank"))
   }

@@ -67,23 +67,24 @@ object KCore {
   }
 
   /** Support-≥2 co-purchase edges from per-basket-distinct incidence,
-    * both directions. */
+    * both directions ([[ItemCf.supportPairs]] is the shared pair
+    * definition). */
   def supportEdges(li: DataFrame, minSup: Int = minSupport): DataFrame = {
-    val basket = li.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("item")).distinct()
-    val pairs = basket.join(
-        basket.select(col("ok"), col("item").as("item2")), "ok")
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minSup)
+    val pairs = ItemCf.supportPairs(
+      li.select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct(), minSup)
     pairs.select(col("item").as("src"), col("item2").as("dst"))
       .unionAll(pairs.select(col("item2").as("src"), col("item").as("dst")))
   }
 
-  /** Driver query: the 2-core of the support-2 co-purchase graph. */
+  /** Driver query: the 2-core of the support-2 co-purchase graph
+    * (pair table shared with q_item_cf via
+    * [[ItemCf.supportPairsMemo]]). */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    kcore(supportEdges(li)).select(col("node").as("p_partkey"), col("deg"))
+    val pairs = ItemCf.supportPairsMemo(spark, dir)
+    val edges = pairs.select(col("item").as("src"), col("item2").as("dst"))
+      .unionAll(pairs.select(col("item2").as("src"), col("item").as("dst")))
+    kcore(edges).select(col("node").as("p_partkey"), col("deg"))
   }
 
   /** Generated CTE unroll of the same peel rounds. */

@@ -34,9 +34,13 @@ object LabelProp {
 
   val lpRounds = 3
 
-  def labelPropagate(li: DataFrame, rounds: Int = lpRounds): DataFrame = {
-    val (edges, _) = graft.util.Checkpoints.checkpointTracked(
-      PageRank.coPurchaseEdges(li))
+  def labelPropagate(li: DataFrame, rounds: Int = lpRounds,
+                     edgesIn: Option[DataFrame] = None): DataFrame = {
+    val edges = edgesIn.getOrElse {
+      val (e, _) = graft.util.Checkpoints.checkpointTracked(
+        PageRank.coPurchaseEdges(li))
+      e
+    }
     val nodes = li.select(col("l_partkey").as("node")).distinct()
     val n = nodes.count()
     val bcast = n <= 10000000L
@@ -61,7 +65,8 @@ object LabelProp {
   }
 
   def qLabelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropagate(Tables(spark, dir, "lineitem"))
+    labelPropagate(Tables(spark, dir, "lineitem"),
+      edgesIn = Some(PageRank.coPurchaseEdgesMemo(spark, dir)))
 
   /** Full-replay oracle: graph build + every argmax round unrolled
     * (the [[PageRank.qPagerankSql]] technique; the argmax is the

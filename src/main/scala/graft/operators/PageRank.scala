@@ -55,10 +55,25 @@ object PageRank {
     * rather than left to Catalyst's post-aggregation size guess. */
   private val broadcastNodeLimit = 10000000L
 
-  def pagerank(li: DataFrame, iters: Int = prIters): DataFrame = {
+  /** Per-(session, dir) memoized co-purchase edge table — the ONE
+    * lineitem self-join that five graph queries (pagerank, label
+    * propagation, BFS, shortest path, triangles) each paid
+    * independently in a sweep (~2-4 s apiece at sf0.1).
+    * localCheckpoint pins it once per session+dir; Bench's
+    * dependency-tracked eviction releases it after its last dependent
+    * query, and Verify's transient sweep leaves memoized blocks alone
+    * (the boilerplate/lm/ivf artifact posture). */
+  def coPurchaseEdgesMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.memoize(spark, "copurchase", dir) {
+      coPurchaseEdges(graft.Tables(spark, dir, "lineitem"))
+        .localCheckpoint()
+    }
+
+  def pagerank(li: DataFrame, iters: Int = prIters,
+               edgesIn: Option[DataFrame] = None): DataFrame = {
     // out-degree is folded onto the edges ONCE at build time, so the
     // per-round plan touches a single prepared table
-    val rawEdges = coPurchaseEdges(li)
+    val rawEdges = edgesIn.getOrElse(coPurchaseEdges(li))
     val out = rawEdges.groupBy(col("src").as("osrc"))
       .agg(sum(col("w")).as("outw"))
     val (edges, _) = graft.util.Checkpoints.checkpointTracked(
@@ -91,7 +106,8 @@ object PageRank {
   }
 
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(Tables(spark, dir, "lineitem"))
+    pagerank(Tables(spark, dir, "lineitem"),
+      edgesIn = Some(coPurchaseEdgesMemo(spark, dir)))
 
   /** Full-replay oracle: graph build + every rank round unrolled. */
   val qPagerankSql: String = {

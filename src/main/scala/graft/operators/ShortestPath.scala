@@ -59,9 +59,7 @@ object ShortestPath {
   /** Driver query: cheapest substitution route from the Brand#11 parts
     * over co-purchase ties, ≤ 3 edges. */
   def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val (edges, _) = graft.util.Checkpoints.checkpointTracked(
-      PageRank.coPurchaseEdges(li))
+    val edges = PageRank.coPurchaseEdgesMemo(spark, dir)
     val seeds = Tables(spark, dir, "part")
       .filter(col("p_brand") === "Brand#11")
       .select(col("p_partkey").as("node"))

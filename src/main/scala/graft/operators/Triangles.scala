@@ -48,9 +48,13 @@ object Triangles {
 
   /** One row: |V|, |E|, wedge count Σ d(d−1)/2, triangle count, and the
     * global clustering coefficient 3·T/W in exact integer permille. */
-  def triangleStats(li: DataFrame): DataFrame = {
-    val (und, _) = graft.util.Checkpoints.checkpointTracked(
-      undirectedEdges(li))
+  def triangleStats(li: DataFrame,
+                    undIn: Option[DataFrame] = None): DataFrame = {
+    val und = undIn.getOrElse {
+      val (u, _) = graft.util.Checkpoints.checkpointTracked(
+        undirectedEdges(li))
+      u
+    }
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -87,7 +91,13 @@ object Triangles {
   }
 
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangleStats(Tables(spark, dir, "lineitem"))
+    // the (u < v) half of the memoized weighted edge table IS the
+    // distinct undirected pair set — the memo's blocks back all three
+    // scans, so no second checkpoint is taken
+    triangleStats(Tables(spark, dir, "lineitem"),
+      undIn = Some(PageRank.coPurchaseEdgesMemo(spark, dir)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))))
 
   val qTrianglesSql: String =
     """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
