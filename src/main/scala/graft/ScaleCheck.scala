@@ -458,7 +458,10 @@ object ScaleCheck {
         "q_kmv_intersect",
         // EWMA level monitor: rollup-first like cusum — the lag window
         // rides |types×hours| rows, never event volume
-        "q_ewma")
+        "q_ewma",
+        // weighted sampler: ≤cap× map-only replica explode, per-item
+        // min partial agg, global TakeOrdered — no sort at any n
+        "q_weighted_sample")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing

@@ -174,6 +174,7 @@ object SparkEntry {
     "q_item_cf" -> (ItemCf.qItemCf _),
     "q_kmv_intersect" -> (KmvSetOps.qKmvIntersect _),
     "q_ewma" -> (Ewma.qEwma _),
+    "q_weighted_sample" -> (WeightedSample.qWeightedSample _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -327,6 +328,7 @@ object SparkEntry {
     "q_item_cf" -> ItemCf.qItemCfSql,
     "q_kmv_intersect" -> KmvSetOps.qKmvIntersectSql,
     "q_ewma" -> Ewma.qEwmaSql,
+    "q_weighted_sample" -> WeightedSample.qWeightedSampleSql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,
