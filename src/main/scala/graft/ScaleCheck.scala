@@ -461,7 +461,10 @@ object ScaleCheck {
         "q_ewma",
         // weighted sampler: ≤cap× map-only replica explode, per-item
         // min partial agg, global TakeOrdered — no sort at any n
-        "q_weighted_sample")
+        "q_weighted_sample",
+        // correlation matrix: the canonical map-side-combine aggregate
+        // (one scan, 15 exact-integer statistics, 1-row shuffle)
+        "q_corr_matrix")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
