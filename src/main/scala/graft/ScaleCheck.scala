@@ -464,7 +464,10 @@ object ScaleCheck {
         "q_weighted_sample",
         // correlation matrix: the canonical map-side-combine aggregate
         // (one scan, 15 exact-integer statistics, 1-row shuffle)
-        "q_corr_matrix")
+        "q_corr_matrix",
+        // seasonality eta²: rollup-first — the ANOVA runs over
+        // |types×24| group rows off the |types×hours| spine
+        "q_seasonality")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing

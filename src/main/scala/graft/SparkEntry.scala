@@ -176,6 +176,7 @@ object SparkEntry {
     "q_ewma" -> (Ewma.qEwma _),
     "q_weighted_sample" -> (WeightedSample.qWeightedSample _),
     "q_corr_matrix" -> (CorrMatrix.qCorrMatrix _),
+    "q_seasonality" -> (Seasonality.qSeasonality _),
     "q_multimodal_decode" -> (graft.multimodal.Multimodal.qMultimodalDecode _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.qFrameSample _),
     "q_frame_extract" -> (graft.multimodal.Multimodal.qFrameExtract _),
@@ -331,6 +332,7 @@ object SparkEntry {
     "q_ewma" -> Ewma.qEwmaSql,
     "q_weighted_sample" -> WeightedSample.qWeightedSampleSql,
     "q_corr_matrix" -> CorrMatrix.qCorrMatrixSql,
+    "q_seasonality" -> Seasonality.qSeasonalitySql,
     "q_multimodal_decode" -> graft.multimodal.Multimodal.qMultimodalDecodeSql,
     "q_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q_frame_extract" -> graft.multimodal.Multimodal.qFrameExtractSql,
