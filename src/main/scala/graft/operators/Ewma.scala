@@ -39,10 +39,15 @@ object Ewma {
   /** Per (event_type, hour): count, the pre-hour EWMA baseline, and a
     * spike flag (count > spikeFactor × baseline, min-volume floored).
     * Rows emit only once the full 8-hour window exists. */
-  def ewma(events: DataFrame): DataFrame = {
-    val hourly = events
+  def ewma(events: DataFrame): DataFrame =
+    ewmaOver(events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The statistic over a PRE-AGGREGATED hourly rollup
+    * `hourly(event_type, hour, n)` — the form the streaming hourly
+    * count store serves directly ([[Events.anomalyOver]] precedent). */
+  def ewmaOver(hourly: DataFrame): DataFrame = {
     val span = hourly.groupBy("event_type")
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val spine = span.select(col("event_type"),

@@ -306,6 +306,16 @@ object EventStreams extends Serializable {
         .groupBy(expr("unix_micros(ws) div 3600000000").as("h"))
         .agg(sum(col("n_events")).as("c")))
 
+  /** STREAMING EWMA VIEW — [[graft.operators.Ewma]]'s level monitor
+    * served from the hourly count store via the shared `ewmaOver`
+    * definition; the lag window rides the stored |types×hours| rollup,
+    * never events. */
+  def ewmaView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Ewma.ewmaOver(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
   /** STREAMING SESSION STORE — [[sessionize]]'s watermark-finalized
     * sessions appended to a parquet store (exactly-once via the file
     * sink's checkpointed commit log): the [[runHourlyCountStream]]

@@ -60,6 +60,13 @@ class DataQualitySpec extends SparkSpec {
     assert(rows.forall(_.getDouble(5) === g)) // corpus stat, same every row
   }
 
+  test("scan pruning: benford's scan reads ONLY o_totalprice") {
+    val plan = DataQuality.qBenford(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_totalprice:double>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("skew profile: HHI and top-share bounds hold per key") {
     val rows = DataQuality.qSkewProfile(spark, dir).collect()
     assert(rows.length === 4)

@@ -43,6 +43,32 @@ class EwmaSpec extends SparkSpec {
     assert(Ewma.ewma(tiny).collect().forall(_.getInt(4) === 0))
   }
 
+  test("streaming view == batch ewma on the finalized hour set") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("ewma-stream")
+      .toFile.getAbsolutePath
+    val ev = Tables(spark, dir, "events")
+    ev.coalesce(1).write.parquet(s"$tmp/src/part0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/src/part0").schema)
+      .parquet(s"$tmp/src/*")
+    graft.streaming.EventStreams
+      .runHourlyCountStream(spark, src, s"$tmp/store", s"$tmp/ckpt")
+      .awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))
+    val got = graft.streaming.EventStreams.ewmaView(spark, s"$tmp/store")
+      .collect().map(key).toMap
+    val hmax = spark.read.parquet(s"$tmp/store")
+      .agg(max(col("ws"))).head.getTimestamp(0)
+    val want = Ewma.ewma(ev.filter(col("ts") < lit(hmax) +
+        expr("interval 1 hour")))
+      .collect().map(key).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("driver query shape on testdata") {
     val out = Ewma.qEwma(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
