@@ -459,6 +459,12 @@ object ScaleCheck {
         // EWMA level monitor: rollup-first like cusum — the lag window
         // rides |types×hours| rows, never event volume
         "q_ewma",
+        // OLS trend: rollup-first — spine + five sufficient statistics
+        // over |types×hours| rows, |types|-row final agg
+        "q_trend",
+        // AMOC changepoint: rollup-first — one cumsum window +
+        // struct-max argmax over |types×hours| rows
+        "q_changepoint",
         // weighted sampler: ≤cap× map-only replica explode, per-item
         // min partial agg, global TakeOrdered — no sort at any n
         "q_weighted_sample",

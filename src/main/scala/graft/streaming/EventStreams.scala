@@ -316,6 +316,32 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("n")))
 
+  /** STREAMING TREND VIEW — [[graft.operators.Trend]]'s per-type OLS
+    * served from the hourly count store via the shared
+    * `trendOverHourly` definition: the store rollup IS the regression
+    * input, so the dense spine + five sufficient statistics ride
+    * |types×hours| rows, never events. Equal to the batch
+    * [[graft.operators.Trend.qTrend]] on the absorbed corpus once all
+    * hours are watermark-finalized (spec-proven). */
+  def trendView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Trend.trendOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("y")))
+
+  /** STREAMING CHANGEPOINT VIEW — [[graft.operators.Changepoint]]'s
+    * AMOC localization served from the hourly count store via the
+    * shared `changepointOverHourly` definition: the cumsum window and
+    * struct-max argmax ride |types×hours| rollup rows, never events.
+    * Equal to the batch [[graft.operators.Changepoint.qChangepoint]]
+    * on the absorbed corpus once all hours are watermark-finalized
+    * (spec-proven). */
+  def changepointView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Changepoint.changepointOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("y")))
+
   /** STREAMING SESSION STORE — [[sessionize]]'s watermark-finalized
     * sessions appended to a parquet store (exactly-once via the file
     * sink's checkpointed commit log): the [[runHourlyCountStream]]
