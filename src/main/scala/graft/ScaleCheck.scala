@@ -226,6 +226,14 @@ object ScaleCheck {
     if (!marker.exists() || !complete) {
       scaleDocuments(spark, srcDir, bigDir, factor)
       scaleFacts(spark, srcDir, bigDir, factor)
+      // drop markers from EARLIER source generations for this factor
+      // before stamping: stale markers otherwise accumulate, and a
+      // restored source corpus with an older mtime (backup copy,
+      // touch -r) would match an old marker and revalidate a big dir
+      // scaled from different data
+      Option(new java.io.File(bigDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"_SCALED_OK_v3_${factor}_"))
+        .foreach(_.delete())
       marker.createNewFile()
     }
 

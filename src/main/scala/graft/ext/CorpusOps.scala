@@ -275,38 +275,45 @@ object CorpusOps {
         |     AND CAST(len(list_filter(string_split(text, ' '),
         |           x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
         |         / len(string_split(text, ' ')) >= 0.01)""".stripMargin
+    // Every CTE is MATERIALIZED: DuckDB 1.x INLINES CTEs by default,
+    // so each round's w CTE referencing w(t−1) twice makes the plan
+    // tree (and its cost) grow ~2^rounds — the measured effect was
+    // 208 s for this oracle at sf0.01 vs 0.1 s materialized. The
+    // driver's gate runs DuckDB, where MATERIALIZED is plain SQL.
     val header =
-      s"""WITH toks AS (
+      s"""WITH toks AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents),
-        |feats AS (
+        |feats AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT) % $b
         |      AS BIGINT) AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM toks GROUP BY 1, 2),
-        |lab AS (
+        |lab AS MATERIALIZED (
         |  SELECT doc_id, CAST($gate AS BIGINT) AS y FROM documents),
-        |e1 AS (SELECT doc_id, y AS err FROM lab WHERE y <> 0),
-        |u1 AS (
+        |e1 AS MATERIALIZED (
+        |  SELECT doc_id, y AS err FROM lab WHERE y <> 0),
+        |u1 AS MATERIALIZED (
         |  SELECT f.bucket, SUM(f.cnt * e.err) AS d
         |  FROM feats f JOIN e1 e USING (doc_id) GROUP BY 1),
-        |w1 AS (SELECT bucket, SUM(d) AS wgt FROM u1 GROUP BY 1)""".stripMargin
+        |w1 AS MATERIALIZED (
+        |  SELECT bucket, SUM(d) AS wgt FROM u1 GROUP BY 1)""".stripMargin
     val later = (2 to classifierTrainRounds).map { t =>
       val p = t - 1
       s""",
-        |m$t AS (
+        |m$t AS MATERIALIZED (
         |  SELECT f.doc_id, SUM(f.cnt * COALESCE(w.wgt, 0)) AS margin
         |  FROM feats f LEFT JOIN w$p w USING (bucket) GROUP BY 1),
-        |e$t AS (
+        |e$t AS MATERIALIZED (
         |  SELECT l.doc_id,
         |    l.y - (CASE WHEN m.margin > 0 THEN 1 ELSE 0 END) AS err
         |  FROM lab l JOIN m$t m USING (doc_id)
         |  WHERE l.y <> (CASE WHEN m.margin > 0 THEN 1 ELSE 0 END)),
-        |u$t AS (
+        |u$t AS MATERIALIZED (
         |  SELECT f.bucket, SUM(f.cnt * e.err) AS d
         |  FROM feats f JOIN e$t e USING (doc_id) GROUP BY 1),
-        |w$t AS (
+        |w$t AS MATERIALIZED (
         |  SELECT bucket, SUM(v) AS wgt FROM (
         |    SELECT bucket, wgt AS v FROM w$p
         |    UNION ALL SELECT bucket, d FROM u$t) GROUP BY 1)""".stripMargin

@@ -64,15 +64,26 @@ object Changepoint {
     val w = Window.partitionBy("event_type").orderBy("x")
     val pre = dense.withColumn("sk", sum(col("y")).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // squared/product sufficient statistics in DECIMAL(38,0) (HUGEINT
+    // in the oracle): at the 100 TB posture per-type totals s ~ 1e12
+    // make s·s and Σy² overflow Long, where Spark wraps silently but
+    // DuckDB errors — the CorrMatrix exactness pattern
+    val dec = DecimalType(38, 0)
     val tot = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
-        sum(col("y") * col("y")).as("ss"), min(col("h0")).as("h0"))
+        sum(col("y").cast(dec) * col("y")).cast(dec).as("ss"),
+        min(col("h0")).as("h0"))
     // candidate splits k = x+1 ∈ [1, n−1]; a_k = n·S_k − k·S exact
     val k = col("x") + 1L
     val cand = pre.join(broadcast(tot.drop("h0")), "event_type")
       .filter(k < col("n"))
-      .withColumn("a", col("n") * col("sk") - k * col("s"))
-      .withColumn("g", (col("a") * col("a")).cast(DoubleType) /
+      .withColumn("a",
+        (col("n").cast(dec) * col("sk") - k * col("s").cast(dec)).cast(dec))
+      // a² would exceed 38 digits at extreme scale; g is consumed as a
+      // double argmax key anyway, so square AFTER the double cast —
+      // both engines run the identical IEEE expression
+      .withColumn("g",
+        col("a").cast(DoubleType) * col("a").cast(DoubleType) /
         (k * (col("n") - k)).cast(DoubleType))
     val pick = cand.groupBy("event_type")
       .agg(max(struct(col("g"), (-k).as("nk"), col("sk"))).as("pk"))
@@ -83,9 +94,10 @@ object Changepoint {
           .as("cp_hour"),
         // gain(k) = g/n and SS_total = (n·Σy² − S²)/n, so the share's
         // two n factors cancel: share = g / (n·Σy² − S²)
-        when(col("ss") * col("n") === col("s") * col("s"), 0.0)
+        when(col("ss") * col("n") === col("s").cast(dec) * col("s"), 0.0)
           .otherwise(col("pk.g") /
-            (col("n") * col("ss") - col("s") * col("s")).cast(DoubleType))
+            (col("n") * col("ss") - col("s").cast(dec) * col("s"))
+              .cast(DoubleType))
           .as("gain_share"),
         (col("pk.sk").cast(DoubleType) / kk.cast(DoubleType))
           .as("mean_before"),
@@ -123,25 +135,27 @@ object Changepoint {
       |tot AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(y) AS BIGINT) AS s,
-      |    CAST(SUM(y * y) AS BIGINT) AS ss,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss,
       |    min(h0) AS h0
       |  FROM dense GROUP BY 1),
       |cand AS (
       |  SELECT p.event_type, p.x + 1 AS k, p.sk, t.n,
-      |    t.n * p.sk - (p.x + 1) * t.s AS a
+      |    CAST(t.n AS HUGEINT) * p.sk - (p.x + 1) * CAST(t.s AS HUGEINT) AS a
       |  FROM pre p JOIN tot t ON p.event_type = t.event_type
       |  WHERE p.x + 1 < t.n),
       |pick AS (
       |  SELECT event_type,
-      |    MAX({'g': CAST(a * a AS DOUBLE) / CAST(k * (n - k) AS DOUBLE),
+      |    MAX({'g': CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+      |           / CAST(k * (n - k) AS DOUBLE),
       |         'nk': -k, 'sk': sk}) AS pk
       |  FROM cand GROUP BY 1)
       |SELECT t.event_type, t.n AS n_hours,
       |  make_timestamp(epoch_us(t.h0) + (-(p.pk).nk) * 3600000000)
       |    AS cp_hour,
-      |  CASE WHEN t.ss * t.n = t.s * t.s THEN 0.0
+      |  CASE WHEN t.ss * t.n = CAST(t.s AS HUGEINT) * t.s THEN 0.0
       |    ELSE (p.pk).g
-      |         / CAST(t.n * t.ss - t.s * t.s AS DOUBLE) END AS gain_share,
+      |         / CAST(t.n * t.ss - CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
+      |    END AS gain_share,
       |  CAST((p.pk).sk AS DOUBLE) / CAST(-(p.pk).nk AS DOUBLE)
       |    AS mean_before,
       |  CAST(t.s - (p.pk).sk AS DOUBLE) / CAST(t.n - (-(p.pk).nk) AS DOUBLE)

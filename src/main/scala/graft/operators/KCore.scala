@@ -87,25 +87,29 @@ object KCore {
     kcore(edges).select(col("node").as("p_partkey"), col("deg"))
   }
 
-  /** Generated CTE unroll of the same peel rounds. */
+  /** Generated CTE unroll of the same peel rounds. Every CTE is
+    * MATERIALIZED: DuckDB 1.x inlines CTEs by default, and each round
+    * referencing e(r−1) three times (s$r once, e$r twice) makes the
+    * inlined plan grow ~3^rounds — measured 219 s at sf0.01 inlined
+    * vs sub-second materialized. */
   val qKcoreSql: String = {
     val base =
-      s"""WITH basket AS (
+      s"""WITH basket AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
-         |up AS (
+         |up AS MATERIALIZED (
          |  SELECT a.item AS src, b.item AS dst
          |  FROM basket a JOIN basket b
          |    ON a.ok = b.ok AND a.item < b.item
          |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
-         |e0 AS (
+         |e0 AS MATERIALIZED (
          |  SELECT src, dst FROM up
          |  UNION ALL
          |  SELECT dst AS src, src AS dst FROM up)""".stripMargin
     val rounds = (1 to peelRounds).map { r =>
-      s"""s$r AS (
+      s"""s$r AS MATERIALIZED (
          |  SELECT src FROM e${r - 1} GROUP BY src
          |  HAVING COUNT(*) >= $coreK),
-         |e$r AS (
+         |e$r AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e${r - 1} e
          |  JOIN s$r a ON e.src = a.src
          |  JOIN s$r b ON e.dst = b.src)""".stripMargin

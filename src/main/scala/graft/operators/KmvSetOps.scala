@@ -54,9 +54,14 @@ object KmvSetOps {
     * label, u = member key). */
   def kmvOverlap(duIn: DataFrame, k: Int = kmvK): DataFrame = {
     val du = duIn.select("t", "u").distinct()
+    // distinct on (t, h), not just (t, u): a 60-bit collision between
+    // two members of one set would otherwise leave duplicate h rows in
+    // the sketch, and the later (t, h) equi-joins would double-count —
+    // the KMV state is a SET of hashes by definition (Beyer et al. §3)
     val hashed = du.select(col("t"),
       conv(substring(md5(col("u").cast(StringType).cast(BinaryType)), 1, 15),
         16, 10).cast(LongType).as("h"))
+      .distinct()
     val wT = Window.partitionBy(col("t")).orderBy(col("h"))
     val sk = hashed.withColumn("rn", row_number().over(wT))
       .filter(col("rn") <= k).select("t", "h")
@@ -113,8 +118,8 @@ object KmvSetOps {
     s"""WITH du AS (
        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
        |hashed AS (
-       |  SELECT t, CAST(CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)
-       |    AS UBIGINT) AS BIGINT) AS h
+       |  SELECT DISTINCT t, CAST(CAST('0x' || substr(md5(CAST(u AS VARCHAR)),
+       |    1, 15) AS UBIGINT) AS BIGINT) AS h
        |  FROM du),
        |sk AS (
        |  SELECT t, h FROM (

@@ -29,10 +29,16 @@ object Seasonality {
   /** Per event type: observation count, hour-of-day variance share
     * η² ∈ [0,1], and the peak profile hour: (event_type, n_hours,
     * eta2, peak_hod). */
-  def seasonality(events: DataFrame): DataFrame = {
-    val hourly = events
+  def seasonality(events: DataFrame): DataFrame =
+    seasonalityOverHourly(events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The same ANOVA over an ALREADY-ROLLED-UP (event_type, hour, n)
+    * table — the shared definition the streaming hourly count store
+    * serves through
+    * [[graft.streaming.EventStreams.seasonalityView]]. */
+  def seasonalityOverHourly(hourly: DataFrame): DataFrame = {
     val span = hourly.groupBy("event_type")
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val dense = span
@@ -41,14 +47,19 @@ object Seasonality {
       .join(hourly, Seq("event_type", "hour"), "left")
       .na.fill(0L, Seq("n"))
       .withColumn("hod", hour(col("hour")).cast(LongType))
+    // squared statistics in DECIMAL(38,0) (HUGEINT in the oracle): at
+    // 100 TB per-type totals s ~ 1e12 make s², sg², Σn² overflow Long
+    // — Spark wraps silently, DuckDB errors (CorrMatrix pattern)
+    val dec = DecimalType(38, 0)
     val byHod = dense.groupBy("event_type", "hod")
       .agg(count(lit(1)).as("ng"), sum(col("n")).as("sg"))
     val tot = dense.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
-        sum(col("n") * col("n")).as("ss"))
+        sum(col("n").cast(dec) * col("n")).cast(dec).as("ss"))
     val between = byHod
       .withColumn("term",
-        (col("sg") * col("sg")).cast(DoubleType) / col("ng").cast(DoubleType))
+        (col("sg").cast(dec) * col("sg")).cast(DoubleType) /
+          col("ng").cast(DoubleType))
       .groupBy("event_type")
       .agg(sum(col("term")).as("sb"),
         max(struct((col("sg").cast(DoubleType) / col("ng").cast(DoubleType))
@@ -58,11 +69,11 @@ object Seasonality {
         // eta2 = SS_between/SS_total, both in (x − S²/N) form; a
         // constant series (SS_total = 0, detected EXACTLY via the
         // integer identity ss·nh = s²) scores 0, not NaN
-        when(col("ss") * col("nh") === col("s") * col("s"), 0.0)
+        when(col("ss") * col("nh") === col("s").cast(dec) * col("s"), 0.0)
           .otherwise(
-            (col("sb") - (col("s") * col("s")).cast(DoubleType) /
+            (col("sb") - (col("s").cast(dec) * col("s")).cast(DoubleType) /
               col("nh").cast(DoubleType)) /
-              (col("ss").cast(DoubleType) - (col("s") * col("s"))
+              (col("ss").cast(DoubleType) - (col("s").cast(dec) * col("s"))
                 .cast(DoubleType) / col("nh").cast(DoubleType)))
           .as("eta2"),
         (-col("pk.nh0")).as("peak_hod"))
@@ -93,19 +104,23 @@ object Seasonality {
       |  FROM dense GROUP BY 1, 2),
       |tot AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
-      |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+      |    CAST(SUM(n) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
       |  FROM dense GROUP BY 1),
       |btw AS (
       |  SELECT event_type,
-      |    SUM(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS sb,
+      |    SUM(CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE)
+      |        / CAST(ng AS DOUBLE)) AS sb,
       |    MAX({'mean': CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE),
       |         'nh0': -hod}) AS pk
       |  FROM byhod GROUP BY 1)
       |SELECT t.event_type, t.nh AS n_hours,
-      |  CASE WHEN t.ss * t.nh = t.s * t.s THEN 0.0
-      |    ELSE (b.sb - CAST(t.s * t.s AS DOUBLE) / CAST(t.nh AS DOUBLE))
+      |  CASE WHEN t.ss * t.nh = CAST(t.s AS HUGEINT) * t.s THEN 0.0
+      |    ELSE (b.sb - CAST(CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
+      |            / CAST(t.nh AS DOUBLE))
       |      / (CAST(t.ss AS DOUBLE)
-      |         - CAST(t.s * t.s AS DOUBLE) / CAST(t.nh AS DOUBLE))
+      |         - CAST(CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
+      |           / CAST(t.nh AS DOUBLE))
       |  END AS eta2,
       |  CAST(-(b.pk).nh0 AS BIGINT) AS peak_hod
       |FROM tot t JOIN btw b ON t.event_type = b.event_type""".stripMargin

@@ -50,11 +50,17 @@ object Trend {
       // exact 0-based index from the timestamps — no window needed
       .withColumn("x",
         expr("(unix_micros(hour) - unix_micros(h0)) div 3600000000"))
+    // y-bearing product statistics in DECIMAL(38,0) (HUGEINT in the
+    // oracle): at 100 TB per-hour counts ~1e8 make Σy² (and Σxy)
+    // overflow Long — Spark wraps silently, DuckDB errors; x-only
+    // terms stay Long (x is a bounded hour index). CorrMatrix pattern.
+    val dec = DecimalType(38, 0)
     val s = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(dec) * col("y")).cast(dec).as("sxy"),
         sum(col("x") * col("x")).as("sx2"),
-        sum(col("y") * col("y")).as("sy2"))
+        sum(col("y").cast(dec) * col("y")).cast(dec).as("sy2"))
     val nD = col("n").cast(DoubleType)
     val vxN = nD * col("sx2").cast(DoubleType) -
       col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
@@ -68,7 +74,7 @@ object Trend {
         .otherwise((col("sy").cast(DoubleType) -
           (covN / vxN) * col("sx").cast(DoubleType)) / nD).as("intercept"),
       // R² = cov²/(varX·varY); constant y ⇒ 1 (exact integer test)
-      when(col("sy2") * col("n") === col("sy") * col("sy"), 1.0)
+      when(col("sy2") * col("n") === col("sy").cast(dec) * col("sy"), 1.0)
         .otherwise(covN * covN / (vxN * vyN)).as("r2"))
   }
 
@@ -96,9 +102,9 @@ object Trend {
       |s AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
       |    CAST(SUM(x * x) AS BIGINT) AS sx2,
-      |    CAST(SUM(y * y) AS BIGINT) AS sy2
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2
       |  FROM dense GROUP BY 1)
       |SELECT event_type, n AS n_hours,
       |  CASE WHEN n = 1 THEN 0.0
@@ -113,7 +119,7 @@ object Trend {
       |             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
       |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
       |            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept,
-      |  CASE WHEN sy2 * n = sy * sy THEN 1.0
+      |  CASE WHEN sy2 * n = CAST(sy AS HUGEINT) * sy THEN 1.0
       |    ELSE ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -329,6 +329,19 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("y")))
 
+  /** STREAMING SEASONALITY VIEW — [[graft.operators.Seasonality]]'s
+    * hour-of-day ANOVA η² served from the hourly count store via the
+    * shared `seasonalityOverHourly` definition: the spine + the
+    * |types×24| group aggregate ride |types×hours| rollup rows, never
+    * events. Equal to the batch
+    * [[graft.operators.Seasonality.qSeasonality]] on the absorbed
+    * corpus once all hours are watermark-finalized (spec-proven). */
+  def seasonalityView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Seasonality.seasonalityOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
   /** STREAMING CHANGEPOINT VIEW — [[graft.operators.Changepoint]]'s
     * AMOC localization served from the hourly count store via the
     * shared `changepointOverHourly` definition: the cumsum window and

@@ -49,28 +49,41 @@ object ProfileStore {
   private def strAxis(pc: PCol) =
     if (pc.kind == "str") col(pc.name) else lit(null).cast(StringType)
 
-  /** One batch's per-column stats delta (constant ≤ |cols| rows). */
-  def statsDelta(batch: DataFrame): DataFrame =
-    cols.map { pc =>
-      batch.agg(
-        count(lit(1)).as("n"),
-        sum(when(col(pc.name).isNull, 1L).otherwise(0L)).as("n_null"),
-        min(numAxis(pc)).as("min_num"), max(numAxis(pc)).as("max_num"),
-        min(strAxis(pc)).as("min_str"), max(strAxis(pc)).as("max_str"))
-        .select(lit(pc.name).as("col_name"), col("n"), col("n_null"),
-          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
-    }.reduce(_ unionAll _)
+  /** One batch's per-column stats delta (constant ≤ |cols| rows) — ONE
+    * wide aggregate over the batch (the [[graft.operators.DataQuality
+    * .qDqProfile]] single-scan shape) carved into per-column rows by
+    * `stack`, instead of |cols| unioned aggregations each rescanning
+    * the micro-batch. */
+  def statsDelta(batch: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_all") +: cols.flatMap { pc => Seq(
+      sum(when(col(pc.name).isNull, 1L).otherwise(0L)).as(s"nn_${pc.name}"),
+      min(numAxis(pc)).as(s"mn_${pc.name}"),
+      max(numAxis(pc)).as(s"mx_${pc.name}"),
+      min(strAxis(pc)).as(s"ms_${pc.name}"),
+      max(strAxis(pc)).as(s"xs_${pc.name}")) }
+    val wide = batch.agg(aggs.head, aggs.tail: _*)
+    val legs = cols.map(pc =>
+      s"'${pc.name}', n_all, `nn_${pc.name}`, `mn_${pc.name}`, " +
+        s"`mx_${pc.name}`, `ms_${pc.name}`, `xs_${pc.name}`").mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $legs) AS " +
+      "(col_name, n, n_null, min_num, max_num, min_str, max_str)"))
+  }
 
   /** One batch's per-column bottom-k hash sketch delta (≤ |cols|·k
     * rows) — md5-Horner over the value's string rendering, the
-    * engine-portable hash family. */
+    * engine-portable hash family. One scan: each row explodes into
+    * ≤ |cols| (col_name, h) entries (null values dropped), instead of
+    * |cols| unioned scans of the micro-batch. */
   def sketchDelta(batch: DataFrame): DataFrame = {
-    val hashed = cols.map { pc =>
-      batch.filter(col(pc.name).isNotNull)
-        .select(lit(pc.name).as("col_name"),
-          conv(substring(md5(col(pc.name).cast(StringType)
-            .cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
-    }.reduce(_ unionAll _).distinct()
+    val entries = cols.map { pc =>
+      struct(lit(pc.name).as("col_name"),
+        conv(substring(md5(col(pc.name).cast(StringType)
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
+    }
+    val hashed = batch.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.h").as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
     bottomK(hashed)
   }
 
@@ -117,13 +130,7 @@ object ProfileStore {
   /** The batch twin the view must equal: same stats + same sketch
     * estimator in one pass over a corpus frame. */
   def profileOf(corpus: DataFrame): DataFrame = {
-    val est = estimateFromSketch(bottomK(
-      cols.map { pc =>
-        corpus.filter(col(pc.name).isNotNull)
-          .select(lit(pc.name).as("col_name"),
-            conv(substring(md5(col(pc.name).cast(StringType)
-              .cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
-      }.reduce(_ unionAll _).distinct()))
+    val est = estimateFromSketch(sketchDelta(corpus))
     statsDelta(corpus).join(est, Seq("col_name"), "left")
       .select(col("col_name"), col("n").as("n_rows"), col("n_null"),
         coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"),

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Rrf
+
+/** Reciprocal-rank fusion: hand-checkable list algebra on tiny planted
+  * lists, plus the driver-query contract on testdata. */
+class RrfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def list(pairs: (Long, Int)*) =
+    pairs.toDF("id", "rank")
+
+  test("doc in both lists outranks better-single-list docs") {
+    // doc 1: rank 2 lexical + rank 3 dense = 1/62 + 1/63 ≈ 0.0320
+    // doc 2: rank 1 lexical only            = 1/61      ≈ 0.0164
+    val fused = Rrf.fuse(list(2L -> 1, 1L -> 2), list(1L -> 3, 9L -> 1))
+      .collect()
+    assert(fused.head.getLong(0) === 1L)
+    val s = fused.head.getDouble(1)
+    assert(math.abs(s - (1.0 / 62 + 1.0 / 63)) < 1e-15)
+  }
+
+  test("absent ranks surface as -1, not null") {
+    val fused = Rrf.fuse(list(2L -> 1), list(9L -> 1)).collect()
+    assert(fused.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    val byId = fused.map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(byId(2L) === (1, -1) && byId(9L) === (-1, 1))
+  }
+
+  test("tie on rrf_score breaks by doc_id ascending") {
+    // symmetric single-list docs at the same rank tie exactly
+    val fused = Rrf.fuse(list(7L -> 1), list(3L -> 1)).collect()
+    assert(fused.map(_.getLong(0)).toSeq === Seq(3L, 7L))
+  }
+
+  test("driver query: fused ranks are consistent with the rankers") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Rrf.qRrfFusion(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= Rrf.topK)
+    // every row carries at least one real rank, scores decrease
+    assert(out.forall(r => r.getInt(2) > 0 || r.getInt(3) > 0))
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+    // spot-check: recompute the dense ranker's rank-1 doc — the top
+    // cosine row must appear with dense_rank 1 (cand lists are larger
+    // than topK, so rank 1 always survives fusion... it may not, but
+    // the MAX dense contribution doc must be present if its fused
+    // score reaches topK; assert only rank consistency of surfaced rows
+    val dense = graft.ext.Similarity.qAnnCosineById(spark, dir)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(Rrf.candK).collect().map(_.getLong(0)).zipWithIndex.toMap
+    out.filter(_.getInt(3) > 0).foreach { r =>
+      assert(dense(r.getLong(0)) + 1 === r.getInt(3))
+    }
+  }
+}

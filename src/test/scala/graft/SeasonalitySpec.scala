@@ -31,6 +31,30 @@ class SeasonalitySpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
   }
 
+  test("streaming view == batch seasonality on the finalized hour set") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("season-stream")
+      .toFile.getAbsolutePath
+    val ev = Tables(spark, dir, "events")
+    ev.coalesce(1).write.parquet(s"$tmp/src/part0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/src/part0").schema)
+      .parquet(s"$tmp/src/*")
+    graft.streaming.EventStreams
+      .runHourlyCountStream(spark, src, s"$tmp/store", s"$tmp/ckpt")
+      .awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3))
+    val got = graft.streaming.EventStreams
+      .seasonalityView(spark, s"$tmp/store").collect().map(key).toMap
+    val hmax = spark.read.parquet(s"$tmp/store")
+      .agg(max(col("ws"))).head.getTimestamp(0)
+    val want = Seasonality.seasonality(ev.filter(col("ts") < lit(hmax) +
+        expr("interval 1 hour"))).collect().map(key).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("noise-plus-cycle sits strictly between 0 and 1") {
     // cycle of period 24 + a one-off burst (unexplained by hod)
     val ev = ((0 until 96).flatMap { h =>

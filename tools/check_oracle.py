@@ -11,10 +11,18 @@ compares values. Exit 0 iff everything matches.
 import json
 import math
 import sys
+import time
 
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
+
+# Hard per-oracle DuckDB budget: the round-10 driver gate recorded an
+# EMPTY artifact after the full sweep crossed ~17 min (the classifier
+# CTE unrolls alone were ~2 min each when DuckDB inlined their CTEs).
+# Any single oracle slower than this fails the gate IN-REPO so an
+# oracle-cost regression is caught before the driver's gate times out.
+ORACLE_CEILING_SEC = 10.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -91,10 +99,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output ({e})")
             failures += 1
             continue
+        t0 = time.time()
         try:
             duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        duck_ms = (time.time() - t0) * 1000.0
+        if duck_ms > ORACLE_CEILING_SEC * 1000.0:
+            print(f"FAIL {name}: oracle cost {duck_ms:.0f} ms exceeds "
+                  f"{ORACLE_CEILING_SEC:.0f} s ceiling — cheapen the SQL "
+                  "(MATERIALIZED CTEs / bounded slice) before the driver's "
+                  "gate times out")
             failures += 1
             continue
         kinds = dtype_mismatches(spark_df, duck_df)
@@ -124,7 +141,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"  duck : {d.loc[i].to_dict()}")
             failures += 1
             continue
-        print(f"PASS {name}: {len(s)} rows")
+        print(f"PASS {name}: {len(s)} rows ({duck_ms:.0f} ms duckdb)")
     # queries with no oracle: rows-only check
     import os
     for name in sorted(os.listdir(out_dir)):
