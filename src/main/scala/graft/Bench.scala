@@ -26,7 +26,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional 1st arg: comma-separated query-name filter for targeted
+    // isolated measurements (driver passes no args → full sweep)
+    val keep: String => Boolean =
+      args.lift(0).map(_.split(",").toSet)
+        .getOrElse((_: String) => true)
+    val qs = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
     // Round-4 lesson: queries that localCheckpoint intermediates leave
     // cached blocks behind that are garbage once the query completes;
     // across 48 queries × 3 passes the accumulated generations taxed
