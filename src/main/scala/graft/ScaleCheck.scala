@@ -143,6 +143,24 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$outDir/part_scaled.parquet")
   }
 
+  /** Scaled population twin of `customer` under a DIFFERENT name (the
+    * part_scaled pattern): customer itself stays an unscaled dim (the
+    * view family's broadcast premise), but k-anonymity treats it as
+    * the POPULATION — its 10× point needs a 10× population. Copies
+    * remap only the key; the quasi-identifier and sensitive columns
+    * repeat, so the equivalence-class COUNT stays fixed while class
+    * SIZES grow ~factor× — exactly how a growing population behaves
+    * against a fixed QI space. */
+  def scaleCustomer(spark: SparkSession, srcDir: String, outDir: String,
+                    factor: Int): Unit = {
+    val c = spark.read.parquet(s"$srcDir/customer.parquet")
+    (0 until factor).map { k =>
+      c.withColumn("c_custkey", col("c_custkey") * factor + k)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/customer_scaled.parquet")
+  }
+
   def scaleFacts(spark: SparkSession, srcDir: String, outDir: String,
                  factor: Int): Unit = {
     // dims copied unscaled, so the scaled dir is a COMPLETE table
@@ -153,6 +171,7 @@ object ScaleCheck {
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       }
     scalePartNames(spark, srcDir, outDir, factor)
+    scaleCustomer(spark, srcDir, outDir, factor)
     scaleEmbeddings(spark, srcDir, outDir, factor)
     def copies(src: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(src, i)).reduce(_ unionByName _)
@@ -212,6 +231,7 @@ object ScaleCheck {
     // suffix forces dirs from the v1 harness (constant embeddings) to
     // regenerate rather than be silently trusted
     // v3: part_scaled (fuzzy-join fact twin) added to the table set
+    // v4: customer_scaled (k-anonymity population twin) added
     // The marker also embeds the SOURCE corpus' max mtime: the driver
     // regenerates /root/testdata between rounds, and a big dir scaled
     // from the previous generation would silently pair stale big-side
@@ -220,7 +240,7 @@ object ScaleCheck {
     val srcStamp = Tables.names.map(t =>
       new java.io.File(s"$srcDir/$t.parquet").lastModified()).max
     val marker =
-      new java.io.File(s"$bigDir/_SCALED_OK_v3_${factor}_$srcStamp")
+      new java.io.File(s"$bigDir/_SCALED_OK_v4_${factor}_$srcStamp")
     val complete = Tables.names.forall(t =>
       new java.io.File(s"$bigDir/$t.parquet").exists())
     if (!marker.exists() || !complete) {
@@ -232,7 +252,7 @@ object ScaleCheck {
       // touch -r) would match an old marker and revalidate a big dir
       // scaled from different data
       Option(new java.io.File(bigDir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(s"_SCALED_OK_v3_${factor}_"))
+        .filter(_.getName.startsWith(s"_SCALED_OK_v"))
         .foreach(_.delete())
       marker.createNewFile()
     }
@@ -481,8 +501,32 @@ object ScaleCheck {
         "q_corr_matrix",
         // seasonality eta²: rollup-first — the ANOVA runs over
         // |types×24| group rows off the |types×hours| spine
-        "q_seasonality")
+        "q_seasonality",
+        // round-11 family: RRF fusion (the BM25 tokenize/dlen scans +
+        // the map-only cosine pass — both ~factor; candidate lists and
+        // the fusion itself are constant-size), retrieval eval (two
+        // map-only scoring passes over the scaled embeddings + 8
+        // per-query WindowGroupLimit top-k's; metrics on ≤2·Q·k rows),
+        // row-level DQ gate (the lineitem⟕orders key join + codegen
+        // verdicts — quarantine mass ~factor)
+        "q_rrf_fusion", "q_retrieval_metrics", "q_dq_quarantine")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // k-anonymity against the DEDICATED scaled population twin
+      // (customer stays an unscaled dim for the view family): class
+      // count fixed, class sizes ~factor — one QI groupBy then
+      // bounded threshold aggs; falls back to the real customer table
+      // on the unscaled source dir
+      "q_k_anonymity" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/customer_scaled.parquet")
+        val c = if (f.exists) s.read.parquet(f.getPath)
+                else Tables(s, d, "customer")
+        graft.operators.Anonymity.kAnonymityProfile(
+          c.withColumn("bal_band",
+            org.apache.spark.sql.functions.floor(
+              org.apache.spark.sql.functions.col("c_acctbal") / 1000.0)
+              .cast(org.apache.spark.sql.types.LongType)),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band")
+      }),
       // heavy hitters at a FIXED absolute threshold (the small corpus'
       // T): the scaled corpus' disjoint vocabularies make nothing
       // RELATIVELY heavy, so the relative form would time an empty
