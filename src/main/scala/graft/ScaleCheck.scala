@@ -509,7 +509,10 @@ object ScaleCheck {
         // per-query WindowGroupLimit top-k's; metrics on ≤2·Q·k rows),
         // row-level DQ gate (the lineitem⟕orders key join + codegen
         // verdicts — quarantine mass ~factor)
-        "q_rrf_fusion", "q_retrieval_metrics", "q_dq_quarantine")
+        "q_rrf_fusion", "q_retrieval_metrics", "q_dq_quarantine",
+        // join advisor: per-key count shuffles on both sides, then
+        // the cardinality/skew math over |keys|-row count tables
+        "q_join_advisor")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // k-anonymity against the DEDICATED scaled population twin
       // (customer stays an unscaled dim for the view family): class
