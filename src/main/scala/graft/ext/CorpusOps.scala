@@ -266,15 +266,19 @@ object CorpusOps {
     * generations through w[[classifierTrainRounds]]) — the training
     * unroll both [[qClassifierTrainSql]] (metrics tail) and
     * [[qClassifierInferSql]] (scoring tail) select from. */
+  /** The default gate label as a DuckDB predicate — shared by the
+    * training unroll and the CV unroll. */
+  private lazy val gateSql: String =
+    """(length(text) >= 100
+      |     AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |         / length(text) <= 0.3
+      |     AND CAST(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) >= 0.01)""".stripMargin
+
   private lazy val classifierTrainCtes: String = {
     val b = classifierBuckets
-    val gate =
-      """(length(text) >= 100
-        |     AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-        |         / length(text) <= 0.3
-        |     AND CAST(len(list_filter(string_split(text, ' '),
-        |           x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-        |         / len(string_split(text, ' ')) >= 0.01)""".stripMargin
+    val gate = gateSql
     // Every CTE is MATERIALIZED: DuckDB 1.x INLINES CTEs by default,
     // so each round's w CTE referencing w(t−1) twice makes the plan
     // tree (and its cost) grow ~2^rounds — the measured effect was
@@ -480,6 +484,167 @@ object CorpusOps {
       |  CAST(1000 * SUM(y) // COUNT(*) AS BIGINT)
       |    AS label_rate_permille
       |FROM d GROUP BY decile""".stripMargin
+
+  /** K-FOLD CROSS-VALIDATION of the gate classifier — the honest
+    * generalization estimate [[qClassifierEval]] (which trains and
+    * evals on the same corpus) cannot give: each fold f trains the
+    * full [[classifierTrainRounds]]-round perceptron on the OTHER
+    * folds and scores only fold f's held-out documents, so every
+    * document's verdict comes from a model that never saw it. Folds
+    * are the md5 coin on doc_id (the [[graft.ext.Dedup]] split
+    * posture) — deterministic, engine-portable, stratification-free.
+    *
+    * Scale shape: [[cvFolds]] training loops, each the bounded-state
+    * shape of [[trainClassifier]] (broadcast weight table + two
+    * partial aggs per round); scoring is the map-only
+    * [[classifyWith]] fold over each held-out slice. At 100 TB the
+    * cost is folds × the training scan budget — which is exactly the
+    * price of a real CV, stated rather than hidden. Models are
+    * memoized per (dir, fold).
+    *
+    * Output: (fold, n_train, n_test, tp, fp, fn, tn, accuracy). The
+    * ORACLE replays all [[cvFolds]] training unrolls (fold-filtered
+    * labels — margins/updates only ever touch train docs) plus the
+    * held-out scoring joins: the entire CV, lists and models
+    * included, is hash-checked. */
+  val cvFolds = 3
+
+  private def docFold(d: Column): Column = pmod(
+    conv(substring(md5(d.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint"), lit(cvFolds.toLong))
+
+  def qClassifierCv(spark: SparkSession, dir: String): DataFrame =
+    classifierCv(Tables(spark, dir, "documents"), Some(dir))
+
+  /** Core over any documents frame; `memoDir` keys the per-fold model
+    * memoization (None = train fresh, the spec path). */
+  def classifierCv(docs: DataFrame,
+                   memoDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = split(col("text"), " ")
+    val gate = (length(col("text")) >= 100 &&
+      (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        length(col("text"))) <= 0.3 &&
+      (size(filter(t, x => x.isInCollection(
+        Seq("the", "a", "of", "and", "to")))).cast("double") /
+        size(t)) >= 0.01).cast("int")
+    (0 until cvFolds).map { f =>
+      def train() = trainClassifier(docs.filter(docFold(col("doc_id")) =!= f))
+      val model = memoDir match {
+        case Some(d) =>
+          graft.util.SessionCache.memoize(spark, s"clfcv$f", d)(train())
+        case None => train()
+      }
+      val test = docs.filter(docFold(col("doc_id")) === f)
+      val nTrain = docs.filter(docFold(col("doc_id")) =!= f).count()
+      classifyWith(test, model.weights)
+        .join(test.select(col("doc_id"), gate.as("y")), "doc_id")
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum((col("pred") === 1 && col("y") === 1).cast("bigint")).as("tp"),
+          sum((col("pred") === 1 && col("y") === 0).cast("bigint")).as("fp"),
+          sum((col("pred") === 0 && col("y") === 1).cast("bigint")).as("fn"),
+          sum((col("pred") === 0 && col("y") === 0).cast("bigint")).as("tn"))
+        .select(lit(f).as("fold"), lit(nTrain).as("n_train"),
+          col("n_test"), col("tp"), col("fp"), col("fn"), col("tn"),
+          ((col("tp") + col("tn")).cast("double") /
+            col("n_test").cast("double")).as("accuracy"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The full CV unroll: shared feats/lab CTEs (lab carries the md5
+    * fold), then per fold a complete fold-filtered training chain and
+    * a held-out scoring tail. Every CTE MATERIALIZED (the DuckDB
+    * inlining hazard grows with THREE chains). */
+  lazy val qClassifierCvSql: String = {
+    val b = classifierBuckets
+    val foldExpr = s"""CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+      | 1, 8) AS UBIGINT) % $cvFolds AS BIGINT)""".stripMargin
+      .replace("\n", "")
+    val header =
+      s"""WITH tokscv AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |featscv AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT) % $b
+        |      AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tokscv GROUP BY 1, 2),
+        |labcv AS MATERIALIZED (
+        |  SELECT doc_id, CAST($gateSql AS BIGINT) AS y,
+        |    $foldExpr AS fold
+        |  FROM documents)""".stripMargin
+    val folds = (0 until cvFolds).map { f =>
+      val trainChain = {
+        val first =
+          s""",
+            |e1_$f AS MATERIALIZED (
+            |  SELECT doc_id, y AS err FROM labcv
+            |  WHERE fold <> $f AND y <> 0),
+            |u1_$f AS MATERIALIZED (
+            |  SELECT ft.bucket, SUM(ft.cnt * e.err) AS d
+            |  FROM featscv ft JOIN e1_$f e USING (doc_id) GROUP BY 1),
+            |w1_$f AS MATERIALIZED (
+            |  SELECT bucket, SUM(d) AS wgt FROM u1_$f GROUP BY 1)""".stripMargin
+        val later = (2 to classifierTrainRounds).map { tr =>
+          val p = tr - 1
+          s""",
+            |m${tr}_$f AS MATERIALIZED (
+            |  SELECT l.doc_id, l.y,
+            |    SUM(ft.cnt * COALESCE(w.wgt, 0)) AS margin
+            |  FROM labcv l
+            |  JOIN featscv ft USING (doc_id)
+            |  LEFT JOIN w${p}_$f w USING (bucket)
+            |  WHERE l.fold <> $f GROUP BY 1, 2),
+            |e${tr}_$f AS MATERIALIZED (
+            |  SELECT doc_id,
+            |    y - (CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS err
+            |  FROM m${tr}_$f
+            |  WHERE y <> (CASE WHEN margin > 0 THEN 1 ELSE 0 END)),
+            |u${tr}_$f AS MATERIALIZED (
+            |  SELECT ft.bucket, SUM(ft.cnt * e.err) AS d
+            |  FROM featscv ft JOIN e${tr}_$f e USING (doc_id) GROUP BY 1),
+            |w${tr}_$f AS MATERIALIZED (
+            |  SELECT bucket, SUM(v) AS wgt FROM (
+            |    SELECT bucket, wgt AS v FROM w${p}_$f
+            |    UNION ALL SELECT bucket, d FROM u${tr}_$f)
+            |  GROUP BY 1)""".stripMargin
+        }.mkString
+        first + later
+      }
+      val wT = s"w${classifierTrainRounds}_$f"
+      val evalTail =
+        s""",
+          |sc_$f AS MATERIALIZED (
+          |  SELECT l.doc_id, l.y,
+          |    COALESCE(SUM(ft.cnt * COALESCE(w.wgt, 0)), 0) AS s
+          |  FROM labcv l
+          |  LEFT JOIN featscv ft USING (doc_id)
+          |  LEFT JOIN $wT w USING (bucket)
+          |  WHERE l.fold = $f GROUP BY 1, 2)""".stripMargin
+      trainChain + evalTail
+    }.mkString
+    val rows = (0 until cvFolds).map { f =>
+      s"""SELECT CAST($f AS INTEGER) AS fold,
+        |  CAST((SELECT COUNT(*) FROM labcv WHERE fold <> $f) AS BIGINT)
+        |    AS n_train,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN s > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tp,
+        |  CAST(SUM(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fp,
+        |  CAST(SUM(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fn,
+        |  CAST(SUM(CASE WHEN s <= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tn,
+        |  CAST(SUM(CASE WHEN (CASE WHEN s > 0 THEN 1 ELSE 0 END) = y
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS accuracy
+        |FROM sc_$f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    header + folds + "\n" + rows
+  }
 
   /** CROSS-SOURCE QUANTILE NORMALIZATION — harmonize a quality score
     * across heterogeneous sources before mixing them (the curation
