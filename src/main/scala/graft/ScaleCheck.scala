@@ -512,7 +512,11 @@ object ScaleCheck {
         "q_rrf_fusion", "q_retrieval_metrics", "q_dq_quarantine",
         // join advisor: per-key count shuffles on both sides, then
         // the cardinality/skew math over |keys|-row count tables
-        "q_join_advisor")
+        "q_join_advisor",
+        // classifier CV: folds× the training budget (broadcast weight
+        // table + two partial aggs per round), map-only held-out
+        // scoring — trained models memoized per (dir, fold)
+        "q_classifier_cv")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // k-anonymity against the DEDICATED scaled population twin
       // (customer stays an unscaled dim for the view family): class
