@@ -516,7 +516,10 @@ object ScaleCheck {
         // classifier CV: folds× the training budget (broadcast weight
         // table + two partial aggs per round), map-only held-out
         // scoring — trained models memoized per (dir, fold)
-        "q_classifier_cv")
+        "q_classifier_cv",
+        // histogram percentiles: one scan → |buckets|-row count table;
+        // the cumulative window and per-p pick ride bounded rows
+        "q_quantile_hist")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // k-anonymity against the DEDICATED scaled population twin
       // (customer stays an unscaled dim for the view family): class
