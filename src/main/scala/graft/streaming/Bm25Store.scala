@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+import graft.ext.Bm25
+
+/** Incrementally-maintained BM25 SERVING store — the freshness story
+  * for the retrieval stack ([[Bm25]] ranks, [[graft.ext.Rrf]] fuses,
+  * [[graft.ext.RetrievalEval]] grades — this keeps the lexical arm
+  * CURRENT as the corpus grows): document batches arrive as files,
+  * each contributes three bounded deltas, and the live scores for a
+  * REGISTERED query-term set are served from the store without ever
+  * rescanning absorbed documents.
+  *
+  * Deltas per batch (all sum-monoid or per-doc-disjoint, per-batch-dir
+  * overwrite for replay safety — [[HeavyHittersStore]] posture):
+  *  - stats: (n_docs, toktotal) — two longs;
+  *  - dl: (doc_id, dl) — per-doc token counts (docs don't repeat
+  *    across batches, the file-ingest contract);
+  *  - tf: (doc_id, term, tf) for the registered terms only — the
+  *    posting-list subset a serving deployment actually materializes
+  *    (|docs with hits| × |terms| bounded).
+  *
+  * Document frequency never needs its own store: df(term) = the count
+  * of tf rows for that term — exact by construction. The view then
+  * assembles the IDENTICAL float expression tree as the batch
+  * operator (same literals, same shape), so [[bm25View]] is
+  * bit-equal to [[Bm25.bm25]] over the absorbed corpus, spec-proven.
+  *
+  * At 100 TB: per-batch work is the batch's own tokenize (the scan a
+  * fresh file costs anywhere); the store grows by the posting subset
+  * only; query cost is |store| — independent of corpus history. */
+object Bm25Store {
+
+  /** One batch's three deltas, written under their own batch dirs. */
+  def appendBm25Batch(spark: SparkSession, docs: DataFrame,
+                      terms: Seq[String], storePath: String,
+                      batchId: Long): Unit = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"))
+        .as("term"))
+      .localCheckpoint() // one tokenize feeds all three deltas
+    docs.agg(count(lit(1)).as("n"))
+      .crossJoin(toks.agg(count(lit(1)).as("toktotal")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/stats/batch=$batchId")
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/dl/batch=$batchId")
+    toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/tf/batch=$batchId")
+  }
+
+  /** Live BM25 scores of every absorbed document matching ≥1
+    * registered term: (doc_id, n_hits, score) — the identical
+    * expression tree as [[Bm25.bm25]], fed from the merged deltas. */
+  def bm25View(spark: SparkSession, storePath: String): DataFrame = {
+    val stats = spark.read.parquet(s"$storePath/stats")
+      .agg(sum(col("n")).as("n"), sum(col("toktotal")).as("toktotal"))
+    val dl = spark.read.parquet(s"$storePath/dl")
+      .select("doc_id", "dl")
+    val tf = spark.read.parquet(s"$storePath/tf")
+      .select("doc_id", "term", "tf")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      .withColumn("avgdl",
+        col("toktotal").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(Bm25.k1) * (lit(1.0 - Bm25.b) +
+              lit(Bm25.b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("s")).as("score"))
+  }
+
+  def runBm25Stream(spark: SparkSession, uploadDir: String,
+                    terms: Seq[String], storePath: String,
+                    checkpointDir: String,
+                    schema: StructType): StreamingQuery =
+    CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
+      (batch, id) => appendBm25Batch(spark, batch, terms, storePath, id)
+    }
+}
