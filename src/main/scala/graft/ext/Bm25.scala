@@ -68,7 +68,15 @@ object Bm25 {
             lit(k1) * (lit(1.0 - b) +
               lit(b) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"), sum(col("s")).as("score"))
+      // the per-doc score folds its ≤|query| term scores IN TERM ORDER
+      // (sorted-list fold, not SUM): an unordered double SUM is
+      // partial-agg-order-dependent at the BIT level, and downstream
+      // RANKINGS over the score ([[Rrf]]) flip on exactly those bits
+      // even though the 12-digit value compare passes — measured as a
+      // run-to-run rank swap at an equal-to-12-digits tie
+      .agg(count(lit(1)).as("n_hits"),
+        aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
   }
 
   def qBm25(spark: SparkSession, dir: String): DataFrame =
@@ -91,7 +99,7 @@ object Bm25 {
       |  SELECT (SELECT COUNT(*) FROM documents) AS n,
       |         (SELECT COUNT(*) FROM toks) AS toktotal
       |), scored AS (
-      |  SELECT tf.doc_id,
+      |  SELECT tf.doc_id, tf.term,
       |    ln((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
       |         / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
@@ -104,6 +112,7 @@ object Bm25 {
       |  JOIN dlen d ON d.doc_id = tf.doc_id
       |)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-      |       SUM(s) AS score
+      |       list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+      |                   (acc, x) -> acc + x) AS score
       |FROM scored GROUP BY doc_id""".stripMargin
 }

@@ -40,16 +40,29 @@ object Rrf {
   /** Fused top-k returned. */
   val topK = 20
 
-  /** Rank a bounded candidate list: top-[[candK]] by (score desc,
-    * id asc), then the in-list 1-based rank. The unpartitioned window
-    * runs AFTER the limit, on ≤ [[candK]] rows — bounded, not the
-    * global-window trap. */
+  /** Rank a bounded candidate list: top-[[candK]] by (micro-score
+    * desc, id asc), then the in-list 1-based rank. The unpartitioned
+    * window runs AFTER the limit, on ≤ [[candK]] rows — bounded, not
+    * the global-window trap.
+    *
+    * RANKING KEY = round(score·10⁶) as an integer (the LM-score
+    * "integer micronats" move): ranking a raw double amplifies
+    * cross-engine 1-ulp differences — BM25's ln() can differ in the
+    * last bits between JVM and libm, and two DIFFERENT docs whose
+    * scores agree to 12 digits then swap ranks (measured: one rank
+    * flip at an equal-to-12-digits near-tie). Micro-quantization
+    * collapses sub-1e-6 gaps into an exact integer tie broken by id
+    * on BOTH engines; a flip now needs two scores straddling a
+    * rounding boundary within ~1e-13 — probability ~1e-7 per
+    * near-tie instead of ~certainty. Rank granularity 1e-6 is far
+    * below any meaningful relevance gap. */
   private def rankList(scored: DataFrame, idCol: String,
                        scoreCol: String): DataFrame = {
-    val top = scored.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val micro = round(col(scoreCol) * 1e6).cast("bigint")
+    val top = scored.orderBy(micro.desc, col(idCol).asc)
       .limit(candK)
     top.withColumn("rank", row_number().over(
-        Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+        Window.orderBy(micro.desc, col(idCol).asc)))
       .select(col(idCol).as("id"), col("rank"))
   }
 
@@ -96,15 +109,21 @@ object Rrf {
       |  ${Similarity.qAnnCosineByIdSql.replace("\n", "\n  ")}),
       |lex AS (
       |  SELECT doc_id AS id,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
-      |      AS INTEGER) AS lex_rank
-      |  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id ASC
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY CAST(ROUND(score * 1000000.0) AS BIGINT) DESC,
+      |        doc_id ASC) AS INTEGER) AS lex_rank
+      |  FROM (SELECT * FROM lexs
+      |        ORDER BY CAST(ROUND(score * 1000000.0) AS BIGINT) DESC,
+      |          doc_id ASC
       |        LIMIT $candK)),
       |dense AS (
       |  SELECT vec_id AS id,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC)
-      |      AS INTEGER) AS dense_rank
-      |  FROM (SELECT * FROM denses ORDER BY cosine DESC, vec_id ASC
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY CAST(ROUND(cosine * 1000000.0) AS BIGINT) DESC,
+      |        vec_id ASC) AS INTEGER) AS dense_rank
+      |  FROM (SELECT * FROM denses
+      |        ORDER BY CAST(ROUND(cosine * 1000000.0) AS BIGINT) DESC,
+      |          vec_id ASC
       |        LIMIT $candK))
       |SELECT CAST(COALESCE(l.id, d.id) AS BIGINT) AS doc_id,
       |  COALESCE(1.0 / (CAST($rrfK AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)),

@@ -81,7 +81,11 @@ object Bm25Store {
             lit(Bm25.k1) * (lit(1.0 - Bm25.b) +
               lit(Bm25.b) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"), sum(col("s")).as("score"))
+      // mirror the batch operator's ORDERED term fold exactly (the
+      // bit-equality contract) — see Bm25.bm25's determinism note
+      .agg(count(lit(1)).as("n_hits"),
+        aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
   }
 
   def runBm25Stream(spark: SparkSession, uploadDir: String,

@@ -49,8 +49,11 @@ class RrfSpec extends SparkSpec {
     // the MAX dense contribution doc must be present if its fused
     // score reaches topK; assert only rank consistency of surfaced rows
     val dense = graft.ext.Similarity.qAnnCosineById(spark, dir)
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(Rrf.candK).collect().map(_.getLong(0)).zipWithIndex.toMap
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // the operator ranks by the micro-quantized score (see
+      // Rrf.rankList) — mirror it
+      .sortBy { case (id, c) => (-math.round(c * 1e6), id) }
+      .take(Rrf.candK).map(_._1).zipWithIndex.toMap
     out.filter(_.getInt(3) > 0).foreach { r =>
       assert(dense(r.getLong(0)) + 1 === r.getInt(3))
     }
