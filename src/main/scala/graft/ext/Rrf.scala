@@ -87,17 +87,20 @@ object Rrf {
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
       .limit(topK)
 
+  /** Public composition over two SCORED frames — the entry the
+    * streaming hybrid path uses: `lexScored(doc_id, …, score)` (e.g.
+    * [[graft.streaming.Bm25Store.bm25View]]) and
+    * `denseScored(vec_id, cosine)`. */
+  def rrf(lexScored: DataFrame, denseScored: DataFrame): DataFrame =
+    fuse(rankList(lexScored, "doc_id", "score"),
+      rankList(denseScored, "vec_id", "cosine"))
+
   /** Driver query: BM25 over [[Bm25.queryTerms]] fused with cosine
     * against query vector 0 — the hybrid search one retrieval request
     * actually runs. */
-  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val lex = rankList(
-      Bm25.bm25(Tables(spark, dir, "documents"), Bm25.queryTerms),
-      "doc_id", "score")
-    val dense = rankList(
-      Similarity.qAnnCosineById(spark, dir), "vec_id", "cosine")
-    fuse(lex, dense)
-  }
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrf(Bm25.bm25(Tables(spark, dir, "documents"), Bm25.queryTerms),
+      Similarity.qAnnCosineById(spark, dir))
 
   /** Both rankers' oracles replayed verbatim (qBm25Sql /
     * qAnnCosineByIdSql as subqueries), ranked with the same tie-break,

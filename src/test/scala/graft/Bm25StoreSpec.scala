@@ -32,5 +32,21 @@ class Bm25StoreSpec extends SparkSpec {
       s"$tmp/store", 0L)
     assert(Bm25Store.bm25View(spark, s"$tmp/store")
       .collect().map(key).toMap === batch)
+
+    // STREAMING HYBRID RETRIEVAL: RRF over the live lexical store +
+    // the dense arm equals the batch fusion over the same corpus —
+    // the serving loop closed end to end
+    val dense = graft.ext.Similarity
+      .qAnnCosineById(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    def fkey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getInt(3))
+    val servedFusion = graft.ext.Rrf
+      .rrf(Bm25Store.bm25View(spark, s"$tmp/store"), dense)
+      .collect().map(fkey).toMap
+    val batchFusion = graft.ext.Rrf
+      .rrf(Bm25.bm25(docs, Bm25.queryTerms), dense)
+      .collect().map(fkey).toMap
+    assert(servedFusion === batchFusion && servedFusion.nonEmpty)
   }
 }
