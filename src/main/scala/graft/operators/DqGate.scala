@@ -109,12 +109,17 @@ object DqGate {
     * which can only move a whole file aside. */
   def gateBatch(batch: DataFrame, orders: DataFrame, cleanDir: String,
                 quarantineDir: String, batchId: Long): Unit = {
-    val f = flagged(batch, orders).localCheckpoint()
-    f.filter(size(col("viol_rules")) > 0)
-      .withColumn("viol_rules", array_join(col("viol_rules"), ","))
-      .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
-    f.filter(size(col("viol_rules")) === 0).drop("viol_rules")
-      .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+    // releasable checkpoint (a raw localCheckpoint would pin one dead
+    // cached RDD per micro-batch for the session lifetime)
+    val (f, release) = graft.util.Checkpoints.checkpointTracked(
+      flagged(batch, orders))
+    try {
+      f.filter(size(col("viol_rules")) > 0)
+        .withColumn("viol_rules", array_join(col("viol_rules"), ","))
+        .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+      f.filter(size(col("viol_rules")) === 0).drop("viol_rules")
+        .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+    } finally release()
   }
 
   // ---------------------------------------------------------------

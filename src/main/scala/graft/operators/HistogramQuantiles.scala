@@ -56,9 +56,13 @@ object HistogramQuantiles {
     // |buckets| rows — the unpartitioned window is bounded metadata
     val cum = hist.withColumn("cum", sum(col("c")).over(w))
       .withColumn("prev", col("cum") - col("c"))
-    val n = hist.agg(sum(col("c"))).head().getLong(0)
+    // sum over zero rows is NULL (fresh/empty store) — serve the empty
+    // percentile table rather than NPE on getLong
+    val nRow = hist.agg(sum(col("c"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val targets = ps.map(p => (p, (p.toLong * n + 99L) / 100L))
       .toDF("p", "target")
+      .filter(col("target") > 0L) // n = 0: no rank to pick, empty result
     // first bucket whose cum reaches the target: struct-min argmin
     cum.join(broadcast(targets), col("cum") >= col("target"))
       .groupBy("p", "target")

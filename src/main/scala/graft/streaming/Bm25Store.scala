@@ -34,38 +34,47 @@ import graft.ext.Bm25
   * only; query cost is |store| — independent of corpus history. */
 object Bm25Store {
 
+  /** The three sub-stores, all [[MonoidStore]]s: corpus stats (two
+    * global sums), per-doc lengths (docs are batch-disjoint, so SUM is
+    * the identity fold), and the registered-term postings. */
+  def statsStore(p: String): MonoidStore =
+    MonoidStore.sums(s"$p/stats", "n", "toktotal")
+  def dlStore(p: String): MonoidStore = MonoidStore.sums(s"$p/dl", "dl")
+  def tfStore(p: String): MonoidStore = MonoidStore.sums(s"$p/tf", "tf")
+
   /** One batch's three deltas, written under their own batch dirs. */
   def appendBm25Batch(spark: SparkSession, docs: DataFrame,
                       terms: Seq[String], storePath: String,
                       batchId: Long): Unit = {
-    val toks = docs.select(col("doc_id"),
-      explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"))
-        .as("term"))
-      .localCheckpoint() // one tokenize feeds all three deltas
-    docs.agg(count(lit(1)).as("n"))
-      .crossJoin(toks.agg(count(lit(1)).as("toktotal")))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/stats/batch=$batchId")
-    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/dl/batch=$batchId")
-    toks.filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/tf/batch=$batchId")
+    // one tokenize feeds all three deltas; RELEASABLE checkpoint (a
+    // raw localCheckpoint would pin one dead cached RDD per
+    // micro-batch for the session lifetime — the round-4 leak class)
+    val (toks, release) = graft.util.Checkpoints.checkpointTracked(
+      docs.select(col("doc_id"),
+        explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"))
+          .as("term")))
+    try {
+      statsStore(storePath).append(
+        docs.agg(count(lit(1)).as("n"))
+          .crossJoin(toks.agg(count(lit(1)).as("toktotal"))), batchId)
+      dlStore(storePath).append(
+        toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), batchId)
+      tfStore(storePath).append(
+        toks.filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")), batchId)
+    } finally release()
   }
 
   /** Live BM25 scores of every absorbed document matching ≥1
     * registered term: (doc_id, n_hits, score) — the identical
     * expression tree as [[Bm25.bm25]], fed from the merged deltas. */
   def bm25View(spark: SparkSession, storePath: String): DataFrame = {
-    val stats = spark.read.parquet(s"$storePath/stats")
-      .agg(sum(col("n")).as("n"), sum(col("toktotal")).as("toktotal"))
-    val dl = spark.read.parquet(s"$storePath/dl")
-      .select("doc_id", "dl")
-    val tf = spark.read.parquet(s"$storePath/tf")
-      .select("doc_id", "term", "tf")
+    val stats = statsStore(storePath).merged(spark)
+    val dl = dlStore(storePath).merged(spark)
+    // (doc_id, term) rows are batch-unique (docs never repeat), so the
+    // merged store keeps one row per pair and df = rows per term
+    val tf = tfStore(storePath).merged(spark)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -88,11 +97,19 @@ object Bm25Store {
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
   }
 
+  /** Wire the stream; `compactEvery` > 0 folds all three sub-stores on
+    * the same cadence (see [[SkewStore.runSkewStream]]). */
   def runBm25Stream(spark: SparkSession, uploadDir: String,
                     terms: Seq[String], storePath: String,
-                    checkpointDir: String,
-                    schema: StructType): StreamingQuery =
+                    checkpointDir: String, schema: StructType,
+                    compactEvery: Int = 0): StreamingQuery = {
+    val stores =
+      Seq(statsStore(storePath), dlStore(storePath), tfStore(storePath))
+    stores.foreach(_.recover(spark))
     CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
-      (batch, id) => appendBm25Batch(spark, batch, terms, storePath, id)
+      (batch, id) =>
+        appendBm25Batch(spark, batch, terms, storePath, id)
+        stores.foreach(_.maybeCompact(spark, id, compactEvery))
     }
+  }
 }

@@ -39,17 +39,19 @@ object HeavyHittersStore {
         .as(Seq("d", "bucket")))
       .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
 
+  /** The store: (d, bucket) counter rows, SUM merge ([[MonoidStore]]
+    * owns the layout/merge/compaction contract). */
+  def store(storePath: String): MonoidStore = MonoidStore.sums(storePath, "c")
+
   /** Write (or on replay, overwrite) this batch's delta dir. */
   def appendCounterBatch(spark: SparkSession, docs: DataFrame,
                          storePath: String, batchId: Long): Unit =
-    counterDelta(docs).coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    store(storePath).append(counterDelta(docs), batchId)
 
   /** The live counter table: sum of all absorbed deltas — equal to the
     * batch sketch pass over the absorbed corpus. */
   def counters(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy("d", "bucket").agg(sum(col("c")).as("c"))
+    store(storePath).merged(spark)
 
   /** Total absorbed key mass: every key row contributes exactly one
     * counter increment per depth, so N = Σc at any single depth. */
@@ -57,12 +59,20 @@ object HeavyHittersStore {
     counters(spark, storePath).filter(col("d") === 0)
       .agg(sum(col("c"))).head().getLong(0)
 
+  /** Wire the stream; `compactEvery` > 0 enables the cadenced fold
+    * (see [[SkewStore.runSkewStream]]). */
   def runCounterStream(spark: SparkSession, uploadDir: String,
                        storePath: String, checkpointDir: String,
-                       schema: StructType): StreamingQuery =
+                       schema: StructType,
+                       compactEvery: Int = 0): StreamingQuery = {
+    val st = store(storePath)
+    st.recover(spark)
     CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
-      (batch, id) => appendCounterBatch(spark, batch, storePath, id)
+      (batch, id) =>
+        appendCounterBatch(spark, batch, storePath, id)
+        st.maybeCompact(spark, id, compactEvery)
     }
+  }
 
   /** Exact heavy hitters of `corpus` (the absorbed documents) served
     * from the LIVE counter store: prune with the stored estimates,

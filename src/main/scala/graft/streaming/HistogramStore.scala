@@ -30,17 +30,19 @@ object HistogramStore {
         .as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** The store: per-bucket count rows, SUM merge ([[MonoidStore]]
+    * owns the layout/merge/compaction contract). */
+  def store(storePath: String): MonoidStore = MonoidStore.sums(storePath, "c")
+
   /** Write (or on replay, overwrite) this batch's delta dir. */
   def appendHistBatch(spark: SparkSession, batch: DataFrame,
                       valueCol: String, storePath: String,
                       batchId: Long): Unit =
-    histDelta(batch, valueCol).coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    store(storePath).append(histDelta(batch, valueCol), batchId)
 
   /** The live merged histogram. */
   def histogram(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy("bucket").agg(sum(col("c")).as("c"))
+    store(storePath).merged(spark)
 
   /** Live percentiles — [[HistogramQuantiles.quantilesOverHistogram]]
     * over the merged store, equal to the batch estimator on the
@@ -48,11 +50,18 @@ object HistogramStore {
   def quantilesView(spark: SparkSession, storePath: String): DataFrame =
     HistogramQuantiles.quantilesOverHistogram(histogram(spark, storePath))
 
+  /** Wire the stream; `compactEvery` > 0 enables the cadenced fold
+    * (see [[SkewStore.runSkewStream]]). */
   def runHistStream(spark: SparkSession, uploadDir: String,
                     valueCol: String, storePath: String,
-                    checkpointDir: String,
-                    schema: StructType): StreamingQuery =
+                    checkpointDir: String, schema: StructType,
+                    compactEvery: Int = 0): StreamingQuery = {
+    val st = store(storePath)
+    st.recover(spark)
     CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
-      (batch, id) => appendHistBatch(spark, batch, valueCol, storePath, id)
+      (batch, id) =>
+        appendHistBatch(spark, batch, valueCol, storePath, id)
+        st.maybeCompact(spark, id, compactEvery)
     }
+  }
 }

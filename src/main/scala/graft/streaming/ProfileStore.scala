@@ -35,6 +35,16 @@ object ProfileStore {
 
   val sketchK = 128
 
+  /** The two sub-stores ([[MonoidStore]]): stats ride SUM for the
+    * counts plus lattice MIN/MAX for the bounds (the non-summable
+    * columns a plain sum-compaction would corrupt), and the sketch's
+    * fold is the per-column bottom-k re-sketch (KMV merge closure). */
+  def statsStore(p: String): MonoidStore = MonoidStore(s"$p/stats",
+    MonoidStore.aggReduce(Seq("n", "n_null"), Seq("min_num", "min_str"),
+      Seq("max_num", "max_str")))
+  def sketchStore(p: String): MonoidStore =
+    MonoidStore(s"$p/sketch", bottomK)
+
   private case class PCol(name: String, kind: String) // num | ts | str
   private val cols = Seq(
     PCol("o_orderkey", "num"), PCol("o_custkey", "num"),
@@ -97,30 +107,32 @@ object ProfileStore {
   /** Write (or on replay, overwrite) this batch's delta dirs. */
   def appendProfileBatch(spark: SparkSession, batch: DataFrame,
                          storePath: String, batchId: Long): Unit = {
-    statsDelta(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/stats/batch=$batchId")
-    sketchDelta(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/sketch/batch=$batchId")
+    statsStore(storePath).append(statsDelta(batch), batchId)
+    sketchStore(storePath).append(sketchDelta(batch), batchId)
   }
 
+  /** Wire the stream; `compactEvery` > 0 folds both sub-stores on the
+    * same cadence (see [[SkewStore.runSkewStream]]). */
   def runProfileStream(spark: SparkSession, uploadDir: String,
                        storePath: String, checkpointDir: String,
-                       schema: StructType): StreamingQuery =
+                       schema: StructType,
+                       compactEvery: Int = 0): StreamingQuery = {
+    val stores = Seq(statsStore(storePath), sketchStore(storePath))
+    stores.foreach(_.recover(spark))
     CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
-      (batch, id) => appendProfileBatch(spark, batch, storePath, id)
+      (batch, id) =>
+        appendProfileBatch(spark, batch, storePath, id)
+        stores.foreach(_.maybeCompact(spark, id, compactEvery))
     }
+  }
 
   /** The live profile over everything absorbed: (col_name, n_rows,
     * n_null, est_distinct, min_num, max_num, min_str, max_str) —
     * equal to [[profileOf]] on the union corpus. */
   def profileView(spark: SparkSession, storePath: String): DataFrame = {
-    val stats = spark.read.parquet(s"$storePath/stats")
-      .groupBy("col_name")
-      .agg(sum(col("n")).as("n_rows"), sum(col("n_null")).as("n_null"),
-        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
-        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
-    val est = estimateFromSketch(
-      bottomK(spark.read.parquet(s"$storePath/sketch")))
+    val stats = statsStore(storePath).merged(spark)
+      .withColumnRenamed("n", "n_rows")
+    val est = estimateFromSketch(sketchStore(storePath).merged(spark))
     stats.join(est, Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_null"),
         coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"),

@@ -29,6 +29,10 @@ import graft.operators.DqGate
   * to merge finished profiles. */
 object SkewStore {
 
+  /** The store: per-key count rows, SUM merge ([[MonoidStore]] owns
+    * the layout/merge/compaction contract). */
+  def store(storePath: String): MonoidStore = MonoidStore.sums(storePath, "c")
+
   /** One batch's per-key count delta. */
   def keyCountDelta(batch: DataFrame, keyCol: String): DataFrame =
     batch.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
@@ -37,13 +41,11 @@ object SkewStore {
   def appendKeyCountBatch(spark: SparkSession, batch: DataFrame,
                           keyCol: String, storePath: String,
                           batchId: Long): Unit =
-    keyCountDelta(batch, keyCol).coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    store(storePath).append(keyCountDelta(batch, keyCol), batchId)
 
   /** The live merged per-key count table. */
   def keyCounts(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy("k").agg(sum(col("c")).as("c"))
+    store(storePath).merged(spark)
 
   /** The live skew profile — (n_keys, n_rows, max_cnt, top1_share,
     * hhi), the qSkewProfile statistics over the merged counts. */
@@ -72,10 +74,20 @@ object SkewStore {
       r.getAs[Double]("hhi")), partitions)
   }
 
+  /** Wire the stream. `compactEvery` > 0 folds committed deltas into
+    * the base dir once per that many batches (and heals any crashed
+    * fold at start-up) so a long-running stream's dir count stays
+    * bounded by the cadence, not its lifetime. */
   def runSkewStream(spark: SparkSession, uploadDir: String, keyCol: String,
                     storePath: String, checkpointDir: String,
-                    schema: StructType): StreamingQuery =
+                    schema: StructType,
+                    compactEvery: Int = 0): StreamingQuery = {
+    val st = store(storePath)
+    st.recover(spark)
     CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
-      (batch, id) => appendKeyCountBatch(spark, batch, keyCol, storePath, id)
+      (batch, id) =>
+        appendKeyCountBatch(spark, batch, keyCol, storePath, id)
+        st.maybeCompact(spark, id, compactEvery)
     }
+  }
 }

@@ -1,19 +1,24 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SUM-MONOID STORE COMPACTION — the maintenance pass every
-  * per-batch-delta store ([[HeavyHittersStore]], [[SkewStore]],
-  * [[HistogramStore]], [[ProfileStore]]'s stats, [[KmvStore]]) needs
-  * at scale: after thousands of micro-batches the store is thousands
-  * of tiny `batch=<id>` dirs, and every view pays the full listing +
-  * small-file scan. Compaction folds all deltas with id ≤ `upto`
-  * into ONE base delta (`batch=-1`) — valid because the stores'
-  * merge IS the sum monoid: summing a pre-summed base with newer
-  * deltas equals summing the originals, so every view is unchanged
-  * (spec-proven).
+/** MONOID STORE COMPACTION — the maintenance pass every
+  * per-batch-delta store ([[MonoidStore]]: [[HeavyHittersStore]],
+  * [[SkewStore]], [[HistogramStore]], [[Bm25Store]], [[ProfileStore]])
+  * needs at scale: after thousands of micro-batches the store is
+  * thousands of tiny `batch=<id>` dirs, and every view pays the full
+  * listing + small-file scan. Compaction folds all deltas with id ≤
+  * `upto` into ONE base delta (`batch=-1`) — valid because the
+  * stores' merge IS a monoid fold (associative): folding a pre-folded
+  * base with newer deltas equals folding the originals, so every view
+  * is unchanged (spec-proven). [[compactWith]] takes the store's own
+  * fold, so non-sum monoids compose too: ProfileStore's min/max
+  * lattice bounds and its bottom-k KMV sketch compact with the exact
+  * reduce their views use — a plain column sum would have corrupted
+  * both (the round-11 Scaladoc overclaimed this; now the fold is the
+  * caller's).
   *
   * SAFETY CONTRACT (why `upto` exists): per-batch-dir overwrite is
   * what makes REDELIVERY idempotent — a replayed batch rewrites its
@@ -75,7 +80,14 @@ object StoreCompaction {
     * previous base) into `batch=-1`, summing `sumCols` grouped by the
     * remaining columns. Returns the number of delta dirs absorbed. */
   def compact(spark: SparkSession, storePath: String,
-              sumCols: Seq[String], upto: Long): Int = {
+              sumCols: Seq[String], upto: Long): Int =
+    compactWith(spark, storePath, MonoidStore.aggReduce(sumCols), upto)
+
+  /** The general form: fold eligible deltas with the store's OWN
+    * monoid (`reduce` must preserve column names/order — true of
+    * every [[MonoidStore]] reduce, whose views it also serves). */
+  def compactWith(spark: SparkSession, storePath: String,
+                  reduce: DataFrame => DataFrame, upto: Long): Int = {
     recover(spark, storePath)
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,10 +100,7 @@ object StoreCompaction {
       }
     if (dirs.length <= 1) return 0 // nothing to fold
     val delta = spark.read.parquet(dirs.map(_.toString): _*)
-    val groupCols = delta.columns.filterNot(sumCols.contains)
-    val merged = delta.groupBy(groupCols.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged = reduce(delta)
       .select(delta.columns.map(col): _*) // original column order
       .coalesce(1)
     val tmp = new Path(root, s".compact-tmp-$upto")
