@@ -84,13 +84,6 @@ object Bench {
     // comes from the warm-up pass (deterministic queries → identical
     // artifact touch-set in timed passes). Eviction runs in the untimed
     // cleanup slot, so no timed pass pays for it.
-    val lastUser: Map[String, Int] = {
-      val m = scala.collection.mutable.Map.empty[String, Int]
-      qs.zipWithIndex.foreach { case ((name, _), i) =>
-        usedKeys.getOrElse(name, Set.empty).foreach(k => m(k) = i)
-      }
-      m.toMap
-    }
     // Min of two timed passes: a single pass is exposed to one-off GC /
     // OS noise (observed inflating a 3 s query to 12 s); the minimum of
     // two is a far lower-variance estimate of the query's true cost.
@@ -98,13 +91,45 @@ object Bench {
     // min-of-2 since round 3 — cross-round comparisons should mind the
     // methodology change. `passes` records every raw pass so any other
     // statistic can be recomputed.
+    //
+    // Round-12 (sweep-pressure fix): with ~165 queries the in-sweep
+    // reading of whichever heavy ran LATE drifted up round-over-round
+    // (q_fuzzy_join 7.6→15.7→21.0 s across r9–r11 with a proven-
+    // unchanged plan; the victim roamed — label_prop 9.7 s in one local
+    // sweep) — accumulated old-gen debt + page-cache churn from ~150
+    // predecessors, not query cost. Two countermeasures, both untimed:
+    //  - TIMED ORDER IS HEAVY-FIRST (descending warm-up time from this
+    //    run's own warm-up pass): the expensive queries run against the
+    //    freshest JVM, the cheap tail is noise-insensitive. The
+    //    published artifacts stay in sorted-name order — only the
+    //    execution schedule changes.
+    //  - a SETTLE BARRIER before any query whose warm-up exceeded
+    //    SETTLE_THRESHOLD: two full GCs with a pause between lets the
+    //    concurrent collector finish reclaiming predecessor debt
+    //    before the stopwatch starts.
+    val settleThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "2.0").toDouble
+    def settle(): Unit = {
+      System.gc(); Thread.sleep(150); System.gc()
+    }
+    val coldMap = coldTimes.toMap
+    val timedOrder = qs.sortBy { case (name, _) => -math.abs(coldMap(name)) }
+    val lastUserTimed: Map[String, Int] = {
+      val m = scala.collection.mutable.Map.empty[String, Int]
+      timedOrder.zipWithIndex.foreach { case ((name, _), i) =>
+        usedKeys.getOrElse(name, Set.empty).foreach(k => m(k) = i)
+      }
+      m.toMap
+    }
     val mems = Seq.newBuilder[(String, Long, Long)]
     val timedErrors = scala.collection.mutable.Set.empty[String]
-    val results = qs.zipWithIndex.map { case ((name, fn), i) =>
+    val resultsByRun = timedOrder.zipWithIndex.map { case ((name, fn), i) =>
       val pinnedBefore = graft.util.SessionCache.pinnedBytes(spark)
       val freeBefore = spark.sparkContext.getExecutorMemoryStatus
         .values.map(_._2).sum
+      val heavy = math.abs(coldMap(name)) > settleThreshold
       val times = (1 to 2).map { _ =>
+        if (heavy) settle() // untimed: predecessor GC debt, not query cost
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
         catch { case _: Throwable => timedErrors += name }
@@ -113,10 +138,14 @@ object Bench {
         t
       }
       mems += ((name, pinnedBefore, freeBefore))
-      val dead = lastUser.collect { case (k, last) if last == i => k }.toSet
+      val dead =
+        lastUserTimed.collect { case (k, last) if last == i => k }.toSet
       if (dead.nonEmpty) graft.util.SessionCache.evictKeys(dead)
       name -> times
     }
+    // published artifacts are in sorted-name order (the summary line's
+    // name-recovery contract) regardless of the execution schedule
+    val results = resultsByRun.sortBy(_._1)
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val pjson = results.map { case (k, v) =>
