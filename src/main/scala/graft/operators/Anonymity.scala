@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -76,6 +77,130 @@ object Anonymity {
         .withColumn("bal_band",
           (floor(col("c_acctbal") / 1000.0)).cast(LongType)),
       Seq("c_nationkey", "c_mktsegment"), "bal_band")
+
+  // ---------------------------------------------------------------
+  // GENERALIZATION LADDER — the mitigation the k-anonymity profile
+  // was missing: per-class local recoding up a fixed generalization
+  // hierarchy until every published class reaches the target k.
+  // ---------------------------------------------------------------
+
+  /** Target class size for [[qKGeneralize]]. */
+  val kTarget = 10
+
+  /** Generalize the (nation, segment, balance-band) quasi-identifier
+    * up a 5-level ladder until every class reaches `k` (Samarati/
+    * Sweeney full-domain generalization, applied as LOCAL recoding —
+    * each level-ℓ class keeps the finest key that made it big enough,
+    * instead of dragging the whole table to the worst class's level):
+    *
+    *   L0 (N‹nat›, seg, B‹band›) → L1 (R‹region›, seg, B‹band›)
+    *   → L2 (R‹region›, seg, *) → L3 (R‹region›, *, *) → L4 (*, *, *)
+    *
+    * A class is finalized at the FIRST level where the rows still
+    * unfinalized in its generalized key sum to ≥ k — so level-ℓ class
+    * sizes count only level-(ℓ-1) leftovers, the cascade semantics.
+    * L4 is full suppression: its key carries zero quasi-identifier
+    * bits, so it is published at any size (the ≥k guarantee binds
+    * levels 0–3, spec-proven).
+    *
+    * Output: the anonymized CLASS table (level, g_nation, g_segment,
+    * g_band, class_size) — the utility ledger is the level column
+    * itself (0 = no loss … 4 = fully suppressed), so information loss
+    * is Σ level·class_size / Σ class_size, derivable exactly.
+    *
+    * Scale shape: ONE corpus shuffle (the level-0 groupBy; the
+    * nation dim joins broadcast before it); the entire cascade is
+    * four windowed sums + CASEs over the |classes| table — the
+    * [[kAnonymityProfile]] posture extended with bounded windows. */
+  def generalizeLadder(customer: DataFrame, nation: DataFrame,
+                       k: Int = kTarget): DataFrame = {
+    val base = customer.join(
+        broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("N"), col("c_nationkey").cast(StringType)).as("g0"),
+        concat(lit("R"), col("n_regionkey").cast(StringType)).as("g1"),
+        col("c_mktsegment").as("seg"),
+        concat(lit("B"), floor(col("c_acctbal") / 1000.0)
+          .cast(LongType).cast(StringType)).as("band"))
+    val cls = base.groupBy("g0", "g1", "seg", "band")
+      .agg(count(lit(1)).as("sz"))
+    // the cascade: windowed leftover sums over the bounded class table
+    val w1 = Window.partitionBy("g1", "seg", "band")
+    val w2 = Window.partitionBy("g1", "seg")
+    val w3 = Window.partitionBy("g1")
+    val leveled = cls
+      .withColumn("ok0", col("sz") >= k)
+      .withColumn("ok1", !col("ok0") &&
+        sum(when(col("ok0"), 0L).otherwise(col("sz"))).over(w1) >= k)
+      .withColumn("ok2", !col("ok0") && !col("ok1") &&
+        sum(when(col("ok0") || col("ok1"), 0L).otherwise(col("sz")))
+          .over(w2) >= k)
+      .withColumn("ok3", !col("ok0") && !col("ok1") && !col("ok2") &&
+        sum(when(col("ok0") || col("ok1") || col("ok2"), 0L)
+          .otherwise(col("sz"))).over(w3) >= k)
+      .withColumn("level",
+        when(col("ok0"), lit(0)).when(col("ok1"), lit(1))
+          .when(col("ok2"), lit(2)).when(col("ok3"), lit(3))
+          .otherwise(lit(4)))
+    leveled.select(col("level"),
+        when(col("level") === 0, col("g0"))
+          .when(col("level") <= 3, col("g1")).otherwise(lit("*"))
+          .as("g_nation"),
+        when(col("level") <= 2, col("seg")).otherwise(lit("*"))
+          .as("g_segment"),
+        when(col("level") <= 1, col("band")).otherwise(lit("*"))
+          .as("g_band"),
+        col("sz"))
+      .groupBy("level", "g_nation", "g_segment", "g_band")
+      .agg(sum(col("sz")).as("class_size"))
+  }
+
+  /** Driver query: the anonymized class table at k = [[kTarget]]. */
+  def qKGeneralize(spark: SparkSession, dir: String): DataFrame =
+    generalizeLadder(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"))
+
+  val qKGeneralizeSql: String = {
+    val k = kTarget
+    s"""WITH base AS MATERIALIZED (
+      |  SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS g0,
+      |    'R' || CAST(n_regionkey AS VARCHAR) AS g1,
+      |    c_mktsegment AS seg,
+      |    'B' || CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR)
+      |      AS band
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |cls AS MATERIALIZED (
+      |  SELECT g0, g1, seg, band, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM base GROUP BY 1, 2, 3, 4),
+      |s0 AS MATERIALIZED (SELECT *, sz >= $k AS ok0 FROM cls),
+      |s1 AS MATERIALIZED (
+      |  SELECT *, NOT ok0 AND
+      |    SUM(CASE WHEN ok0 THEN 0 ELSE sz END)
+      |      OVER (PARTITION BY g1, seg, band) >= $k AS ok1
+      |  FROM s0),
+      |s2 AS MATERIALIZED (
+      |  SELECT *, NOT ok0 AND NOT ok1 AND
+      |    SUM(CASE WHEN ok0 OR ok1 THEN 0 ELSE sz END)
+      |      OVER (PARTITION BY g1, seg) >= $k AS ok2
+      |  FROM s1),
+      |s3 AS MATERIALIZED (
+      |  SELECT *, NOT ok0 AND NOT ok1 AND NOT ok2 AND
+      |    SUM(CASE WHEN ok0 OR ok1 OR ok2 THEN 0 ELSE sz END)
+      |      OVER (PARTITION BY g1) >= $k AS ok3
+      |  FROM s2),
+      |fin AS (
+      |  SELECT CASE WHEN ok0 THEN 0 WHEN ok1 THEN 1 WHEN ok2 THEN 2
+      |    WHEN ok3 THEN 3 ELSE 4 END AS level, g0, g1, seg, band, sz
+      |  FROM s3)
+      |SELECT level,
+      |  CASE WHEN level = 0 THEN g0 WHEN level <= 3 THEN g1
+      |    ELSE '*' END AS g_nation,
+      |  CASE WHEN level <= 2 THEN seg ELSE '*' END AS g_segment,
+      |  CASE WHEN level <= 1 THEN band ELSE '*' END AS g_band,
+      |  CAST(SUM(sz) AS BIGINT) AS class_size
+      |FROM fin GROUP BY 1, 2, 3, 4""".stripMargin
+  }
 
   val qKAnonymitySql: String = {
     val ks = kThresholds.mkString(", ")

@@ -161,18 +161,35 @@ object DqGate {
       math.max(2, math.ceil(stats.maxCnt.toDouble / fairShare).toInt))
   }
 
-  /** The closed loop: profile the fact key, salt if (and only if) the
-    * profile says the key is hot. Semantics identical to the plain
-    * join either way (Salting's contract); only the shuffle layout
-    * changes. */
+  /** The closed loop: [[JoinAdvisor.adviseJoin]] measures one shared
+    * per-key count pass and its strategy drives the physical join
+    * end-to-end — `broadcast` hints the build side (a
+    * BroadcastHashJoin, no fact shuffle at all), `salt` spreads the
+    * hot key ([[Salting.saltedJoin]] with the fan-out from the same
+    * measured stats), `shuffle` is the plain sort-merge/hash path.
+    * Semantics identical to the plain join in all three arms
+    * (spec-proven); only the physical distribution changes. */
   def joinWithSkewGuard(fact: DataFrame, dim: DataFrame, factKey: String,
                         dimKey: String, joinType: String = "inner",
-                        numPartitions: Int = 0): DataFrame = {
+                        numPartitions: Int = 0,
+                        broadcastBudget: Long = JoinAdvisor.broadcastRows)
+      : DataFrame = {
     val partitions =
       if (numPartitions > 0) numPartitions
       else fact.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val salts = saltsFor(skewStats(fact, factKey), partitions)
-    if (salts == 0) fact.join(dim, fact(factKey) === dim(dimKey), joinType)
-    else Salting.saltedJoin(fact, dim, factKey, dimKey, salts, joinType)
+    val adv = JoinAdvisor.adviseJoin(fact, factKey, dim, dimKey,
+      broadcastBudget)
+    adv.strategy match {
+      case "broadcast" =>
+        fact.join(broadcast(dim), fact(factKey) === dim(dimKey), joinType)
+      case "salt" =>
+        // fan-out from the fact-side stats measured in the SAME pass;
+        // the advisor can flag output-share skew the fact-only test
+        // misses (hot key amplified by dim multiplicity) — floor at 2
+        Salting.saltedJoin(fact, dim, factKey, dimKey,
+          math.max(2, saltsFor(adv.factStats, partitions)), joinType)
+      case _ =>
+        fact.join(dim, fact(factKey) === dim(dimKey), joinType)
+    }
   }
 }

@@ -63,6 +63,62 @@ object JoinAdvisor {
           .otherwise("shuffle").as("strategy"))
   }
 
+  /** One join's decision inputs, collected from ONE shared per-key
+    * count pass (both [[advise]]'s thresholds and [[DqGate.saltsFor]]'s
+    * fan-out read the same two |keys|-row tables): the advisor
+    * thresholds (build cardinality, hot-key output share) plus the
+    * fact-side skew statistics the salting fan-out needs. */
+  final case class JoinDecision(strategy: String, estRows: BigDecimal,
+                                maxKeyRows: BigDecimal, top1Share: Double,
+                                buildRows: Long, factStats: DqGate.SkewStats)
+
+  /** Decide the physical strategy for `fact ⋈ dim` from measured
+    * counts — the closed loop [[DqGate.joinWithSkewGuard]] executes.
+    * The fact-side count table is computed ONCE (releasable
+    * checkpoint) and serves both the output-mass products and the
+    * skew statistics; `broadcastBudget` is parameterized so tests
+    * (and deployments with different executor memory) can move the
+    * broadcast bar without re-deriving the rest. */
+  def adviseJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+                 dimKey: String,
+                 broadcastBudget: Long = broadcastRows): JoinDecision = {
+    val dec = DecimalType(38, 0)
+    val (ca, release) = graft.util.Checkpoints.checkpointTracked(
+      fact.groupBy(col(factKey).as("k")).agg(count(lit(1)).as("ca")))
+    try {
+      val (cb, releaseB) = graft.util.Checkpoints.checkpointTracked(
+        dim.groupBy(col(dimKey).as("k")).agg(count(lit(1)).as("cb")))
+      try {
+        val f = ca.agg(count(lit(1)).as("n_keys"), sum(col("ca")).as("n_rows"),
+          max(col("ca")).as("max_cnt"),
+          sum(col("ca").cast(dec) * col("ca")).as("sum_c2")).head()
+        val nRows = f.getAs[Long]("n_rows")
+        val stats = DqGate.SkewStats(f.getAs[Long]("n_keys"), nRows,
+          f.getAs[Long]("max_cnt"),
+          f.getAs[java.math.BigDecimal]("sum_c2").doubleValue() /
+            (nRows.toDouble * nRows.toDouble))
+        val p = ca.join(cb, "k")
+          .select((col("ca").cast(dec) * col("cb")).cast(dec).as("p"))
+          .agg(sum(col("p")).cast(dec).as("est"),
+            max(col("p")).cast(dec).as("mx"))
+          .crossJoin(cb.agg(sum(col("cb")).as("brows"))).head()
+        val est = Option(p.getAs[java.math.BigDecimal]("est"))
+          .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        val mx = Option(p.getAs[java.math.BigDecimal]("mx"))
+          .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        val bRows = Option(p.getAs[java.lang.Long]("brows"))
+          .map(_.longValue()).getOrElse(0L)
+        val share =
+          if (est > 0) mx.toDouble / est.toDouble else 0.0
+        val strategy =
+          if (bRows <= broadcastBudget) "broadcast"
+          else if (share > saltShare) "salt"
+          else "shuffle"
+        JoinDecision(strategy, est, mx, share, bRows, stats)
+      } finally releaseB()
+    } finally release()
+  }
+
   /** Driver query: advice for three joins of the schema — the
     * lineitem⋈orders key join (dim small enough to broadcast at this
     * SF), the lineitem⋈part join, and the events self-join on user_id

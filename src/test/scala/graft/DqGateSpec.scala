@@ -105,17 +105,38 @@ class DqGateSpec extends SparkSpec {
     val parts = 32
     assert(DqGate.saltsFor(DqGate.skewStats(uniform, "fk"), parts) === 0)
     assert(DqGate.saltsFor(DqGate.skewStats(skewed, "fk"), parts) >= 2)
-    // the guarded join picks salting for the hot key — visible in the
-    // plan — and still returns exactly the plain join's rows
+    // the guard executes the advisor's strategy end-to-end; a tiny
+    // broadcastBudget forces the non-broadcast arms here (the 50-row
+    // dim would otherwise broadcast, correctly)
+    // salt arm: hot key -> salted plan, rows == plain join
     val guarded = DqGate.joinWithSkewGuard(skewed, dim, "fk", "k",
-      numPartitions = parts)
+      numPartitions = parts, broadcastBudget = 10L)
     assert(guarded.queryExecution.analyzed.toString.contains("__salt"))
     val plain = skewed.join(dim, skewed("fk") === dim("k"))
     assert(guarded.exceptAll(plain).count() === 0L)
     assert(plain.exceptAll(guarded).count() === 0L)
+    // shuffle arm: uniform key -> plain join, no salt, no broadcast hint
     val guardedU = DqGate.joinWithSkewGuard(uniform, dim, "fk", "k",
-      numPartitions = parts)
+      numPartitions = parts, broadcastBudget = 10L)
     assert(!guardedU.queryExecution.analyzed.toString.contains("__salt"))
+    val plainU = uniform.join(dim, uniform("fk") === dim("k"))
+    assert(guardedU.exceptAll(plainU).count() === 0L)
+    assert(plainU.exceptAll(guardedU).count() === 0L)
+    // broadcast arm: the default budget admits the 50-row dim -> the
+    // physical plan is a BroadcastHashJoin and rows are unchanged
+    val guardedB = DqGate.joinWithSkewGuard(skewed, dim, "fk", "k",
+      numPartitions = parts)
+    assert(guardedB.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(guardedB.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(guardedB).count() === 0L)
+    // the decision inputs agree between the shared-pass advisor and
+    // the standalone profiling path
+    val adv = graft.operators.JoinAdvisor.adviseJoin(
+      skewed, "fk", dim, "k", broadcastBudget = 10L)
+    assert(adv.strategy === "salt")
+    assert(adv.factStats === DqGate.skewStats(skewed, "fk"))
+    assert(adv.buildRows === 50L)
   }
 
   test("driver query shape: non-empty, every row indicted") {
