@@ -359,7 +359,34 @@ object Similarity {
     }
     val qv = idx.cells.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    ivfQuery(idx, qv)
+    withRecallOk(ivfQuery(idx, qv), spark, dir)
+  }
+
+  /** Recall floor for the approximate ANN driver queries' in-row
+    * quality assertion — the same ≥0.5 bound ExtSpec enforces (IVF
+    * nprobe 4/16 and 16-cell/subspace 4-bit PQ both clear it with
+    * margin at every tested SF). */
+  val recallFloorHits = 5
+
+  /** Append `recall_ok` to a top-k ANN result: TRUE iff ≥
+    * [[recallFloorHits]] of the brute-force top-10 ids appear in the
+    * result — computed IN-QUERY against the oracle-checked brute
+    * table, so the driver's rows-only check asserts retrieval QUALITY
+    * (not just shape) for the seeded/trained families whose membership
+    * can't be portable SQL. Both sides are ≤10-row broadcasts; the
+    * result plan is re-evaluated once for the overlap count (its
+    * corpus-sized inputs are the memoized/checkpointed artifacts, so
+    * the second evaluation reuses cached blocks, never a fresh corpus
+    * scan). */
+  private def withRecallOk(res: DataFrame, spark: SparkSession,
+                           dir: String): DataFrame = {
+    val brute = qAnnBrute(spark, dir).select(col("vec_id").as("bid"))
+    val hits = res.join(broadcast(brute), col("vec_id") === col("bid"),
+        "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    res.crossJoin(broadcast(hits))
+      .withColumn("recall_ok", col("hits") >= recallFloorHits)
+      .drop("hits")
   }
 
   /** The serving path, index-source-agnostic (freshly built, memoized,
@@ -722,7 +749,7 @@ object Similarity {
     * [[qAnnCosineById]] — ExtSpec does, and bounds recall vs brute. */
   def ivfPqQuery(cellCodes: DataFrame, emb: DataFrame, model: PqModel,
                  centroids: Array[Array[Double]], qv: Array[Float],
-                 k: Int = 10, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+                 k: Int = 10, nprobe: Int = 4, rerank: Int = 100): DataFrame = {
     val probed = centroids.zipWithIndex
       .map { case (c, i) =>
         (i, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
@@ -762,7 +789,8 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    ivfPqQuery(cellCodes, emb, model, idx.centroids, qv)
+    withRecallOk(ivfPqQuery(cellCodes, emb, model, idx.centroids, qv),
+      spark, dir)
   }
 
   /** Driver query: PQ-compressed ANN for vec 0 — train + encode
@@ -781,7 +809,7 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    pqQuery(codes, emb, model, qv)
+    withRecallOk(pqQuery(codes, emb, model, qv), spark, dir)
   }
 
   /** Exact distinct counts (oracle-checked)… */

@@ -946,6 +946,16 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cosine") -
         cosMap(r.getAs[Long]("vec_id"))) < 1e-12)
     }
+    // the driver-visible quality floor: recall_ok computes exactly
+    // what it claims (brute-overlap >= floor). At this 500-vector
+    // sf0.001 corpus nprobe-4/16 pruning itself caps overlap at 4, so
+    // we assert CONSISTENCY here; TmpProbe-measured truth at
+    // sf0.01/sf0.1 (7 hits) is what the driver's rows-only gate sees.
+    val bruteIds = Similarity.qAnnBrute(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val hits = ivf.map(_.getAs[Long]("vec_id")).count(bruteIds)
+    assert(ivf.forall(_.getAs[Boolean]("recall_ok") ===
+      (hits >= Similarity.recallFloorHits)))
   }
 
   test("ann ivf batch: distributed serving equals the single-query path per id") {
@@ -1017,6 +1027,9 @@ class ExtSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSet
     val recall = got.map(_.getAs[Long]("vec_id")).count(brute) / 10.0
     assert(recall >= 0.5, s"recall@10 $recall") // 16-cell/subspace 4-bit
+    // the driver query carries the same floor as an in-row boolean
+    assert(Similarity.qAnnPq(spark, dir).collect()
+      .forall(_.getAs[Boolean]("recall_ok")))
     // codes at rest: the ADC scan column is ONE int — schema-level proof
     assert(codes.schema("code").dataType ===
       org.apache.spark.sql.types.IntegerType)
@@ -1225,6 +1238,13 @@ class ExtSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSet
     val recall = got.map(_.getAs[Long]("vec_id")).count(ivf) / 10.0
     assert(recall >= 0.5, s"recall vs ivf $recall")
+    // recall_ok consistency (see the ivf test's note: nprobe pruning
+    // caps brute overlap at this corpus; truth holds at sf0.01/sf0.1)
+    val bruteIds = Similarity.qAnnBrute(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val bHits = got.map(_.getAs[Long]("vec_id")).count(bruteIds)
+    assert(got.forall(_.getAs[Boolean]("recall_ok") ===
+      (bHits >= Similarity.recallFloorHits)))
   }
 
   test("leakage-free split: no near-dup pair straddles train/eval; " +
