@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Unigram
+
+/** Unigram-LM tokenizer: the whole training loop replayed against an
+  * independent driver-side reference implementation (the BpeSpec
+  * posture), Viterbi semantics pinned on planted vocabularies, and the
+  * comparison row checked for both families. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- reference implementation (plain Scala; java Math.log is the
+  // same libm Spark's Log expression calls, so quantized costs match
+  // the engine bit-for-bit) ----
+
+  private def refCosts(counts: Seq[(String, Long)])
+      : Seq[(String, Long, Long)] = {
+    val total = counts.map(_._2).sum
+    val nv = counts.size
+    counts.map { case (p, c) =>
+      (p, c, math.round(
+        math.log((total + nv).toDouble / (c + 1.0)) * 1e6))
+    }.sortBy(_._1)
+  }
+
+  private def refVit(word: String, cm: Map[String, Long]): Seq[String] = {
+    val n = word.length
+    val dp = Array.fill(n + 1)(0L)
+    for (t <- 1 to n)
+      dp(t) = (math.max(0, t - Unigram.seedMaxLen) until t).map { sm1 =>
+        dp(sm1) + cm.getOrElse(word.substring(sm1, t), Unigram.inf)
+      }.min
+    var pos = n
+    var toks = List.empty[String]
+    while (pos > 0) {
+      val best = (math.max(1, pos - Unigram.seedMaxLen + 1) to pos)
+        .map(s => (dp(s - 1) +
+          cm.getOrElse(word.substring(s - 1, pos), Unigram.inf), s)).min
+      toks = word.substring(best._2 - 1, pos) :: toks
+      pos = best._2 - 1
+    }
+    toks
+  }
+
+  private def refTrain(types: Seq[(String, Long)])
+      : Seq[Seq[(String, Long, Long)]] = {
+    val subCounts = types.flatMap { case (w, n) =>
+      for {
+        s <- 0 until w.length
+        l <- 1 to math.min(Unigram.seedMaxLen, w.length - s)
+      } yield (w.substring(s, s + l), n)
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }.toSeq
+      .filter { case (p, c) => c >= Unigram.seedMinCount || p.length == 1 }
+    val chars = subCounts.map(_._1).filter(_.length == 1)
+    var cur = refCosts(subCounts)
+    val out = Seq.newBuilder[Seq[(String, Long, Long)]]
+    out += cur
+    for (r <- 0 until Unigram.emRounds) {
+      val cm = cur.map(t => t._1 -> t._3).toMap
+      val usage = types.flatMap { case (w, n) =>
+        refVit(w, cm).map(p => (p, n))
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val keptMulti = usage.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }.take(Unigram.keepCaps(r))
+      val keptChars = chars.map(c => c -> usage.getOrElse(c, 0L))
+      cur = refCosts(keptMulti ++ keptChars)
+      out += cur
+    }
+    out.result()
+  }
+
+  test("training trace equals the driver-side reference, every round") {
+    val types = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = refTrain(types).zipWithIndex.flatMap { case (vs, r) =>
+      vs.map(v => (r, v._1, v._2, v._3))
+    }.toSet
+    val got = Unigram.qUnigramTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // the prune schedule actually bites: round vocab sizes shrink
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes(0) > sizes(1) && sizes(1) >= sizes(2) &&
+      sizes(2) >= sizes(3))
+  }
+
+  test("viterbi: min-cost segmentation with longest-piece tie-break") {
+    val costs = Map("ab" -> 10L, "cd" -> 10L, "abcd" -> 25L,
+      "a" -> 8L, "b" -> 8L, "c" -> 8L, "d" -> 8L)
+    val df = Seq("abcd", "dcba", "abcab").toDF("word")
+      .withColumn("dp", Unigram.vitDp(col("word"), costs))
+      .withColumn("toks",
+        Unigram.vitToksFromDp(col("word"), col("dp"), costs))
+    val got = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    // ab+cd = 20 beats abcd = 25 and chars = 32
+    assert(got("abcd") === Seq("ab", "cd"))
+    // no multi-char pieces apply: all chars
+    assert(got("dcba") === Seq("d", "c", "b", "a"))
+    // ab + c + ab = 10+8+10 = 28; a+b+c+a+b = 40
+    assert(got("abcab") === Seq("ab", "c", "ab"))
+    // tie-break: two equal-cost splits prefer the longest FIRST piece
+    val tie = Map("xy" -> 10L, "yz" -> 10L, "x" -> 10L, "z" -> 10L,
+      "y" -> 10L)
+    val t = Seq("xyz").toDF("word")
+      .withColumn("dp", Unigram.vitDp(col("word"), tie))
+      .withColumn("toks", Unigram.vitToksFromDp(col("word"), col("dp"), tie))
+      .collect().head.getSeq[String](2)
+    // xy+z and x+yz both cost 20: min (cost, start) at the LAST
+    // position picks start 3 ('z', leaving xy) over start 2 ('yz')?
+    // No: backtrack at pos 3 compares (dp[3]+c('z'), s=3) vs
+    // (dp[2]+c('yz'), s=2) = (20, 3) vs (20, 2) -> s=2 wins: longest
+    // final piece. The reference agrees by construction.
+    assert(t === Seq("x", "yz"))
+    assert(t === refVit("xyz", tie))
+  }
+
+  test("encode: per-doc counts equal reference viterbi; empties zero") {
+    val model = graft.util.SessionCache.memoize(spark, "unigram", dir) {
+      Unigram.train(Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n")))
+    }
+    val cm = model.finalCosts
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Unigram.qUnigramEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val want = text.split(" ").filter(_.nonEmpty)
+        .map(w => refVit(w, cm).size.toLong).sum
+      assert(got(id) === want, s"doc $id")
+    }
+  }
+
+  test("comparison row: both tokenizers graded on the same denominator") {
+    val rows = Unigram.qTokenizerCompare(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet === Set("bpe", "unigram"))
+    val (bd, bw, bt, bf) = rows("bpe")
+    val (ud, uw, ut, uf) = rows("unigram")
+    assert(bd === ud && bw === uw) // same corpus, same word denominator
+    assert(bt > 0 && ut > 0 && bf > 0.0 && uf > 0.0)
+    // fertility identity: tokens / words exactly
+    assert(math.abs(uf - ut.toDouble / uw) < 1e-12)
+  }
+}
