@@ -519,8 +519,41 @@ object ScaleCheck {
         "q_classifier_cv",
         // histogram percentiles: one scan → |buckets|-row count table;
         // the cumulative window and per-p pick ride bounded rows
-        "q_quantile_hist")
+        "q_quantile_hist",
+        // round-12: unigram encode rides the memoized model — the
+        // measured slope is the corpus explode + broadcast type-join
+        // (the serving posture; training slope is the unmemoized
+        // entry below); the compare row adds the BPE replace-chain
+        // corpus pass on the same scan
+        "q_unigram_encode", "q_tokenizer_compare")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // round-12: the unigram TRAINING slope, unmemoized (the
+      // classifier_train posture): the type-table build is the
+      // corpus-sized leg (~factor); the EM rounds run over |types|,
+      // which the rotated/suffixed copies grow ~min(factor, 100)× of
+      // a 31-type base — still bounded vocab work per round
+      "q_unigram_train_fit" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val types = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        val m = ext.Unigram.train(types)
+        import s.implicits._
+        m.rounds.zipWithIndex.flatMap { case (vs, r) =>
+          vs.map(v => (r, v._1, v._2, v._3))
+        }.toDF("round", "piece", "cnt", "cost_micro")
+      }),
+      // round-12: generalization ladder against the scaled population
+      // twin (same fallback contract as q_k_anonymity below): class
+      // count fixed, class sizes ~factor — the cascade stays windowed
+      // sums over the bounded class table
+      "q_k_generalize" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/customer_scaled.parquet")
+        val c = if (f.exists) s.read.parquet(f.getPath)
+                else Tables(s, d, "customer")
+        graft.operators.Anonymity.generalizeLadder(c, Tables(s, d, "nation"))
+      }),
       // k-anonymity against the DEDICATED scaled population twin
       // (customer stays an unscaled dim for the view family): class
       // count fixed, class sizes ~factor — one QI groupBy then
