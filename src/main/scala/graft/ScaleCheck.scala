@@ -525,8 +525,24 @@ object ScaleCheck {
         // (the serving posture; training slope is the unmemoized
         // entry below); the compare row adds the BPE replace-chain
         // corpus pass on the same scan
-        "q_unigram_encode", "q_tokenizer_compare")
+        "q_unigram_encode", "q_tokenizer_compare",
+        // round-12 embedding-algebra family: pca rides the memoized
+        // model (output constant at d rows — the timed leg is the
+        // first pass's moment scan, then serving); abtt/project are
+        // map-only codegen against literal arrays — slope = the scan
+        "q_embed_pca", "q_embed_abtt", "q_embed_project")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // round-12: the PCA FIT slope, unmemoized (classifier_train
+      // posture) — the corpus-sized leg is the one d(d+1)/2-products
+      // moment pass folded map-side to ≤d²-row partial state; the
+      // power iteration is driver work over d² integers, corpus-free
+      "q_pca_fit" -> ((s: SparkSession, d: String) => {
+        val m = ext.EmbedAlgebra.fitPca(Tables(s, d, "embeddings"))
+        import s.implicits._
+        m.vMicro.zipWithIndex.toSeq
+          .map { case (v, j0) => (j0 + 1L, v, m.lambda, m.explained) }
+          .toDF("j", "v_micro", "lambda", "explained")
+      }),
       // round-12: the unigram TRAINING slope, unmemoized (the
       // classifier_train posture): the type-table build is the
       // corpus-sized leg (~factor); the EM rounds run over |types|,

@@ -1,0 +1,368 @@
+package graft.ext
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Embedding linear algebra — the dimensionality toolbox a training-data
+  * pipeline runs BEFORE the ANN/semdedup stages: top principal component
+  * (power iteration), All-but-the-Top common-component removal
+  * (Mu & Viswanath 2018 — the standard embedding post-process: centre,
+  * strip the dominant direction, which mostly encodes frequency, not
+  * meaning), and a Johnson–Lindenstrauss ±1 random projection
+  * (Achlioptas 2003's database-friendly variant) for cheap distance-
+  * preserving dimension reduction.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - PCA fit = ONE corpus pass. Each row emits its d(d+1)/2 upper-
+  *    triangle products of the micro-quantized components plus first
+  *    moments and a count marker; a partial agg folds them map-side to
+  *    ≤ d²-row partial state, so the shuffle is one bounded matrix per
+  *    partition regardless of corpus size. The power iteration then runs
+  *    on the DRIVER over the collected d² exact integers (the k-centroids
+  *    bounded-metadata contract) in arbitrary precision — no per-round
+  *    corpus job, no overflow at any n.
+  *  - ABTT scoring and the JL projection are map-only codegen against
+  *    literal arrays (the [[Similarity.embedPrototype]] pattern): scan
+  *    speed at any corpus size, zero exchanges.
+  *
+  * Cross-engine determinism (the repo's established conventions):
+  *  - components quantize to integer micro-units (round(x·1e6) BIGINT);
+  *  - every SUM that crosses rows is over exact integers (long products
+  *    summed in DECIMAL(38,0) / HUGEINT — order-free), never doubles;
+  *  - the scaled covariance C = n·Σqq − Σq·Σq is kept as EXACT integers
+  *    (never divided), because the per-round pivot normalization cancels
+  *    scale anyway; the driver iterates in BigInt, the DuckDB oracle in
+  *    HUGEINT, and the only double math is the identical-tree pivot
+  *    rescale round(w·1e6/piv) — the round(x·1e6) risk class the whole
+  *    engine already carries;
+  *  - per-row double folds (ABTT projection) run in ELEMENT ORDER on
+  *    both engines (Spark `aggregate`/`zip_with` left fold ≡ DuckDB
+  *    `list_sum(list_transform(...))` — the [[Similarity.dot]] contract);
+  *  - JL signs derive from md5("jl:k:j") first-hex-digit parity — the
+  *    engine's portable coin; the Spark side bakes them in as literal
+  *    arrays (1024 entries of driver metadata, computed once with
+  *    java.security MD5, which is bit-identical to both engines' md5),
+  *    the oracle re-derives them IN SQL, so the check is independent.
+  *
+  * Reference scope: the reference pipeline (config.py:31-245) has no
+  * embedding stage at all — this family is part of the beyond-reference
+  * LLM-pipeline surface, same footing as dedup/ANN.
+  */
+object EmbedAlgebra {
+
+  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
+  val dim = 64
+
+  /** Power-iteration rounds — fixed (not convergence-tested) so the
+    * result is a deterministic function of the data on both engines.
+    * Convergence is gap-dependent — the off-axis component decays as
+    * (λ2/λ1)^rounds — so on a corpus with real principal structure 8
+    * rounds pin the axis (EmbedAlgebraSpec's planted test), while on a
+    * near-isotropic corpus (the testdata: λ1/λ2 ≈ 1.07) the result is a
+    * stable deterministic top-shell direction and the `explained`
+    * output (~1/d) is what tells the user the spectrum is flat. */
+  val rounds = 8
+
+  /** JL target dimensionality: d/4 — far above the ln(n)/ε² floor at
+    * test scale, the standard 4× compression point. */
+  val kOut = 16
+
+  private val micro = 1e6
+
+  /** round-half-away-from-zero on a double → Long — the semantics BOTH
+    * engines' `round(DOUBLE)` implement (Spark: BigDecimal HALF_UP;
+    * DuckDB: std::round). `Math.round` would differ on negative halves. */
+  private def sqlRound(x: Double): Long =
+    JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP).longValue
+
+  /** Micro-quantized integer copy of the embedding column. */
+  private def qCol: Column =
+    transform(col("embedding"),
+      x => round(x.cast("double") * micro).cast("long")).as("q")
+
+  // ---------------------------------------------------------------- PCA
+
+  /** The fitted model: everything downstream scoring needs, all derived
+    * from the one collected moment matrix. `vMicro` is pivot-normalized
+    * (max-|component| ≡ ±1e6 with the pivot itself +1e6, which also
+    * fixes the sign deterministically); `lambda` is the Rayleigh
+    * estimate of the top covariance eigenvalue in per-row micro²
+    * variance units; `explained` its share of total variance (trace). */
+  final case class PcaModel(n: Long, mean: Array[Double],
+                            vMicro: Array[Long], vv2: Long,
+                            lambda: Double, explained: Double)
+
+  /** One-pass exact moments → driver power iteration. See object doc for
+    * the scale/determinism story. */
+  def fitPca(emb: DataFrame): PcaModel = {
+    val q = emb.select(qCol)
+    // per-row entry array: (i,j,q_i·q_j) upper triangle, (i,0,q_i) first
+    // moments, (0,0,1) count — ONE groupBy serves n, Σq and Σqq so the
+    // corpus is scanned exactly once
+    val pairEnts = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("q"), i) * element_at(col("q"), j)).as("p")))))
+    val firstEnts = transform(sequence(lit(1), lit(dim)), i =>
+      struct(i.as("i"), lit(0).as("j"), element_at(col("q"), i).as("p")))
+    val cntEnt = array(struct(lit(0).as("i"), lit(0).as("j"),
+      lit(1L).as("p")))
+    val moments = q
+      .select(explode(concat(pairEnts, firstEnts, cntEnt)).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("m"))
+      .collect() // 1 + d + d(d+1)/2 rows — bounded driver metadata
+
+    var n = BigInt(0)
+    val s = Array.fill(dim)(BigInt(0))
+    val sp = Array.fill(dim, dim)(BigInt(0))
+    moments.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val m = BigInt(r.getDecimal(2).toBigInteger)
+      if (i == 0) n = m
+      else if (j == 0) s(i - 1) = m
+      else { sp(i - 1)(j - 1) = m; sp(j - 1)(i - 1) = m }
+    }
+    require(n > 0, "fitPca: empty embeddings table")
+
+    // scaled covariance, EXACT (×n²·micro² units — scale cancels in the
+    // pivot normalization, so no division ever happens on integers)
+    val cov = Array.tabulate(dim, dim)((i, j) => n * sp(i)(j) - s(i) * s(j))
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      // pivot: max |w|, ties to lowest index; dividing by the SIGNED
+      // pivot renormalizes scale AND sign in one step
+      val piv = w.zipWithIndex.minBy { case (x, i) => (-x.abs, i) }._1
+      require(piv != 0, "fitPca: zero covariance (constant embeddings)")
+      v = w.map(x => BigInt(sqlRound(x.toDouble * micro / piv.toDouble)))
+    }
+    val vv2 = v.map(x => x * x).sum
+    val vcv = (for { i <- 0 until dim; j <- 0 until dim }
+      yield cov(i)(j) * v(i) * v(j)).sum
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val nd = n.toDouble
+    PcaModel(
+      n = n.toLong,
+      mean = Array.tabulate(dim)(j => s(j).toDouble / nd),
+      vMicro = v.map(_.toLong),
+      vv2 = vv2.toLong, // ≤ d·1e12 — fits long
+      lambda = vcv.toDouble / vv2.toDouble / (nd * nd) / 1e12,
+      explained = vcv.toDouble / vv2.toDouble / trace.toDouble)
+  }
+
+  private def model(spark: SparkSession, dir: String): PcaModel =
+    graft.util.SessionCache.memoize(spark, "pca", dir) {
+      fitPca(Tables(spark, dir, "embeddings"))
+    }
+
+  /** Top principal component: 64 rows (j, v_micro) + the Rayleigh
+    * eigenvalue and explained-variance share. Hash-checked end to end —
+    * the oracle replays the full 8-round iteration. */
+  def qEmbedPca(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    import spark.implicits._
+    m.vMicro.zipWithIndex.toSeq
+      .map { case (v, j0) => (j0 + 1L, v, m.lambda, m.explained) }
+      .toDF("j", "v_micro", "lambda", "explained")
+  }
+
+  /** The shared oracle prefix: micro-quantized corpus, exact moments,
+    * exact scaled covariance, `rounds` unrolled pivot-normalized
+    * iterations (MATERIALIZED — DuckDB re-inlines CTEs per reference
+    * otherwise, and the chain is reused round over round). */
+  private def pcaCtes: String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT cov.i AS j, SUM(cov.c * v.v) AS w
+         |  FROM cov JOIN v${r - 1} v ON v.j = cov.j GROUP BY cov.i),
+         |p$r AS (SELECT w AS piv FROM w$r ORDER BY abs(w) DESC, j ASC
+         |        LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT j, CAST(round(CAST(w AS DOUBLE) * 1000000.0
+         |    / CAST(piv AS DOUBLE)) AS HUGEINT) AS v FROM w$r, p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM q),
+       |s AS MATERIALIZED (
+       |  SELECT j, SUM(q[j]) AS s
+       |  FROM q, LATERAL unnest(generate_series(1, $dim)) u(j)
+       |  GROUP BY j),
+       |sp AS MATERIALIZED (
+       |  SELECT i, j, SUM(CAST(q[i] AS HUGEINT) * q[j]) AS sp
+       |  FROM q, LATERAL unnest(generate_series(1, $dim)) u(i),
+       |       LATERAL unnest(generate_series(1, $dim)) w(j)
+       |  WHERE i <= j GROUP BY i, j),
+       |covu AS MATERIALIZED (
+       |  SELECT sp.i AS i, sp.j AS j,
+       |    CAST(nn.n AS HUGEINT) * sp.sp
+       |      - CAST(si.s AS HUGEINT) * sj.s AS c
+       |  FROM sp, nn, s si, s sj WHERE si.j = sp.i AND sj.j = sp.j),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, c FROM covu
+       |  UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+       |v0 AS MATERIALIZED (
+       |  SELECT unnest(generate_series(1, $dim)) AS j,
+       |         CAST(1000000 AS HUGEINT) AS v),
+       |$roundCtes""".stripMargin
+  }
+
+  val qEmbedPcaSql: String =
+    s"""WITH $pcaCtes,
+       |lam AS (SELECT SUM(cov.c * vi.v * vj.v) AS vcv
+       |        FROM cov JOIN v$rounds vi ON vi.j = cov.i
+       |                 JOIN v$rounds vj ON vj.j = cov.j),
+       |vvt AS (SELECT SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS vv
+       |        FROM v$rounds),
+       |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)
+       |SELECT v$rounds.j AS j, CAST(v$rounds.v AS BIGINT) AS v_micro,
+       |  CAST(vcv AS DOUBLE) / CAST(vv AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    / 1000000000000.0 AS lambda,
+       |  CAST(vcv AS DOUBLE) / CAST(vv AS DOUBLE)
+       |    / CAST(t AS DOUBLE) AS explained
+       |FROM v$rounds, lam, vvt, tr, nn""".stripMargin
+
+  // --------------------------------------------------------------- ABTT
+
+  /** All-but-the-Top scoring: per vector, its centred projection onto
+    * the top PC (micro units) and the squared norm of the residual after
+    * removing that component (micro² units) — the post-processed
+    * geometry ANN/semdedup would consume. Map-only codegen against
+    * literal mean/direction arrays; the model is memoized per dir. */
+  def qEmbedAbtt(spark: SparkSession, dir: String): DataFrame =
+    abttScore(Tables(spark, dir, "embeddings"), model(spark, dir))
+
+  /** The scoring pass behind [[qEmbedAbtt]], callable on any frame with
+    * (vec_id, embedding) — specs plant data here. */
+  def abttScore(emb: DataFrame, m: PcaModel): DataFrame = {
+    val meanLit = typedLit(m.mean)
+    val vLit = typedLit(m.vMicro.map(_.toDouble / micro))
+    val sqrtVv = math.sqrt(m.vv2.toDouble / 1e12)
+    val centred = zip_with(col("q"), meanLit,
+      (x, mu) => x.cast("double") - mu)
+    val scored = emb.select(col("vec_id"), qCol)
+      .select(col("vec_id"),
+        aggregate(zip_with(centred, vLit, (c, v) => c * v),
+          lit(0.0), (acc, t) => acc + t).as("pr"),
+        aggregate(centred, lit(0.0), (acc, c) => acc + c * c).as("c2"))
+    val pu = col("pr") / lit(sqrtVv)
+    scored.select(col("vec_id"),
+      round(pu).cast("long").as("proj_micro"),
+      round(col("c2") - pu * pu).cast("long").as("resid2_micro2"))
+  }
+
+  val qEmbedAbttSql: String =
+    s"""WITH $pcaCtes,
+       |meanl AS (SELECT list(CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE)
+       |                      ORDER BY s.j) AS m FROM s, nn),
+       |vl AS (SELECT list(CAST(v AS DOUBLE) / 1000000.0 ORDER BY j) AS vl
+       |       FROM v$rounds),
+       |vvd AS (SELECT sqrt(CAST(SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT))
+       |          AS DOUBLE) / 1000000000000.0) AS sv FROM v$rounds),
+       |scored AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(list_zip(q, m, vl),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * p[3])) AS pr,
+       |    list_sum(list_transform(list_zip(q, m),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2])
+       |         * (CAST(p[1] AS DOUBLE) - p[2]))) AS c2
+       |  FROM q, meanl, vl)
+       |SELECT vec_id,
+       |  CAST(round(pr / sv) AS BIGINT) AS proj_micro,
+       |  CAST(round(c2 - (pr / sv) * (pr / sv)) AS BIGINT)
+       |    AS resid2_micro2
+       |FROM scored, vvd""".stripMargin
+
+  // ----------------------------------------------------------------- JL
+
+  /** ±1 sign for JL output dim `k` (0-based) × input dim `j` (1-based):
+    * parity of the first hex digit of md5("jl:k:j") — java MD5 here,
+    * re-derived in SQL by the oracle, bit-identical by construction. */
+  def jlSign(k: Int, j: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$k:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  /** JL ±1 projection 64 → 16 dims, fully integer: y_k = Σ_j sign·q_j
+    * (exact BIGINT — micro units survive untouched; the distance-
+    * preserving embedding is y/√k, applied by consumers in double
+    * space). `norm_ok` is the in-row quality floor (the recall_ok
+    * pattern): the JL estimate ‖y‖²/k of ‖q‖² — E[y_k²] = ‖q‖² for
+    * dense ±1 signs, so k·‖q‖² is the yardstick — must sit within 2×,
+    * an integer-only comparison, so the flag itself is hash-portable. */
+  def qEmbedProject(spark: SparkSession, dir: String): DataFrame =
+    jlProject(Tables(spark, dir, "embeddings"))
+
+  /** The projection behind [[qEmbedProject]], callable on any frame with
+    * (vec_id, embedding).
+    *
+    * The signs are PLAN-TIME constants, so each output dim is emitted as
+    * an explicit ±q₁±q₂±… add chain — plain whole-stage-codegen
+    * arithmetic with per-plan subexpression elimination, NOT a
+    * higher-order `transform`/`aggregate` tower: HOFs are interpreted
+    * (CodegenFallback), and a first cut that nested them over a 2D sign
+    * literal cost tens of seconds of fixed plan/eval overhead for a
+    * 2000-row input. Constant unrolling is the same move the NCM scorer
+    * makes with its literal centroids. */
+  def jlProject(emb: DataFrame): DataFrame = {
+    val q = (1 to dim).map(j =>
+      round(element_at(col("embedding"), j).cast("double") * micro)
+        .cast("long"))
+    val yCols = (0 until kOut).map(k =>
+      (1 to dim).map(j =>
+        if (jlSign(k, j) > 0) q(j - 1) else -q(j - 1))
+        .reduce(_ + _).as(s"y$k"))
+    val orig2 = (1 to dim).map(j => q(j - 1) * q(j - 1))
+      .reduce(_ + _).as("orig2")
+    val base = emb.select(col("vec_id") +: orig2 +: yCols: _*)
+    val proj2 = (0 until kOut).map(k => col(s"y$k") * col(s"y$k"))
+      .reduce(_ + _)
+    // proj2/k within [orig2/2, 2·orig2] ⇔ 2·proj2 ≥ k·orig2 AND
+    // proj2 ≤ 2k·orig2 — all-integer bound checks
+    val kOrig2 = lit(kOut.toLong) * col("orig2")
+    base.select(col("vec_id"),
+        posexplode(array((0 until kOut).map(k => col(s"y$k")): _*))
+          .as(Seq("k", "y_micro")),
+        (proj2 * 2 >= kOrig2 && proj2 <= kOrig2 * 2).as("norm_ok"))
+      .select("vec_id", "k", "y_micro", "norm_ok")
+  }
+
+  val qEmbedProjectSql: String =
+    s"""WITH sg AS MATERIALIZED (
+       |  SELECT k, list(CASE WHEN CAST('0x' || substr(md5('jl:'
+       |      || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+       |      AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END ORDER BY j) AS sl
+       |  FROM (SELECT unnest(generate_series(0, ${kOut - 1})) AS k) kk,
+       |       (SELECT unnest(generate_series(1, $dim)) AS j) jj
+       |  GROUP BY k),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |y AS MATERIALIZED (
+       |  SELECT vec_id, k,
+       |    CAST(list_sum(list_transform(list_zip(q, sl),
+       |      p -> p[1] * p[2])) AS BIGINT) AS y_micro
+       |  FROM q, sg),
+       |o AS (SELECT vec_id,
+       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+       |          AS orig2 FROM q),
+       |p2 AS (SELECT vec_id, SUM(y_micro * y_micro) AS proj2
+       |       FROM y GROUP BY vec_id)
+       |SELECT y.vec_id, y.k, y.y_micro,
+       |  (p2.proj2 * 2 >= $kOut * o.orig2
+       |   AND p2.proj2 <= $kOut * o.orig2 * 2) AS norm_ok
+       |FROM y JOIN o USING (vec_id) JOIN p2 USING (vec_id)""".stripMargin
+}
