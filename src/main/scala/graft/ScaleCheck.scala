@@ -276,6 +276,11 @@ object ScaleCheck {
       // round-7: the cluster-keyed split rides the same memoized pair
       // view; its own work is the contraction + a broadcastable join
       "q_split_leakfree" -> (ext.Dedup.qSplitLeakfree _),
+      // round-12: contrastive mining rides the memoized candidate-
+      // scored table; its own work is two filters + the per-anchor
+      // WindowGroupLimit — candidate-set-sized, output bounded by
+      // |near-dups| + k·|anchors|
+      "q_contrastive_pairs" -> (ext.Dedup.qContrastivePairs _),
       // UNMEMOIZED trainer: the driver query memoizes the model per
       // dir, which would make pass 2 a cache hit — here the point is
       // the TRAINING cost's slope, so every pass retrains

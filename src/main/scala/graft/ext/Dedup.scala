@@ -126,12 +126,24 @@ object Dedup {
     * materialized view awaiting REFRESH. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionCache.memoize(spark, "jacpairs", dir) {
+      candidateJaccard(spark, dir).filter(col("jacc") >= 0.2)
+    }
+
+  /** The UNFILTERED candidate-scored pair table (every pair that shared
+    * ≥ [[jaccardMinCommonRare]] rare shingles, with its exact Jaccard) —
+    * the artifact one level below [[jaccardPairs]]: the near-dup view is
+    * its ≥ 0.2 slice, [[qContrastivePairs]] additionally mines its LOW
+    * band (blocking-survivors that verification rejected = textbook hard
+    * negatives). Memoized + checkpointed once; both consumers filter the
+    * same materialized (long, long, double) table. */
+  def candidateJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.memoize(spark, "candjacc", dir) {
       val (df, _) = graft.util.Checkpoints.checkpointTracked(
-        buildJaccardPairs(spark, dir))
+        buildCandidateJaccard(spark, dir))
       df
     }
 
-  private def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def buildCandidateJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // Index on HASHED shingles: the inverted-index shuffle carries
     // 8-byte longs instead of multi-word shingle strings (same
@@ -175,7 +187,6 @@ object Dedup {
       .join(gsets.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (i / (size(col("ga.gs")) + size(col("gb.gs")) - i)).as("jacc"))
-      .filter(col("jacc") >= 0.2)
   }
 
   /** Rare-shingle candidate route + exact Jaccard at `floor`, in DuckDB
@@ -185,6 +196,14 @@ object Dedup {
     * the final pair set (exact Jaccard ≥ 0.5) is deterministic, so the
     * driver can hash-compare it. */
   private def jaccardPairsSql(floor: Double): String =
+    s"""$jaccardScoredCtes
+      |SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= $floor"""
+      .stripMargin
+
+  /** The candidate-scored CTE chain (ends in `scored(doc_a, doc_b,
+    * jacc)` — [[candidateJaccard]]'s SQL twin), shared by the jaccard /
+    * minhash / contrastive oracles. */
+  private val jaccardScoredCtes: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |grams AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -209,13 +228,13 @@ object Dedup {
       |  FROM cand c
       |  JOIN grams ga ON c.doc_a = ga.doc_id
       |  JOIN grams gb ON c.doc_b = gb.doc_id AND ga.g = gb.g
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jacc
-      |FROM inter
-      |JOIN sizes sa ON doc_a = sa.doc_id
-      |JOIN sizes sb ON doc_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $floor""".stripMargin
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jacc
+      |  FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
 
   val qDedupJaccardSql: String = jaccardPairsSql(0.2)
 
@@ -234,6 +253,60 @@ object Dedup {
     * deterministic oracle diverge — there the oracle is a recall
     * diagnostic, not an equality gate. */
   val qDedupMinhashSql: String = jaccardPairsSql(0.5)
+
+  /** Contrastive-pair mining for embedding-model training data — the
+    * standard recipe over a dedup pipeline's own byproducts:
+    *  - POSITIVES: verified near-dup pairs (exact Jaccard ≥ 0.5 — the
+    *    minhash output band);
+    *  - HARD NEGATIVES: pairs that SURVIVED blocking (≥
+    *    [[jaccardMinCommonRare]] shared rare shingles — lexically
+    *    overlapping) but FAILED verification (Jaccard < 0.2) — "looks
+    *    similar, isn't", exactly what contrastive training wants; capped
+    *    at [[contrastiveNegPerAnchor]] per anchor, hardest (highest
+    *    Jaccard) first. The ambiguous [0.2, 0.5) band is dropped, per
+    *    standard practice.
+    *
+    * Rides the memoized [[candidateJaccard]] artifact — no new corpus
+    * pass; the mining itself is candidate-set-sized. The per-anchor cap
+    * is row_number ≤ k, which Spark plans as WindowGroupLimit (top-k
+    * below the exchange), and it also BOUNDS output at 100 TB: ≤
+    * |near-dup pairs| + k·|anchors|. Ranking is on round(jacc·1e6)
+    * integers with a doc_b tiebreak (the float-rank convention — the
+    * raw double never orders anything cross-engine). */
+  val contrastiveNegPerAnchor = 5
+
+  def qContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = candidateJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jacc") * 1e6).cast("long").as("jacc_micro"))
+    val pos = scored.filter(col("jacc_micro") >= 500000)
+      .withColumn("label", lit("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a")
+      .orderBy(col("jacc_micro").desc, col("doc_b").asc)
+    val neg = scored.filter(col("jacc_micro") < 200000)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= contrastiveNegPerAnchor)
+      .drop("rn")
+      .withColumn("label", lit("hard_neg"))
+    pos.unionByName(neg)
+  }
+
+  val qContrastivePairsSql: String =
+    s"""$jaccardScoredCtes,
+      |sm AS (SELECT doc_a, doc_b,
+      |         CAST(round(jacc * 1000000.0) AS BIGINT) AS jacc_micro
+      |       FROM scored),
+      |neg AS (
+      |  SELECT doc_a, doc_b, jacc_micro FROM (
+      |    SELECT sm.*, ROW_NUMBER() OVER (PARTITION BY doc_a
+      |      ORDER BY jacc_micro DESC, doc_b ASC) AS rn
+      |    FROM sm WHERE jacc_micro < 200000) t WHERE rn <= $contrastiveNegPerAnchor)
+      |SELECT doc_a, doc_b, jacc_micro, 'pos' AS label FROM sm
+      |WHERE jacc_micro >= 500000
+      |UNION ALL
+      |SELECT doc_a, doc_b, jacc_micro, 'hard_neg' AS label FROM neg"""
+      .stripMargin
 
   /** MinHash + LSH banded near-dup detection. The seeded LSH internals
     * aren't portable SQL, but the OUTPUT pair set (exact Jaccard ≥ 0.5)

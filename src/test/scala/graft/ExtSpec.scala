@@ -19,6 +19,25 @@ class ExtSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("contrastive pairs: positives ≡ minhash near-dups, negatives capped and disjoint") {
+    val out = Dedup.qContrastivePairs(spark, dir).collect()
+    val pos = out.filter(_.getAs[String]("label") == "pos")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = Dedup.qDedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos === minhash) // same ≥0.5-Jaccard band, same blocking
+    val neg = out.filter(_.getAs[String]("label") == "hard_neg")
+    assert(neg.nonEmpty)
+    assert(neg.forall(_.getAs[Long]("jacc_micro") < 200000L))
+    assert(neg.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(pos).isEmpty)
+    // per-anchor cap, hardest-first: within an anchor the kept rows are
+    // the top-k of the anchor's candidate set by (jacc desc, doc_b asc)
+    val byAnchor = neg.groupBy(_.getLong(0))
+    assert(byAnchor.values.forall(_.length <= Dedup.contrastiveNegPerAnchor))
+  }
+
   test("simhash pairs are near-dups, not vocabulary coincidences") {
     val pairs = Dedup.qDedupSimhash(spark, dir).collect()
     assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
