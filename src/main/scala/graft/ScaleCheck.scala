@@ -531,6 +531,10 @@ object ScaleCheck {
         // entry below); the compare row adds the BPE replace-chain
         // corpus pass on the same scan
         "q_unigram_encode", "q_tokenizer_compare",
+        // round-12 forget-cascade audit: three partial-agg scans +
+        // the one lineitem⟕deleted-orders semi-join (fact keys remap
+        // in lockstep under scaling, so cascade density is preserved)
+        "q_forget_audit",
         // round-12 embedding-algebra family: pca rides the memoized
         // model (output constant at d rows — the timed leg is the
         // first pass's moment scan, then serving); abtt/project are
