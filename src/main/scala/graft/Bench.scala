@@ -16,6 +16,38 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  // sink defeats dead-code elimination of the calibration spins
+  @volatile private var spinSink: Long = 0L
+
+  private def spin(n: Long): Unit = {
+    var i = 0L; var h = 0xcbf29ce484222325L
+    while (i < n) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+    spinSink ^= h
+  }
+
+  /** Host-noise probe (round 12): a fixed FNV spin measured single-
+    * threaded and at `threads`-way parallelism. On a healthy host the
+    * multi-thread wall time ≈ the single time and effective_cores ≈
+    * `threads`; on a co-tenant-loaded host both inflate. Published at
+    * sweep START and END because the inflation that plagued the
+    * recorded heavies (q_fuzzy_join 7.6→21.0 s across rounds with a
+    * proven-unchanged plan) reproduced this session as a TRANSIENT
+    * host window: the identical binary+data read 20.5 s during it and
+    * 7.0 s twenty minutes later, at every thread count — the drift was
+    * never GC debt or plan cost. The probe makes the artifact
+    * self-describing: a degraded-host sweep carries its own evidence. */
+  private def hostProbe(threads: Int): (Double, Double, Double) = {
+    val n = 200000000L
+    spin(n / 10) // JIT warm
+    val t0 = System.nanoTime(); spin(n)
+    val single = (System.nanoTime() - t0) / 1e6
+    val ts = (1 to threads).map(_ => new Thread(() => spin(n)))
+    val t1 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val multi = (System.nanoTime() - t1) / 1e6
+    (single, multi, threads * single / multi)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +58,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val host0 = hostProbe(cpus.toInt)
+    println(f"""{"metric":"host","when":"start","cpus":$cpus,"spin_single_ms":${host0._1}%.0f,"spin_multi_ms":${host0._2}%.0f,"effective_cores":${host0._3}%.1f}""")
     // optional 1st arg: comma-separated query-name filter for targeted
     // isolated measurements (driver passes no args → full sweep)
     val keep: String => Boolean =
@@ -192,7 +226,13 @@ object Bench {
     // failure. Bounded: only divergent names print (normally "[]").
     val missJson = (coldErrors.result().toSet ++ timedErrors).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"summary","order":"values_align_with_query_names_sorted_asc","n":${results.size},"warm_ms":$warmMs,"cold_ms":$coldMs,"peak_pinned_mb":$peakPinnedMb,"cold_errors":$cerrJson,"missing_from_correctness":$missJson}""")
+    // host probe again at sweep END: the two effective-core samples
+    // bracket the run, so a transiently-degraded host (the observed
+    // cause of the roaming heavy-query inflation) is visible in the
+    // 2000-char tail the driver records
+    val host1 = hostProbe(cpus.toInt)
+    val hostJson = f""""host_eff_cores":[${host0._3}%.1f,${host1._3}%.1f]"""
+    println(s"""{"metric":"summary","order":"values_align_with_query_names_sorted_asc","n":${results.size},"warm_ms":$warmMs,"cold_ms":$coldMs,"peak_pinned_mb":$peakPinnedMb,$hostJson,"cold_errors":$cerrJson,"missing_from_correctness":$missJson}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -96,13 +96,16 @@ object EmbedAlgebra {
                             vMicro: Array[Long], vv2: Long,
                             lambda: Double, explained: Double)
 
-  /** One-pass exact moments → driver power iteration. See object doc for
-    * the scale/determinism story. */
-  def fitPca(emb: DataFrame): PcaModel = {
+  /** The exact moment matrix of one frame: (i, j, m) rows where (0,0)
+    * is the row count, (i,0) the first moments Σq_i and (i≤j) the
+    * second moments Σq_i·q_j — 1 + d + d(d+1)/2 rows, DECIMAL(38,0).
+    * Per-row entries fold map-side, so the shuffle is one bounded
+    * matrix per partition. The matrix is a per-key SUM MONOID, which is
+    * what makes PCA incrementally maintainable: batch deltas merge by
+    * addition ([[graft.streaming.PcaStore]]) and the merged moments fit
+    * the EXACT same model as a batch pass over the union. */
+  def moments(emb: DataFrame): DataFrame = {
     val q = emb.select(qCol)
-    // per-row entry array: (i,j,q_i·q_j) upper triangle, (i,0,q_i) first
-    // moments, (0,0,1) count — ONE groupBy serves n, Σq and Σqq so the
-    // corpus is scanned exactly once
     val pairEnts = flatten(transform(sequence(lit(1), lit(dim)), i =>
       transform(sequence(i, lit(dim)), j =>
         struct(i.as("i"), j.as("j"),
@@ -111,13 +114,21 @@ object EmbedAlgebra {
       struct(i.as("i"), lit(0).as("j"), element_at(col("q"), i).as("p")))
     val cntEnt = array(struct(lit(0).as("i"), lit(0).as("j"),
       lit(1L).as("p")))
-    val moments = q
-      .select(explode(concat(pairEnts, firstEnts, cntEnt)).as("e"))
+    q.select(explode(concat(pairEnts, firstEnts, cntEnt)).as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
       .groupBy("i", "j")
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("m"))
-      .collect() // 1 + d + d(d+1)/2 rows — bounded driver metadata
+  }
 
+  /** One-pass exact moments → driver power iteration. See object doc for
+    * the scale/determinism story. */
+  def fitPca(emb: DataFrame): PcaModel =
+    fitFromMoments(moments(emb).collect())
+
+  /** Deterministic driver fit from a collected moment matrix (bounded
+    * d² metadata) — BigInt exact except the documented per-round pivot
+    * rescale. */
+  def fitFromMoments(moments: Seq[org.apache.spark.sql.Row]): PcaModel = {
     var n = BigInt(0)
     val s = Array.fill(dim)(BigInt(0))
     val sp = Array.fill(dim, dim)(BigInt(0))
