@@ -225,10 +225,11 @@ object Unigram {
         coalesce(col("s"), lit(0L)).as("n_unigram_tokens"))
   }
 
-  /** Driver query: the tokenizer-quality comparison row set — BPE and
-    * unigram fertility over the same corpus, one row each, so the two
-    * families are graded side by side (lower fertility = better
-    * compression at the same whitespace-word denominator). */
+  /** Driver query: the tokenizer-quality comparison row set — BPE,
+    * unigram and WordPiece fertility over the same corpus, one row
+    * each, so the three families are graded side by side (lower
+    * fertility = better compression at the same whitespace-word
+    * denominator). */
   def qTokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
     val bpe = Bpe.qBpeStats(spark, dir)
       .select(lit("bpe").as("tokenizer"), col("n_docs"), col("n_words"),
@@ -236,15 +237,20 @@ object Unigram {
     val words = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_words"))
-    val uni = qUnigramEncode(spark, dir).join(words, "doc_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_words")).cast("bigint").as("n_words"),
-        sum(col("n_unigram_tokens")).cast("bigint").as("n_tokens"))
-      .select(lit("unigram").as("tokenizer"), col("n_docs"),
-        col("n_words"), col("n_tokens"),
-        (col("n_tokens").cast("double") / col("n_words"))
-          .as("fertility"))
-    bpe.unionAll(uni)
+    def statsRow(enc: DataFrame, tokCol: String, name: String): DataFrame =
+      enc.join(words, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("n_words"),
+          sum(col(tokCol)).cast("bigint").as("n_tokens"))
+        .select(lit(name).as("tokenizer"), col("n_docs"),
+          col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words"))
+            .as("fertility"))
+    bpe
+      .unionAll(statsRow(qUnigramEncode(spark, dir),
+        "n_unigram_tokens", "unigram"))
+      .unionAll(statsRow(WordPiece.qWordpieceEncode(spark, dir),
+        "n_wordpiece_tokens", "wordpiece"))
   }
 
   // ----------------------------------------------------------- oracle
@@ -370,13 +376,17 @@ object Unigram {
   }
 
   /** SQL twin of the comparison rows: the BPE stats oracle UNION the
-    * unigram encode oracle's aggregate. */
+    * unigram and WordPiece encode oracles' aggregates. */
   lazy val qTokenizerCompareSql: String =
     s"""WITH bpestats AS (
       |${Bpe.qBpeStatsSql.linesIterator.map("  " + _).mkString("\n")}
       |),
       |unienc AS (
       |${qUnigramEncodeSql.linesIterator.map("  " + _).mkString("\n")}
+      |),
+      |wpenc AS (
+      |${WordPiece.qWordpieceEncodeSql.linesIterator
+           .map("  " + _).mkString("\n")}
       |),
       |uniwords AS (
       |  SELECT doc_id,
@@ -392,5 +402,13 @@ object Unigram {
       |  CAST(SUM(e.n_unigram_tokens) AS BIGINT) AS n_tokens,
       |  CAST(SUM(e.n_unigram_tokens) AS DOUBLE)
       |    / CAST(SUM(w.n_words) AS BIGINT) AS fertility
-      |FROM unienc e JOIN uniwords w USING (doc_id)""".stripMargin
+      |FROM unienc e JOIN uniwords w USING (doc_id)
+      |UNION ALL
+      |SELECT 'wordpiece' AS tokenizer,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+      |  CAST(SUM(e.n_wordpiece_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(e.n_wordpiece_tokens) AS DOUBLE)
+      |    / CAST(SUM(w.n_words) AS BIGINT) AS fertility
+      |FROM wpenc e JOIN uniwords w USING (doc_id)""".stripMargin
 }
