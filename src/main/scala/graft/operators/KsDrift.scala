@@ -52,10 +52,18 @@ object KsDrift {
   private val dec = DecimalType(38, 0)
 
   /** Exact KS over (side, cents) rows; one summary row. */
-  def ksDrift(feat: DataFrame): DataFrame = {
-    val counts = feat.groupBy("cents").agg(
+  def ksDrift(feat: DataFrame): DataFrame =
+    ksFromCounts(feat.groupBy("cents").agg(
       sum(when(col("side") === "ref", 1L).otherwise(0L)).as("c_ref"),
-      sum(when(col("side") === "cur", 1L).otherwise(0L)).as("c_cur"))
+      sum(when(col("side") === "cur", 1L).otherwise(0L)).as("c_cur")))
+
+  /** Exact KS from a PARTIAL per-value count table (cents, c_ref,
+    * c_cur) — rows may repeat per value (summed first), which is what
+    * lets the streaming [[graft.streaming.DriftStore]] serve the live
+    * statistic from per-batch count deltas (a sum monoid). */
+  def ksFromCounts(valueCounts: DataFrame): DataFrame = {
+    val counts = valueCounts.groupBy("cents")
+      .agg(sum("c_ref").as("c_ref"), sum("c_cur").as("c_cur"))
     val tot = counts.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
     val cum = Window.orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -43,22 +43,32 @@ object PsiDrift {
   /** Alarm line: PSI ≥ 0.1 in micro units. */
   val alarmMicro = 100000L
 
-  /** PSI of `cur` vs `ref` over pre-bucketed counts is exposed via
-    * [[qPsiDrift]]; this computes from raw (side, cents) rows. */
-  def psiDrift(feat: DataFrame): DataFrame = {
-    val spark = feat.sparkSession
-    val counts = feat
-      .withColumn("bucket",
-        least(expr(s"cents div $bucketCents"), lit(nBuckets - 1L))
-          .cast(LongType))
-      .groupBy("side", "bucket").agg(count(lit(1)).as("c"))
+  /** The PSI bucket id of the `cents` column (integer division,
+    * clamped into the last bucket). */
+  def bucketOf: org.apache.spark.sql.Column =
+    least(expr(s"cents div $bucketCents"), lit(nBuckets - 1L)).cast(LongType)
+
+  /** PSI of `cur` vs `ref` from raw (side, cents) rows. */
+  def psiDrift(feat: DataFrame): DataFrame =
+    psiFromBucketCounts(feat
+      .withColumn("bucket", bucketOf)
+      .groupBy("bucket").agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("c_cur")))
+
+  /** PSI from a PARTIAL per-bucket count table (bucket, c_ref, c_cur)
+    * — rows may repeat per bucket (they are summed) and buckets may be
+    * absent (densified to 0) — the entry point the streaming
+    * [[graft.streaming.DriftStore]] serves its live score through,
+    * since per-bucket counts are a sum monoid. */
+  def psiFromBucketCounts(bucketCounts: DataFrame): DataFrame = {
+    val spark = bucketCounts.sparkSession
+    val counts = bucketCounts.groupBy("bucket")
+      .agg(sum("c_ref").as("c_ref"), sum("c_cur").as("c_cur"))
     val dom = spark.range(1)
       .select(explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
     val byBucket = dom
-      .join(broadcast(counts.filter(col("side") === "ref")
-        .select(col("bucket"), col("c").as("c_ref"))), Seq("bucket"), "left")
-      .join(broadcast(counts.filter(col("side") === "cur")
-        .select(col("bucket"), col("c").as("c_cur"))), Seq("bucket"), "left")
+      .join(broadcast(counts), Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
         coalesce(col("c_cur"), lit(0L)).as("c_cur"))
