@@ -539,8 +539,39 @@ object ScaleCheck {
         // model (output constant at d rows — the timed leg is the
         // first pass's moment scan, then serving); abtt/project are
         // map-only codegen against literal arrays — slope = the scan
-        "q_embed_pca", "q_embed_abtt", "q_embed_project")
+        "q_embed_pca", "q_embed_abtt", "q_embed_project",
+        // round-12 session 2 — drift pair: KS is one partial-agg scan
+        // to the per-value count table (bounded by the cents domain,
+        // not the corpus) + the bounded cumulative window; DP release
+        // is one scan to 25 per-nation rows + map-only noise math
+        "q_ks_drift", "q_dp_counts",
+        // SQ8 ANN: fit = one posexplode partial-agg scan (memoized);
+        // serving = map-only literal-grid scoring + TakeOrdered — the
+        // slope is the scan, like ann_lsh_det
+        "q_ann_sq",
+        // MMR rerank: the corpus-sized leg is the exact-cosine scan +
+        // top-20 TakeOrdered; the 400-pair head and the greedy are
+        // constant-size at any corpus
+        "q_mmr_rerank",
+        // wordpiece encode rides the memoized model: the slope is the
+        // type-table build + greedy matching per TYPE + the broadcast
+        // join back (types grow ~factor under rotation/suffix copies)
+        "q_wordpiece_encode")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // round-12 session 2: the WordPiece TRAINING slope, unmemoized
+      // (classifier_train posture) — per round one pair-explode scan +
+      // one symbol-explode scan over |types|, argmax TakeOrdered;
+      // types grow ~factor so rounds stay type-table-bounded
+      "q_wordpiece_train_fit" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val types = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        val m = ext.WordPiece.train(types)
+        import s.implicits._
+        m.merges.toDF("rank", "left", "right", "pair_count",
+          "left_count", "right_count")
+      }),
       // round-12: the PCA FIT slope, unmemoized (classifier_train
       // posture) — the corpus-sized leg is the one d(d+1)/2-products
       // moment pass folded map-side to ≤d²-row partial state; the

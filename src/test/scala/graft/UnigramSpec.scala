@@ -143,16 +143,19 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
-  test("comparison row: both tokenizers graded on the same denominator") {
+  test("comparison rows: all three tokenizers graded on one denominator") {
     val rows = Unigram.qTokenizerCompare(spark, dir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    assert(rows.keySet === Set("bpe", "unigram"))
+    assert(rows.keySet === Set("bpe", "unigram", "wordpiece"))
     val (bd, bw, bt, bf) = rows("bpe")
     val (ud, uw, ut, uf) = rows("unigram")
+    val (wd, ww, wt, wf) = rows("wordpiece")
     assert(bd === ud && bw === uw) // same corpus, same word denominator
-    assert(bt > 0 && ut > 0 && bf > 0.0 && uf > 0.0)
+    assert(wd === ud && ww === uw)
+    assert(bt > 0 && ut > 0 && wt > 0 && bf > 0.0 && uf > 0.0 && wf > 0.0)
     // fertility identity: tokens / words exactly
     assert(math.abs(uf - ut.toDouble / uw) < 1e-12)
+    assert(math.abs(wf - wt.toDouble / ww) < 1e-12)
   }
 }
