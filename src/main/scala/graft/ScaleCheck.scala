@@ -556,7 +556,17 @@ object ScaleCheck {
         // wordpiece encode rides the memoized model: the slope is the
         // type-table build + greedy matching per TYPE + the broadcast
         // join back (types grow ~factor under rotation/suffix copies)
-        "q_wordpiece_encode")
+        "q_wordpiece_encode",
+        // bootstrap CI: the corpus-sized leg is the retrieval panel
+        // build (timed as q_retrieval_metrics); the resample fan-out
+        // is a constant 1600-row broadcast join
+        "q_bootstrap_ci",
+        // span corruption: pure map — words + per-block coin structs +
+        // two array HOF emissions; the ideal linear-scan shape
+        "q_span_corrupt",
+        // curriculum: lm scoring join (~factor) + the range-partitioned
+        // global row number (no single-partition window) + map math
+        "q_curriculum")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +

@@ -38,14 +38,18 @@ object BootstrapCi {
     * (metric, observed_micro, lo_micro, med_micro, hi_micro). */
   def bootstrapCi(panel: DataFrame, metricCols: Seq[String]): DataFrame = {
     val spark = panel.sparkSession
-    // the panel is evaluated THREE times below (count, draws join,
-    // observed row); pin its bounded rows so the corpus-scale eval
-    // inside it runs once
-    val micro = panel.select(
+    // the panel would be evaluated three times below (count, draws
+    // join, observed row): collect its BOUNDED rows once (a query
+    // panel is 8–10⁴ rows — driver metadata, the IVF-centroid
+    // contract) and rebuild a local frame, so the corpus-scale eval
+    // inside it runs once and nothing is checkpoint-pinned
+    val microPlan = panel.select(
       (col("q_id") +: metricCols.map(c =>
         round(col(c) * 1e6).cast(LongType).as(s"${c}_micro"))): _*)
-      .localCheckpoint()
-    val nq = micro.count() // bounded panel (8 rows): driver metadata
+    val microRows = microPlan.collect()
+    val micro = spark.createDataFrame(
+      java.util.Arrays.asList(microRows: _*), microPlan.schema)
+    val nq = microRows.length.toLong
     val draws = spark.range(bootB).select(col("id").as("b"))
       .select(col("b"), explode(sequence(lit(0L), lit(nq - 1))).as("i"))
       .select(col("b"),

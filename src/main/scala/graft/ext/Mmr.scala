@@ -74,22 +74,30 @@ object Mmr {
   def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
-    val cand = Similarity.qAnnCosineById(spark, dir)
-      .orderBy(col("cosine").desc, col("vec_id").asc).limit(nCand)
-      .join(emb, Seq("vec_id"))
-      .select(col("vec_id"),
-        round(col("cosine") * 1e6).cast(LongType).as("rel_micro"),
-        col("embedding"))
-      .localCheckpoint() // 20 rows; reused by both collects below
-    val rels = cand.select("vec_id", "rel_micro").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val a = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = cand.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    val sims = a.crossJoin(broadcast(b)).filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"),
-        round(Similarity.dot(col("ea"), col("eb")) * 1e6)
-          .cast(LongType).as("sim_micro"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // releasable checkpoint (20 rows, reused by both collects below —
+    // a raw localCheckpoint would pin dead blocks per call, the
+    // Bm25Store leak class)
+    val (cand, release) = graft.util.Checkpoints.checkpointTracked(
+      Similarity.qAnnCosineById(spark, dir)
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(nCand)
+        .join(emb, Seq("vec_id"))
+        .select(col("vec_id"),
+          round(col("cosine") * 1e6).cast(LongType).as("rel_micro"),
+          col("embedding")))
+    val (rels, sims) =
+      try {
+        val rels = cand.select("vec_id", "rel_micro").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        val a = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val b = cand.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        val sims = a.crossJoin(broadcast(b)).filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            round(Similarity.dot(col("ea"), col("eb")) * 1e6)
+              .cast(LongType).as("sim_micro"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (rels, sims)
+      } finally release()
     greedy(rels, sims)
       .toDF("rank", "vec_id", "rel_micro", "mmr_deci")
       .select(col("rank").cast(LongType), col("vec_id"), col("rel_micro"),
