@@ -963,7 +963,7 @@ object CorpusOps {
     * the pair list is built in-expression (zip of the token array with
     * its own tail) and explode is the only amplification. Documents
     * with < 2 tokens contribute no rows. */
-  private def bigrams(docs: DataFrame): DataFrame = {
+  private[ext] def bigrams(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val pairs = arrays_zip(
       slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
