@@ -52,6 +52,14 @@ object PrefixSum {
                            checkpoint: org.apache.spark.rdd.RDD[InternalRow],
                            total: Long)
 
+  /** Multi-column variant: several running totals off ONE sort + ONE
+    * per-partition sums job (the sums job returns k longs per
+    * partition instead of 1 — still never rows). */
+  final case class TrackedMulti(
+      df: DataFrame,
+      checkpoint: org.apache.spark.rdd.RDD[InternalRow],
+      totals: Seq[Long])
+
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
                        valueCol: String, outCol: String): DataFrame =
     withRunningTotalTracked(df, sortCols, valueCol, outCol).df
@@ -59,33 +67,62 @@ object PrefixSum {
   def withRunningTotalTracked(
       df: DataFrame, sortCols: Seq[Column], valueCol: String,
       outCol: String): Tracked = {
+    val m = withRunningTotalsTracked(df, sortCols, Seq(valueCol), Seq(outCol))
+    Tracked(m.df, m.checkpoint, m.totals.head)
+  }
+
+  def withRunningTotals(df: DataFrame, sortCols: Seq[Column],
+                        valueCols: Seq[String],
+                        outCols: Seq[String]): DataFrame =
+    withRunningTotalsTracked(df, sortCols, valueCols, outCols).df
+
+  def withRunningTotalsTracked(
+      df: DataFrame, sortCols: Seq[Column], valueCols: Seq[String],
+      outCols: Seq[String]): TrackedMulti = {
+    require(valueCols.nonEmpty && valueCols.size == outCols.size,
+      "valueCols/outCols must pair up")
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val k = valueCols.size
     // null values count as 0 (SUM's null semantics over non-null acc)
-    val getV: InternalRow => Long = sorted.schema(vIdx).dataType match {
-      case LongType => r => if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
-      case IntegerType =>
-        r => if (r.isNullAt(vIdx)) 0L else r.getInt(vIdx).toLong
-      case dt => throw new IllegalArgumentException(
-        s"running total needs an integral value column, got $dt")
-    }
-    val outSchema = StructType(
-      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val getVs: Array[InternalRow => Long] = valueCols.map { valueCol =>
+      val vIdx = sorted.schema.fieldIndex(valueCol)
+      sorted.schema(vIdx).dataType match {
+        case LongType =>
+          (r: InternalRow) => if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+        case IntegerType =>
+          (r: InternalRow) =>
+            if (r.isNullAt(vIdx)) 0L else r.getInt(vIdx).toLong
+        case dt => throw new IllegalArgumentException(
+          s"running total needs an integral value column, got $dt")
+      }
+    }.toArray
+    val outSchema = StructType(sorted.schema.fields ++
+      outCols.map(c => StructField(c, LongType, nullable = false)))
     val base = graft.util.Checkpoints.checkpointInternalRdd(sorted)
-    val partSums = base
-      .mapPartitions(it => Iterator.single(it.map(getV).sum))
-      .collect()
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val partSums: Array[Array[Long]] = base.mapPartitions { it =>
+      val s = new Array[Long](k)
+      it.foreach { r =>
+        var i = 0
+        while (i < k) { s(i) += getVs(i)(r); i += 1 }
+      }
+      Iterator.single(s)
+    }.collect()
+    val offsets = partSums.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(i => a(i) + b(i))
+    }
     val withTotals = base.mapPartitionsWithIndex { (pi, it) =>
-      var acc = offsets(pi)
+      val acc = offsets(pi).clone()
       it.map { r =>
-        acc += getV(r)
-        val v = new GenericInternalRow(Array[Any](acc))
-        new JoinedRow(r, v): InternalRow
+        val vals = new Array[Any](k)
+        var i = 0
+        while (i < k) {
+          acc(i) += getVs(i)(r); vals(i) = acc(i); i += 1
+        }
+        new JoinedRow(r, new GenericInternalRow(vals)): InternalRow
       }
     }
-    Tracked(InternalRowDF.fromInternalRdd(spark, withTotals, outSchema),
-      base, offsets.last)
+    TrackedMulti(InternalRowDF.fromInternalRdd(spark, withTotals, outSchema),
+      base, offsets.last.toSeq)
   }
 }

@@ -46,6 +46,27 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("multi-column: k running totals off one sort match k windows") {
+    val df = Seq(
+      ("b", 2, 10L, 1), ("a", 1, 5L, 0), ("a", 2, 0L, 1),
+      ("c", 1, 7L, 1), ("b", 1, 3L, 0))
+      .toDF("k", "n", "v", "w").repartition(4)
+    val keys = Seq(col("k"), col("n"))
+    val tracked = PrefixSum.withRunningTotalsTracked(
+      df, keys, Seq("v", "w"), Seq("cv", "cw"))
+    val got = tracked.df.select("k", "n", "v", "w", "cv", "cw")
+      .collect().map(_.toSeq).toSet
+    val win = Window.orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cv", sum(col("v")).over(win))
+      .withColumn("cw", sum(col("w").cast("long")).over(win))
+      .select("k", "n", "v", "w", "cv", "cw")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(tracked.totals === Seq(25L, 3L))
+  }
+
   test("int value columns work; non-integral rejected") {
     val df = Seq((1, 10), (2, 20)).toDF("k", "v")
     val cum = PrefixSum.withRunningTotal(df, Seq(col("k")), "v", "cum")
