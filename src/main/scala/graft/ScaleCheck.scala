@@ -566,7 +566,14 @@ object ScaleCheck {
         "q_span_corrupt",
         // curriculum: lm scoring join (~factor) + the range-partitioned
         // global row number (no single-partition window) + map math
-        "q_curriculum")
+        "q_curriculum",
+        // round-12 session 3 — target encoding: one scan to per-cust
+        // partials (custkeys fixed, group sizes ~factor) + the linear
+        // join back; hashing trick: explode → map-side partial agg,
+        // output capped at docs·2^k; SPRT: users ~factor, ONE range-
+        // partitioned sort carries both running totals (the PrefixSum
+        // shape) — slope ≈ factor·log(factor) from the sort
+        "q_target_encode", "q_feature_hash", "q_sprt")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +
