@@ -573,7 +573,14 @@ object ScaleCheck {
         // output capped at docs·2^k; SPRT: users ~factor, ONE range-
         // partitioned sort carries both running totals (the PrefixSum
         // shape) — slope ≈ factor·log(factor) from the sort
-        "q_target_encode", "q_feature_hash", "q_sprt")
+        "q_target_encode", "q_feature_hash", "q_sprt",
+        // round-12 session 3 wave 2 — CUPED: one scan to 1 row of
+        // sufficient stats (ideal linear shape); AUC: inference scan +
+        // the bounded per-score group table (scores grow with vocab
+        // under rotation copies, still domain-bounded); MI select:
+        // explode → distinct presence shuffle → ≤2^k bucket rows; KM:
+        // per-user agg → the calendar-bounded life table
+        "q_cuped", "q_auc", "q_mi_select", "q_kaplan_meier")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +

@@ -73,7 +73,7 @@ object CorpusOps {
   /** Feature bucket of one word under the hashing trick: first 8 hex
     * digits of md5(word) mod [[classifierBuckets]] — shared by
     * inference ([[wordWeight]]) and training ([[trainClassifier]]). */
-  private def wordBucket(w: Column): Column = pmod(
+  private[graft] def wordBucket(w: Column): Column = pmod(
     conv(substring(md5(w.cast("binary")), 1, 8), 16, 10).cast("bigint"),
     lit(classifierBuckets.toLong))
 
@@ -268,7 +268,7 @@ object CorpusOps {
     * [[qClassifierInferSql]] (scoring tail) select from. */
   /** The default gate label as a DuckDB predicate — shared by the
     * training unroll and the CV unroll. */
-  private lazy val gateSql: String =
+  private[graft] lazy val gateSql: String =
     """(length(text) >= 100
       |     AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
       |         / length(text) <= 0.3
