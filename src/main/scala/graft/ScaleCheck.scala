@@ -580,7 +580,12 @@ object ScaleCheck {
         // under rotation copies, still domain-bounded); MI select:
         // explode → distinct presence shuffle → ≤2^k bucket rows; KM:
         // per-user agg → the calendar-bounded life table
-        "q_cuped", "q_auc", "q_mi_select", "q_kaplan_meier")
+        "q_cuped", "q_auc", "q_mi_select", "q_kaplan_meier",
+        // log-rank rides the same per-user scan + bounded grid as KM;
+        // perm test fans the per-user table out B× with MAP-SIDE
+        // COMBINE to 2B cells/partition — shuffle O(B·parts), corpus-
+        // independent; the slope is the scan + the fan-out map work
+        "q_logrank", "q_perm_test")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +
