@@ -585,7 +585,10 @@ object ScaleCheck {
         // perm test fans the per-user table out B× with MAP-SIDE
         // COMBINE to 2B cells/partition — shuffle O(B·parts), corpus-
         // independent; the slope is the scan + the fan-out map work
-        "q_logrank", "q_perm_test")
+        "q_logrank", "q_perm_test",
+        // DiD: one scan to per-user pre/post sums -> 1-row suff stats,
+        // the CUPED shape with a time split instead of a covariate
+        "q_did_test")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +
