@@ -63,8 +63,15 @@ object AbTest {
         conv(substring(md5(col("user_id").cast(StringType)
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
 
-  def abTest(events: DataFrame): DataFrame = {
-    val pu = perUserArm(events)
+  def abTest(events: DataFrame): DataFrame =
+    abTestFromPerUser(perUserArm(events))
+
+  /** The readout from any (arm, purchases, cents) per-user frame —
+    * the entry the streaming [[graft.streaming.ExperimentStore]]
+    * serves its live view through (per-user totals are a per-key sum
+    * monoid, so the served statistics are EQUAL to this batch path
+    * over the absorbed corpus). */
+  def abTestFromPerUser(pu: DataFrame): DataFrame = {
     // exact integer sufficient statistics, one 2-row-output agg;
     // Σcents² in DECIMAL(38,0) (HUGEINT on the oracle side) so the
     // square-sum can't overflow at any user count
@@ -224,8 +231,12 @@ object AbTest {
     * Output (1 row): (n_t, n_c, u2_t = 2·U_t, z_micro, significant) —
     * z = (2U − n_t·n_c) / 2σ_U with the tie-corrected
     * σ²_U = n_t·n_c/12·((N+1) − Σ(m³−m)/(N(N−1))). */
-  def mannWhitney(events: DataFrame): DataFrame = {
-    val pu = perUserArm(events)
+  def mannWhitney(events: DataFrame): DataFrame =
+    mannWhitneyFromPerUser(perUserArm(events))
+
+  /** Rank-sum from any (arm, cents) per-user frame (streaming-store
+    * entry, same contract as [[abTestFromPerUser]]). */
+  def mannWhitneyFromPerUser(pu: DataFrame): DataFrame = {
     val groups = pu.groupBy("cents").agg(
       count(lit(1)).as("m"),
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m_t"))

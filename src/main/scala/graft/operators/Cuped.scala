@@ -53,8 +53,13 @@ object Cuped {
         conv(substring(md5(col("user_id").cast(StringType)
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
 
-  def cuped(events: DataFrame): DataFrame = {
-    val pu = perUser(events)
+  def cuped(events: DataFrame): DataFrame =
+    cupedFromPerUser(perUser(events))
+
+  /** The readout from any (arm, x, y) per-user frame (streaming-store
+    * entry — per-user covariate/outcome totals are a sum monoid, so
+    * [[graft.streaming.ExperimentStore]]'s live view equals this). */
+  def cupedFromPerUser(pu: DataFrame): DataFrame = {
     def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
     def armAgg(a: Int, n: String) = Seq(
       sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_$n"),

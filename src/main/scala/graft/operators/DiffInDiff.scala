@@ -48,7 +48,14 @@ object DiffInDiff {
       .withColumn("arm",
         conv(substring(md5(col("user_id").cast(StringType)
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
-      .withColumn("d", col("post") - col("pre"))
+    didFromPerUser(pu)
+  }
+
+  /** The readout from any (arm, pre, post) per-user frame
+    * (streaming-store entry — pre/post cents are per-user sum
+    * monoids, so the live view equals this batch path). */
+  def didFromPerUser(pu0: DataFrame): DataFrame = {
+    val pu = pu0.withColumn("d", col("post") - col("pre"))
     val suff = pu.agg(
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),

@@ -44,8 +44,13 @@ object LogRank {
         expr(s"(coalesce(p_us, l_us) - f_us) div ${86400000000L}")
           .as("t_days"))
 
-  def logRank(events: DataFrame): DataFrame = {
-    val pu = perUser(events)
+  def logRank(events: DataFrame): DataFrame =
+    logRankFromPerUser(perUser(events))
+
+  /** The Mantel sums from any (arm, event, t_days) per-subject frame
+    * (streaming-store entry — first/last/first-big timestamps are
+    * min/max lattices, so the served clock equals the batch one). */
+  def logRankFromPerUser(pu: DataFrame): DataFrame = {
     val grid = pu.groupBy("t_days").agg(
       sum(col("event")).as("d"),
       sum(when(col("arm") === 1, col("event")).otherwise(0L)).as("d1"),

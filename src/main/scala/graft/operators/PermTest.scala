@@ -39,9 +39,15 @@ object PermTest {
   val salt = "permv1"
 
   /** Per-user (arm, cents) — [[AbTest.perUserArm]]'s spend columns. */
-  def permTest(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    val pu = AbTest.perUserArm(events).select("user_id", "arm", "cents")
+  def permTest(events: DataFrame): DataFrame =
+    permTestFromPerUser(
+      AbTest.perUserArm(events).select("user_id", "arm", "cents"))
+
+  /** The test from any (user_id, arm, cents) per-user frame
+    * (streaming-store entry, the [[AbTest.abTestFromPerUser]]
+    * contract). */
+  def permTestFromPerUser(pu: DataFrame): DataFrame = {
+    val spark = pu.sparkSession
     def eff(s1: String, n1: String, s0: String, n0: String): String =
       s"""cast(round(1000000.0 * ($s1 / cast($n1 as double)
          | - $s0 / cast($n0 as double))) as bigint)"""

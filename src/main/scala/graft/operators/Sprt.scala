@@ -56,15 +56,27 @@ object Sprt {
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
       .withColumn("y",
         (col("purchases") >= AbTest.convMin).cast(IntegerType))
-      .selectExpr("user_id", "arm", "first_ts", "y",
-        s"""case when y = 1
-           | then cast(round(1000000.0 * ln($p1 / $p0)) as bigint)
-           | else cast(round(1000000.0 * ln((1.0 - $p1) / (1.0 - $p0)))
-           |   as bigint) end as inc_micro""".stripMargin.replace("\n", ""))
+      .transform(withInc)
+      .select("user_id", "arm", "first_ts", "y", "inc_micro")
+
+  /** Adds the two-valued LLR increment from the 0/1 `y` column. */
+  def withInc(df: DataFrame): DataFrame =
+    df.selectExpr("*",
+      s"""case when y = 1
+         | then cast(round(1000000.0 * ln($p1 / $p0)) as bigint)
+         | else cast(round(1000000.0 * ln((1.0 - $p1) / (1.0 - $p0)))
+         |   as bigint) end as inc_micro""".stripMargin.replace("\n", ""))
 
   /** One row per arm: (arm, decision, n_obs, llr_micro). */
-  def sprt(events: DataFrame): DataFrame = {
-    val rows = perUser(events).withColumn("one", lit(1L))
+  def sprt(events: DataFrame): DataFrame =
+    sprtFromPerUser(perUser(events))
+
+  /** The walk from any (user_id, arm, first_ts, inc_micro) per-user
+    * frame — `first_ts` only needs to be orderable (timestamp in the
+    * batch path, epoch micros in the streaming store's view; the
+    * induced arrival order is identical). */
+  def sprtFromPerUser(perUserRows: DataFrame): DataFrame = {
+    val rows = perUserRows.withColumn("one", lit(1L))
     val cum = PrefixSum.withRunningTotals(rows,
       Seq(col("arm"), col("first_ts"), col("user_id")),
       Seq("inc_micro", "one"), Seq("cum_g", "n_g"))
