@@ -103,22 +103,32 @@ object AbTest {
       "(n_t - x_t) + (n_c - x_c) as r0",
       "n_t * q_t - s_t * cast(s_t as decimal(38,0)) as vt_num",
       "n_c * q_c - s_c * cast(s_c as decimal(38,0)) as vc_num")
+    // mean/effect micros carry the SAME exact-integer empty-arm guard
+    // as the statistics: 0/0 is NaN, and casting NaN to BIGINT throws
+    // under ANSI on Spark but errors outright in DuckDB — the guard
+    // keeps the degenerate design an abstention (0) in both engines
     derived.selectExpr(
       s"""stack(2,
          |'conversion', n_t, n_c,
-         |  cast(round(1000000.0 * x_t / n_t) as bigint),
-         |  cast(round(1000000.0 * x_c / n_c) as bigint),
+         |  case when n_t = 0 then 0L else
+         |    cast(round(1000000.0 * x_t / n_t) as bigint) end,
+         |  case when n_c = 0 then 0L else
+         |    cast(round(1000000.0 * x_c / n_c) as bigint) end,
+         |  case when n_t = 0 or n_c = 0 then 0L else
          |  cast(round(1000000.0 * (x_t / cast(n_t as double)
-         |    - x_c / cast(n_c as double))) as bigint),
+         |    - x_c / cast(n_c as double))) as bigint) end,
          |  case when r1 = 0 or r0 = 0 then 0L else
          |  cast(round(1000000.0 * (n_t + n_c)
          |    * cast(dd as double) * cast(dd as double)
          |    / (cast(n_t as double) * n_c * r1 * r0)) as bigint) end,
          |'spend', n_t, n_c,
-         |  cast(round(1000000.0 * s_t / n_t) as bigint),
-         |  cast(round(1000000.0 * s_c / n_c) as bigint),
+         |  case when n_t = 0 then 0L else
+         |    cast(round(1000000.0 * s_t / n_t) as bigint) end,
+         |  case when n_c = 0 then 0L else
+         |    cast(round(1000000.0 * s_c / n_c) as bigint) end,
+         |  case when n_t = 0 or n_c = 0 then 0L else
          |  cast(round(1000000.0 * (s_t / cast(n_t as double)
-         |    - s_c / cast(n_c as double))) as bigint),
+         |    - s_c / cast(n_c as double))) as bigint) end,
          |  case when n_t < 2 or n_c < 2
          |    or (vt_num = 0 and vc_num = 0) then 0L else
          |  cast(round(1000000.0
@@ -192,20 +202,26 @@ object AbTest {
        |  FROM derived)
        |SELECT 'conversion' AS metric, CAST(n_t AS BIGINT) AS n_t,
        |  CAST(n_c AS BIGINT) AS n_c,
-       |  CAST(ROUND(1000000.0 * x_t / n_t) AS BIGINT) AS mean_t_micro,
-       |  CAST(ROUND(1000000.0 * x_c / n_c) AS BIGINT) AS mean_c_micro,
+       |  CASE WHEN n_t = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * x_t / n_t) AS BIGINT) END AS mean_t_micro,
+       |  CASE WHEN n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * x_c / n_c) AS BIGINT) END AS mean_c_micro,
+       |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE
        |  CAST(ROUND(1000000.0 * (x_t / CAST(n_t AS DOUBLE)
-       |    - x_c / CAST(n_c AS DOUBLE))) AS BIGINT) AS effect_micro,
+       |    - x_c / CAST(n_c AS DOUBLE))) AS BIGINT) END AS effect_micro,
        |  chi2_micro AS stat_micro,
        |  chi2_micro >= $chi2CritMicro AS significant
        |FROM conv_stat
        |UNION ALL
        |SELECT 'spend' AS metric, CAST(n_t AS BIGINT),
        |  CAST(n_c AS BIGINT),
-       |  CAST(ROUND(1000000.0 * s_t / n_t) AS BIGINT),
-       |  CAST(ROUND(1000000.0 * s_c / n_c) AS BIGINT),
+       |  CASE WHEN n_t = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * s_t / n_t) AS BIGINT) END,
+       |  CASE WHEN n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * s_c / n_c) AS BIGINT) END,
+       |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE
        |  CAST(ROUND(1000000.0 * (s_t / CAST(n_t AS DOUBLE)
-       |    - s_c / CAST(n_c AS DOUBLE))) AS BIGINT),
+       |    - s_c / CAST(n_c AS DOUBLE))) AS BIGINT) END,
        |  t_micro,
        |  ABS(t_micro) >= $zCritMicro AS significant
        |FROM conv_stat""".stripMargin
@@ -254,8 +270,12 @@ object AbTest {
         .agg(
           sum(col("m_t")).as("n_t"),
           sum(col("m") - col("m_t")).as("n_c"),
-          sum(col("m_t") * (lit(2L) * col("c") + col("m") + 1L))
-            .as("r2_t"),
+          // r2_t is Σ m_t·(2c+m+1) ~ N² — the same O(N²)-mass quantity
+          // Auc rides on DECIMAL(38,0): Long would wrap (or throw under
+          // ANSI) at 100 TB user counts while the oracle's SUM promotes
+          // to HUGEINT, so the accumulation is decimal on both engines
+          sum(col("m_t").cast(DecimalType(38, 0))
+            * (lit(2L) * col("c") + col("m") + 1L)).as("r2_t"),
           sum(col("ties")).cast(DecimalType(38, 0)).as("tie_sum"))
       // σ_U = 0 exactly when every observation is tied (one value
       // group of size N: tie_sum = N(N−1)(N+1)) or an arm is empty —

@@ -119,8 +119,15 @@ object Cuped {
         |cast(round(1000000.0 * cast(cxy as double) * cast(cxy as double)
         |  / (cast(vx as double) * cast(vy as double))) as bigint) end
         |  as rho2_micro""".stripMargin.replace("\n", " "),
-      s"cast(round(1000000.0 * $eff) as bigint) as effect_micro",
-      s"cast(round(1000000.0 * $effAdj) as bigint) as effect_adj_micro",
+      // effect micros carry the same exact-integer empty-arm guard as
+      // the t's: 0/0 is NaN, and NaN→BIGINT throws under ANSI on Spark
+      // but errors outright in DuckDB (the AbTest abstain convention)
+      s"""case when n_t = 0 or n_c = 0 then 0L else
+         | cast(round(1000000.0 * $eff) as bigint) end as effect_micro"""
+        .stripMargin.replace("\n", " "),
+      s"""case when n_t = 0 or n_c = 0 then 0L else
+         | cast(round(1000000.0 * $effAdj) as bigint) end
+         | as effect_adj_micro""".stripMargin.replace("\n", " "),
       s"""case when n_t < 2 or n_c < 2 or (vyt = 0 and vyc = 0) then 0L
          | else cast(round(1000000.0 * $eff
          |   / sqrt(${rawS2("t")} + ${rawS2("c")})) as bigint) end
@@ -196,8 +203,11 @@ object Cuped {
        |    CAST(ROUND(1000000.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)
        |      / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))) AS BIGINT) END
        |    AS rho2_micro,
-       |  CAST(ROUND(1000000.0 * $eff) AS BIGINT) AS effect_micro,
-       |  CAST(ROUND(1000000.0 * $effAdj) AS BIGINT) AS effect_adj_micro,
+       |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * $eff) AS BIGINT) END AS effect_micro,
+       |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * $effAdj) AS BIGINT) END
+       |    AS effect_adj_micro,
        |  CASE WHEN n_t < 2 OR n_c < 2 OR (vyt = 0 AND vyc = 0) THEN 0
        |    ELSE CAST(ROUND(1000000.0 * $eff
        |      / SQRT(${rawS2("t")} + ${rawS2("c")})) AS BIGINT) END

@@ -75,13 +75,27 @@ object DiffInDiff {
         "n_t * q_t - s_t * cast(s_t as decimal(38,0)) as vt_num",
         "n_c * q_c - s_c * cast(s_c as decimal(38,0)) as vc_num")
     val did = "(s_t / cast(n_t as double) - s_c / cast(n_c as double))"
+    // cell means and the DiD itself carry the same exact-integer
+    // empty-arm guard as the t: 0/0 is NaN, and NaN→BIGINT throws
+    // under ANSI on Spark but errors outright in DuckDB (the AbTest
+    // abstain convention)
     derived.selectExpr(
       "cast(n_t as bigint) as n_t", "cast(n_c as bigint) as n_c",
-      "cast(round(1000000.0 * pre_t / n_t) as bigint) as pre_t_micro",
-      "cast(round(1000000.0 * post_t / n_t) as bigint) as post_t_micro",
-      "cast(round(1000000.0 * pre_c / n_c) as bigint) as pre_c_micro",
-      "cast(round(1000000.0 * post_c / n_c) as bigint) as post_c_micro",
-      s"cast(round(1000000.0 * $did) as bigint) as did_micro",
+      """case when n_t = 0 then 0L else
+        | cast(round(1000000.0 * pre_t / n_t) as bigint) end
+        | as pre_t_micro""".stripMargin.replace("\n", " "),
+      """case when n_t = 0 then 0L else
+        | cast(round(1000000.0 * post_t / n_t) as bigint) end
+        | as post_t_micro""".stripMargin.replace("\n", " "),
+      """case when n_c = 0 then 0L else
+        | cast(round(1000000.0 * pre_c / n_c) as bigint) end
+        | as pre_c_micro""".stripMargin.replace("\n", " "),
+      """case when n_c = 0 then 0L else
+        | cast(round(1000000.0 * post_c / n_c) as bigint) end
+        | as post_c_micro""".stripMargin.replace("\n", " "),
+      s"""case when n_t = 0 or n_c = 0 then 0L else
+         | cast(round(1000000.0 * $did) as bigint) end as did_micro"""
+        .stripMargin.replace("\n", " "),
       s"""case when n_t < 2 or n_c < 2
          |   or (vt_num = 0 and vc_num = 0) then 0L else
          | cast(round(1000000.0 * $did
@@ -130,11 +144,20 @@ object DiffInDiff {
        |    n_c * q_c - (post_c - pre_c) * (post_c - pre_c) AS vc_num
        |  FROM suff)
        |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
-       |  CAST(ROUND(1000000.0 * pre_t / n_t) AS BIGINT) AS pre_t_micro,
-       |  CAST(ROUND(1000000.0 * post_t / n_t) AS BIGINT) AS post_t_micro,
-       |  CAST(ROUND(1000000.0 * pre_c / n_c) AS BIGINT) AS pre_c_micro,
-       |  CAST(ROUND(1000000.0 * post_c / n_c) AS BIGINT) AS post_c_micro,
-       |  CAST(ROUND(1000000.0 * $did) AS BIGINT) AS did_micro,
+       |  CASE WHEN n_t = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * pre_t / n_t) AS BIGINT) END
+       |    AS pre_t_micro,
+       |  CASE WHEN n_t = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * post_t / n_t) AS BIGINT) END
+       |    AS post_t_micro,
+       |  CASE WHEN n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * pre_c / n_c) AS BIGINT) END
+       |    AS pre_c_micro,
+       |  CASE WHEN n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * post_c / n_c) AS BIGINT) END
+       |    AS post_c_micro,
+       |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE
+       |    CAST(ROUND(1000000.0 * $did) AS BIGINT) END AS did_micro,
        |  CASE WHEN n_t < 2 OR n_c < 2
        |      OR (vt_num = 0 AND vc_num = 0) THEN 0 ELSE
        |    CAST(ROUND(1000000.0 * $did

@@ -52,12 +52,19 @@ object PermTest {
       s"""cast(round(1000000.0 * ($s1 / cast($n1 as double)
          | - $s0 / cast($n0 as double))) as bigint)"""
         .stripMargin.replace("\n", " ")
+    // same exact-integer empty-arm guard as the permutation leg: an
+    // observed design with an empty arm makes 0/0 NaN (ANSI-throwing
+    // on Spark, an outright error in DuckDB); obs_micro = 0 makes
+    // every draw extreme → p ≈ 1, the conservative abstention
     val obs = pu.agg(
         sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"),
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
-      .selectExpr(eff("s1", "n1", "s0", "n0") + " as obs_micro")
+      .selectExpr(
+        s"""case when n1 = 0 or n0 = 0 then 0L else
+           | ${eff("s1", "n1", "s0", "n0")} end as obs_micro"""
+          .stripMargin.replace("\n", " "))
     val draws = spark.range(1, permB + 1).select(col("id").as("b"))
     val perms = pu.crossJoin(broadcast(draws))
       .withColumn("parm",
@@ -105,13 +112,17 @@ object PermTest {
        |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
        |      AS UBIGINT) AS BIGINT) % 2 AS arm
        |  FROM events GROUP BY user_id),
-       |obs AS MATERIALIZED (
-       |  SELECT ${eff(
-             "SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)",
-             "SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)",
-             "SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)",
-             "SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)")} AS obs_micro
+       |obs0 AS MATERIALIZED (
+       |  SELECT
+       |    SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1,
+       |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+       |    SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
+       |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
        |  FROM pu),
+       |obs AS MATERIALIZED (
+       |  SELECT CASE WHEN n1 = 0 OR n0 = 0 THEN 0 ELSE
+       |    ${eff("s1", "n1", "s0", "n0")} END AS obs_micro
+       |  FROM obs0),
        |perms AS MATERIALIZED (
        |  SELECT tb.b,
        |    SUM(CASE WHEN CAST(CAST('0x' || substr(md5(

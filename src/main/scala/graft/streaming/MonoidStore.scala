@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * batch's own aggregation, and compaction keeps the dir count bounded
   * by the cadence rather than the stream's lifetime. */
 final class MonoidStore(val path: String,
-                        val reduce: DataFrame => DataFrame) {
+                        val reduce: DataFrame => DataFrame,
+                        val compactable: Boolean = true) {
 
   /** Write (or on replay, overwrite) one batch's delta dir. Deltas are
     * bounded (already reduced map-side by the caller), so one file per
@@ -54,8 +55,19 @@ final class MonoidStore(val path: String,
     * store's monoid as the fold. `upto` must be ≤ the last COMMITTED
     * batch id (the checkpoint guarantees those are never redelivered,
     * which is what makes removing their dirs safe). */
-  def compact(spark: SparkSession, upto: Long): Int =
+  def compact(spark: SparkSession, upto: Long): Int = {
+    // Some stores derive REPLAY IDEMPOTENCE from the per-batch dir
+    // layout itself (PrivacyLedger excludes a replayed release's prior
+    // charge by filtering its batch dir) — folding dirs into the
+    // batch=-1 base would make an already-folded charge unexcludable
+    // and the replay double-charge. Those stores declare
+    // compactable = false and compaction REFUSES rather than silently
+    // corrupting the idempotence contract.
+    require(compactable,
+      s"store at $path relies on per-batch dirs for replay idempotence" +
+        " and must never be compacted")
     StoreCompaction.compactWith(spark, path, reduce, upto)
+  }
 
   /** Converge a crashed compaction. No-op when none is pending. */
   def recover(spark: SparkSession): Unit =
@@ -67,7 +79,7 @@ final class MonoidStore(val path: String,
     * ≤ 0 disables. The current batch's dir is never folded, so its
     * own redelivery stays an overwrite. */
   def maybeCompact(spark: SparkSession, batchId: Long, every: Int): Unit =
-    if (every > 0 && batchId > 0 && batchId % every == 0)
+    if (compactable && every > 0 && batchId > 0 && batchId % every == 0)
       compact(spark, batchId - 1)
 }
 

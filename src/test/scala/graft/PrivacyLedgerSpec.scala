@@ -51,4 +51,72 @@ class PrivacyLedgerSpec extends SparkSpec {
     assert(PrivacyLedger.release(spark, dir, tmp, "scopeB", 2L, cost)
       .isDefined)
   }
+
+  test("refusal lands exactly at the budget boundary") {
+    val tmp = java.nio.file.Files.createTempDirectory("dpledger4")
+      .toFile.getAbsolutePath + "/store"
+    // budget = exactly 4 releases: the 4th spends TO the boundary and
+    // is granted; the 5th would cross it and is refused
+    val budget = 4L * cost
+    (0L to 3L).foreach { i =>
+      assert(PrivacyLedger.release(spark, dir, tmp, "s", i, budget)
+        .isDefined, s"release $i inside the budget must be granted")
+    }
+    assert(PrivacyLedger.spent(spark, tmp, "s") === budget)
+    assert(PrivacyLedger.release(spark, dir, tmp, "s", 4L, budget).isEmpty)
+    // one micro-ε less than 4 releases: the 4th is the first refusal
+    val tmp2 = java.nio.file.Files.createTempDirectory("dpledger5")
+      .toFile.getAbsolutePath + "/store"
+    (0L to 2L).foreach { i =>
+      assert(PrivacyLedger
+        .release(spark, dir, tmp2, "s", i, budget - 1L).isDefined)
+    }
+    assert(PrivacyLedger.release(spark, dir, tmp2, "s", 3L, budget - 1L)
+      .isEmpty)
+  }
+
+  test("audit rows from the store loop equal the declarative composition") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dpledger6")
+      .toFile.getAbsolutePath + "/store"
+    val budget = 2L * cost // 2 grants then refusals, per scope
+    val plan = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"))
+    val audits = plan.map { case (id, scope) =>
+      PrivacyLedger.releaseAudit(spark, dir, tmp, scope, id, budget)._1
+    }
+    val declarative = PrivacyLedger.composedLedger(
+      plan.toDF("release_id", "scope")
+        .withColumn(
+          "cost_micro", org.apache.spark.sql.functions.lit(cost)),
+      budget)
+      .collect()
+      .map(r => PrivacyLedger.Audit(r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))
+      .toSeq
+    assert(audits === declarative)
+    // the trail records refusals as rows: scope a grants 0,1 and
+    // refuses 3 (its third); scope b grants both of 2,4
+    assert(audits.count(_.granted) === 4)
+    assert(audits.filterNot(_.granted).map(_.releaseId) === Seq(3L))
+  }
+
+  test("the ledger store refuses compaction (per-release dirs are the " +
+    "idempotence mechanism)") {
+    val tmp = java.nio.file.Files.createTempDirectory("dpledger7")
+      .toFile.getAbsolutePath + "/store"
+    assert(PrivacyLedger.release(spark, dir, tmp, "s", 0L, 10L * cost)
+      .isDefined)
+    assert(PrivacyLedger.release(spark, dir, tmp, "s", 1L, 10L * cost)
+      .isDefined)
+    val st = PrivacyLedger.store(tmp)
+    assert(!st.compactable)
+    intercept[IllegalArgumentException] { st.compact(spark, 1L) }
+    // maybeCompact (the foreachBatch cadence hook) silently no-ops
+    st.maybeCompact(spark, 2L, every = 1)
+    // spend is intact and the replay-exclusion path still works
+    assert(PrivacyLedger.spent(spark, tmp, "s") === 2L * cost)
+    assert(PrivacyLedger.release(spark, dir, tmp, "s", 0L, 10L * cost)
+      .isDefined)
+    assert(PrivacyLedger.spent(spark, tmp, "s") === 2L * cost)
+  }
 }
