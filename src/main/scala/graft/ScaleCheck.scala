@@ -161,6 +161,36 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$outDir/customer_scaled.parquet")
   }
 
+  /** Scaled register twin for record linkage
+    * (`customer_linkage_scaled`): the FS blocking passes are equi-joins
+    * on exact name and (nation, segment), and ANY blocked join is
+    * quadratic in block SIZE — so the honest growth model for a
+    * register is the census one: a 10× register covers 10× the
+    * geography (10× the blocking-key cardinality), not 10×-denser
+    * blocks (Splink's block-size guidance states exactly this
+    * requirement). Copies remap the key, uniquify names (a `~k`
+    * suffix — the name corruption replaces the LAST char with 'X',
+    * which never collides with a clean name), and shift nations to a
+    * disjoint 25-key range per copy: block sizes stay constant, block
+    * COUNT grows ~factor, and the measured slope is the operator's
+    * (blocked joins + broadcast weight table + map-side scoring).
+    * The dirty side's nation corruption ((nation+1) % 25) folds a
+    * corrupted record into copy 0's key range — a deliberate ~10%
+    * cross-copy skew that AQE's skew split must absorb; total
+    * candidate mass stays ~factor. */
+  def scaleCustomerLinkage(spark: SparkSession, srcDir: String,
+                           outDir: String, factor: Int): Unit = {
+    val c = spark.read.parquet(s"$srcDir/customer.parquet")
+    (0 until factor).map { k =>
+      c.withColumn("c_custkey", col("c_custkey") * factor + k)
+        .withColumn("c_name", concat(col("c_name"), lit("~" + k)))
+        .withColumn("c_nationkey", col("c_nationkey") + lit(25L * k))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/customer_linkage_scaled.parquet")
+  }
+
   def scaleFacts(spark: SparkSession, srcDir: String, outDir: String,
                  factor: Int): Unit = {
     // dims copied unscaled, so the scaled dir is a COMPLETE table
@@ -172,6 +202,7 @@ object ScaleCheck {
       }
     scalePartNames(spark, srcDir, outDir, factor)
     scaleCustomer(spark, srcDir, outDir, factor)
+    scaleCustomerLinkage(spark, srcDir, outDir, factor)
     scaleEmbeddings(spark, srcDir, outDir, factor)
     def copies(src: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(src, i)).reduce(_ unionByName _)
@@ -232,6 +263,7 @@ object ScaleCheck {
     // regenerate rather than be silently trusted
     // v3: part_scaled (fuzzy-join fact twin) added to the table set
     // v4: customer_scaled (k-anonymity population twin) added
+    // v5: customer_linkage_scaled (record-linkage register twin) added
     // The marker also embeds the SOURCE corpus' max mtime: the driver
     // regenerates /root/testdata between rounds, and a big dir scaled
     // from the previous generation would silently pair stale big-side
@@ -240,7 +272,7 @@ object ScaleCheck {
     val srcStamp = Tables.names.map(t =>
       new java.io.File(s"$srcDir/$t.parquet").lastModified()).max
     val marker =
-      new java.io.File(s"$bigDir/_SCALED_OK_v4_${factor}_$srcStamp")
+      new java.io.File(s"$bigDir/_SCALED_OK_v5_${factor}_$srcStamp")
     val complete = Tables.names.forall(t =>
       new java.io.File(s"$bigDir/$t.parquet").exists())
     if (!marker.exists() || !complete) {
@@ -588,7 +620,28 @@ object ScaleCheck {
         "q_logrank", "q_perm_test",
         // DiD: one scan to per-user pre/post sums -> 1-row suff stats,
         // the CUPED shape with a time split instead of a covariate
-        "q_did_test")
+        "q_did_test",
+        // round-13 backfill — A/B: one scan → per-user agg (users
+        // remap ~factor, per-user density constant) → 1-row integer
+        // sufficient statistics, the ideal linear shape
+        "q_ab_test",
+        // Mann-Whitney: per-user cents groups grow ~|users| but the
+        // running total is PrefixSum's range-partitioned sort — slope
+        // ≈ factor·log(factor), never a single-partition window
+        "q_mann_whitney",
+        // Kneser-Ney SERVING (model memoized per dir — the production
+        // train-once lifetime; training slope is q_kn_fit below): the
+        // corpus bigram stream joined to the vocab-bounded count
+        // tables — vocab grows ~factor under rotation/suffix copies,
+        // the worst case for the model join (the lm_score posture)
+        "q_kneser_ney",
+        // link prediction: adjacency build/shuffle ~edge mass
+        // (~factor; distinct part-pair edges saturate as in BFS while
+        // degrees grow), per-center wedge work capped at C(S,2) by the
+        // bottom-S sample REGARDLESS of hub degree — the cap is
+        // exactly what this row exercises: uncapped wedges would be
+        // Σd² ≈ factor²
+        "q_link_predict")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +
@@ -669,6 +722,42 @@ object ScaleCheck {
         // max bigram count 357): ~900 heavy keys at small, ~factor×
         // that at big (each rotated copy contributes its own set)
         graft.operators.HeavyHitters.heavyHitters(b, absoluteT = Some(250L))
+      }),
+      // round-13: the Kneser-Ney TRAINING slope, unmemoized (the
+      // classifier_train posture) — two type-table groupBys off the
+      // corpus bigram stream plus the two scalar counts; bigram types
+      // grow ~factor under rotation/suffix copies so every leg is
+      // ~factor, none corpus²
+      "q_kn_fit" -> ((s: SparkSession, d: String) => {
+        val m = ext.KneserNey.train(Tables(s, d, "documents"),
+          materialize = false)
+        // touch all three count tables so the fit cost is what's timed
+        m.big.join(m.uni, "w1").join(m.cont, "w2")
+          .select(org.apache.spark.sql.functions.col("w1"),
+            org.apache.spark.sql.functions.col("w2"),
+            org.apache.spark.sql.functions.col("c12"),
+            org.apache.spark.sql.functions.col("c1"),
+            org.apache.spark.sql.functions.col("n1f"),
+            org.apache.spark.sql.functions.col("n1r"))
+      }),
+      // record linkage against the DEDICATED register twin (see
+      // scaleCustomerLinkage: blocking-key cardinality must grow with
+      // the register or ANY blocked join is quadratic in block size —
+      // the census growth model and Splink's stated blocking
+      // requirement); falls back to the real customer table on the
+      // unscaled source dir
+      "q_record_linkage" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/customer_linkage_scaled.parquet")
+        val c = if (f.exists) s.read.parquet(f.getPath)
+                else Tables(s, d, "customer")
+        graft.operators.RecordLinkage.linkPairs(c)
+      }),
+      // the eval rides the same candidate table + one partial agg
+      "q_linkage_eval" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/customer_linkage_scaled.parquet")
+        val c = if (f.exists) s.read.parquet(f.getPath)
+                else Tables(s, d, "customer")
+        graft.operators.RecordLinkage.linkageEval(c)
       }),
       // fuzzy join against the DEDICATED scaled name corpus (dims
       // don't scale; part_scaled is the fact-shaped twin) — falls back

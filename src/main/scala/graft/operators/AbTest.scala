@@ -48,6 +48,16 @@ object AbTest {
   /** Two-sided normal z₀.₀₂₅, micro-quantized. */
   val zCritMicro = 1959964L
 
+  /** The experiment-family arm coin: deterministic md5 bucketing on
+    * the user key — replayable, engine-portable, and exactly what
+    * production assignment services do. ONE definition point so every
+    * test (chi²/Welch, CUPED, DiD, permutation, SPRT, Mann-Whitney)
+    * and the streaming [[graft.streaming.ExperimentStore]] split users
+    * identically. */
+  def armOf(user: Column): Column =
+    conv(substring(md5(user.cast(StringType).cast(BinaryType)), 1, 15),
+      16, 10).cast(LongType) % 2
+
   /** Per-user (arm, purchases, cents) — the one corpus scan both
     * tests (and [[qMannWhitney]]) share. Cents are exact integers
     * (round(value·100): the double product is IEEE-identical in any
@@ -59,9 +69,7 @@ object AbTest {
         sum(when(col("event_type") === "purchase",
           expr("cast(round(value * 100.0) as bigint)")).otherwise(0L))
           .as("cents"))
-      .withColumn("arm",
-        conv(substring(md5(col("user_id").cast(StringType)
-          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
+      .withColumn("arm", armOf(col("user_id")))
 
   def abTest(events: DataFrame): DataFrame =
     abTestFromPerUser(perUserArm(events))

@@ -49,9 +49,7 @@ object Cuped {
         sum(when(col("event_type") === "purchase",
           expr("cast(round(value * 100.0) as bigint)")).otherwise(0L))
           .as("y"))
-      .withColumn("arm",
-        conv(substring(md5(col("user_id").cast(StringType)
-          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
+      .withColumn("arm", AbTest.armOf(col("user_id")))
 
   def cuped(events: DataFrame): DataFrame =
     cupedFromPerUser(perUser(events))

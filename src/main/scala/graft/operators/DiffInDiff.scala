@@ -45,9 +45,7 @@ object DiffInDiff {
           col("ts") >= lit(splitDate).cast("timestamp"),
           expr("cast(round(value * 100.0) as bigint)")).otherwise(0L))
           .as("post"))
-      .withColumn("arm",
-        conv(substring(md5(col("user_id").cast(StringType)
-          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
+      .withColumn("arm", AbTest.armOf(col("user_id")))
     didFromPerUser(pu)
   }
 

@@ -51,9 +51,7 @@ object Sprt {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("purchases"),
         min(col("ts")).as("first_ts"))
-      .withColumn("arm",
-        conv(substring(md5(col("user_id").cast(StringType)
-          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % 2)
+      .withColumn("arm", AbTest.armOf(col("user_id")))
       .withColumn("y",
         (col("purchases") >= AbTest.convMin).cast(IntegerType))
       .transform(withInc)

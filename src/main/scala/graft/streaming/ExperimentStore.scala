@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, Sprt}
+
+/** Incrementally-maintained EXPERIMENT READOUTS — the streaming half
+  * of the whole experiment-science suite ([[AbTest]] chi²/Welch,
+  * Mann-Whitney, [[Cuped]], [[DiffInDiff]], [[PermTest]], [[Sprt]]):
+  * event batches arrive as files, each contributes its PER-USER
+  * sufficient-statistic delta, and every test is served live from the
+  * merged per-user table — at every point EQUAL to the batch statistic
+  * over the absorbed corpus, because each stored column is a per-user
+  * monoid:
+  *
+  *   purchases, non-purchase events, purchase cents, pre/post-split
+  *   cents — per-key SUMs; first event timestamp — lattice MIN
+  *   (idempotent, so it rides the same per-batch-dir layout for free,
+  *   the [[MonoidStore.aggReduce]] min-column contract).
+  *
+  * The arm is NOT stored: it is the deterministic [[AbTest.armOf]]
+  * md5 coin of the key, recomputed in the view — state that is a pure
+  * function of the key is never worth a column.
+  *
+  * Every test here consumes a `*FromPerUser` entry point of its batch
+  * operator, so the served statistic is the SAME code path as the
+  * oracle-checked query — the spec proves each view row-equal to its
+  * batch twin over the absorbed events, including users whose events
+  * are SPLIT ACROSS batches (the case that makes per-user sums the
+  * load-bearing monoid). [[Sprt]] is the interesting one: its walk
+  * needs arrival ORDER, but the order key (first_ts, user_id) is
+  * itself min-monoid state, so the store serves always-valid
+  * sequential inference without replaying the event log.
+  *
+  * At 100 TB the store is |users|-bounded (never event history), a
+  * batch's delta cost is its own per-user agg with map-side combine,
+  * and compaction/recovery ride [[MonoidStore]] unchanged. */
+object ExperimentStore {
+
+  /** One batch's per-user delta from raw event rows. `ts` is stored
+    * as epoch micros (a plain long min-monoid — [[Sprt]] only needs
+    * the order, which micros preserve). */
+  def experimentDelta(batch: DataFrame): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val cents = expr("cast(round(value * 100.0) as bigint)")
+    val split = lit(DiffInDiff.splitDate).cast("timestamp")
+    batch.groupBy("user_id").agg(
+      sum(when(isPurchase, 1L).otherwise(0L)).as("purchases"),
+      sum(when(!isPurchase, 1L).otherwise(0L)).as("nonpurchases"),
+      sum(when(isPurchase, cents).otherwise(0L)).as("cents"),
+      sum(when(isPurchase && col("ts") < split, cents).otherwise(0L))
+        .as("pre_cents"),
+      sum(when(isPurchase && col("ts") >= split, cents).otherwise(0L))
+        .as("post_cents"),
+      min(unix_micros(col("ts"))).as("first_ts_us"))
+  }
+
+  def store(storePath: String): MonoidStore =
+    new MonoidStore(storePath,
+      MonoidStore.aggReduce(
+        sumCols = Seq("purchases", "nonpurchases", "cents", "pre_cents",
+          "post_cents"),
+        minCols = Seq("first_ts_us")))
+
+  def appendExperimentBatch(spark: SparkSession, batch: DataFrame,
+                            storePath: String, batchId: Long): Unit =
+    store(storePath).append(experimentDelta(batch), batchId)
+
+  /** The live per-user table with the derived arm — the input every
+    * `*FromPerUser` entry point consumes. */
+  def perUserView(spark: SparkSession, storePath: String): DataFrame =
+    store(storePath).merged(spark)
+      .withColumn("arm", AbTest.armOf(col("user_id")))
+
+  /** Live chi²/Welch readout ≡ [[AbTest.abTest]] over absorbed events. */
+  def abView(spark: SparkSession, storePath: String): DataFrame =
+    AbTest.abTestFromPerUser(perUserView(spark, storePath))
+
+  /** Live rank test ≡ [[AbTest.mannWhitney]]. */
+  def mannWhitneyView(spark: SparkSession, storePath: String): DataFrame =
+    AbTest.mannWhitneyFromPerUser(perUserView(spark, storePath))
+
+  /** Live variance-reduced readout ≡ [[Cuped.cuped]]. */
+  def cupedView(spark: SparkSession, storePath: String): DataFrame =
+    Cuped.cupedFromPerUser(perUserView(spark, storePath)
+      .select(col("arm"), col("nonpurchases").as("x"),
+        col("cents").as("y")))
+
+  /** Live panel DiD ≡ [[DiffInDiff.didTest]]. */
+  def didView(spark: SparkSession, storePath: String): DataFrame =
+    DiffInDiff.didFromPerUser(perUserView(spark, storePath)
+      .select(col("arm"), col("pre_cents").as("pre"),
+        col("post_cents").as("post")))
+
+  /** Live permutation test ≡ [[PermTest.permTest]]. */
+  def permTestView(spark: SparkSession, storePath: String): DataFrame =
+    PermTest.permTestFromPerUser(perUserView(spark, storePath)
+      .select("user_id", "arm", "cents"))
+
+  /** Live sequential walk ≡ [[Sprt.sprt]]: conversion is re-derived
+    * from the CURRENT purchase totals (a user's y can flip as later
+    * batches arrive — recomputing from the monoid state is what keeps
+    * the walk equal to the batch test at every point). */
+  def sprtView(spark: SparkSession, storePath: String): DataFrame =
+    Sprt.sprtFromPerUser(perUserView(spark, storePath)
+      .withColumn("y",
+        (col("purchases") >= AbTest.convMin).cast("int"))
+      .transform(Sprt.withInc)
+      .select(col("user_id"), col("arm"),
+        col("first_ts_us").as("first_ts"), col("inc_micro")))
+
+  /** Wire the stream; `compactEvery` > 0 enables the cadenced fold. */
+  def runExperimentStream(spark: SparkSession, uploadDir: String,
+                          storePath: String, checkpointDir: String,
+                          schema: StructType,
+                          compactEvery: Int = 0): StreamingQuery = {
+    val st = store(storePath)
+    st.recover(spark)
+    CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
+      (batch, id) =>
+        appendExperimentBatch(spark, batch, storePath, id)
+        st.maybeCompact(spark, id, compactEvery)
+    }
+  }
+}
