@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -31,8 +30,8 @@ import org.apache.spark.sql.types.StructType
   * clock here so replay at any order stays exact.)
   *
   * Store layout/merge: `pmod(key, N)` bucketed, touched-bucket
-  * union + re-reduce, recoverable two-rename publish — the
-  * [[CohortStore]] monoid-store posture. Per-batch work is
+  * union + re-reduce, recoverable two-rename publish — the shared
+  * [[BucketedMonoidStore]] contract. Per-batch work is
   * O(batch + touched buckets), independent of store size and log
   * depth; store size is |touched keys|, never log volume (the
   * per-batch map-side max_by collapses the log before anything is
@@ -51,31 +50,17 @@ object CdcStore {
       .select(col("key"), col("w.seq").as("seq"), col("w.tie").as("tie"),
         col("w.op").as("op"), col("w.value").as("value"))
 
+  /** The store: latest-wins monoid on the shared touched-bucket
+    * machinery ([[BucketedMonoidStore]]). */
+  def store(storePath: String): BucketedMonoidStore =
+    new BucketedMonoidStore(storePath, latestPerKey, bucketOf)
+
   /** Fold one micro-batch of change rows (key, seq, tie, op, value)
-    * into the latest-state store. */
+    * into the latest-state store. Map-side collapse first: the store
+    * never sees log depth. */
   def mergeCdcBatch(spark: SparkSession, batch: DataFrame,
-                    storePath: String): Unit = {
-    val fs = new Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CurationStream.recoverStore(spark, storePath)
-    // map-side collapse first: the store never sees log depth
-    val (staged, release) = graft.util.Checkpoints.checkpointTracked(
-      latestPerKey(batch).withColumn("bucket", bucketOf))
-    try {
-      val touched = staged.select("bucket").distinct()
-        .collect().map(_.getLong(0)).toSet // ≤ storeBuckets
-      if (touched.isEmpty) return
-      val existing =
-        if (fs.exists(new Path(storePath)))
-          Some(spark.read.parquet(storePath)
-            .filter(col("bucket").isInCollection(touched)))
-        else None
-      val merged = latestPerKey(
-        existing.fold(staged)(staged.unionByName(_)).drop("bucket"))
-        .withColumn("bucket", bucketOf)
-      CurationStream.publishTouchedBuckets(spark, storePath, merged, touched)
-    } finally release()
-  }
+                    storePath: String): Unit =
+    store(storePath).merge(spark, latestPerKey(batch))
 
   /** Wire the stream: change-record files under `uploadDir` → per-batch
     * latest-wins merge. Same ingest scaffold as every stream here. */
@@ -92,6 +77,5 @@ object CdcStore {
     * rows, so stream and batch run the identical apply plan. */
   def appliedView(spark: SparkSession, base: DataFrame,
                   storePath: String): DataFrame =
-    graft.operators.CdcApply.applyCdc(base,
-      spark.read.parquet(storePath).drop("bucket"))
+    graft.operators.CdcApply.applyCdc(base, store(storePath).merged(spark))
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -62,37 +61,18 @@ object CohortStore {
     } finally release()
   }
 
-  /** Generic touched-bucket monoid merge: `batchRows` (already reduced
-    * map-side) union the touched store buckets, re-reduced by
-    * `reduce`, republished. `reduce` must be the store's monoid
-    * applied over (store ∪ batch) — idempotent + order-independent.
-    * `bucket` keys the partition layout (defaults to the user bucket;
-    * other stores pass their own key — shared by [[KmvStore]]). */
+  /** Generic touched-bucket monoid merge — the shared
+    * [[BucketedMonoidStore]] machinery; this shim keeps the historic
+    * call-site shape (shared by [[KmvStore]]). `reduce` must be the
+    * store's monoid applied over (store ∪ batch) — idempotent +
+    * order-independent. */
   private[streaming] def mergeMonoid(spark: SparkSession, storePath: String,
                           batchRows: DataFrame,
                           reduce: DataFrame => DataFrame,
                           bucket: org.apache.spark.sql.Column = bucketOf)
-      : Unit = {
-    val fs = new Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CurationStream.recoverStore(spark, storePath)
-    val (staged, release) = graft.util.Checkpoints.checkpointTracked(
-      batchRows.withColumn("bucket", bucket))
-    try {
-      val touched = staged.select("bucket").distinct()
-        .collect().map(_.getLong(0)).toSet // ≤ storeBuckets
-      if (touched.isEmpty) return
-      val existing =
-        if (fs.exists(new Path(storePath)))
-          Some(spark.read.parquet(storePath)
-            .filter(col("bucket").isInCollection(touched)))
-        else None
-      val merged = reduce(
-        existing.fold(staged)(staged.unionByName(_)).drop("bucket"))
-        .withColumn("bucket", bucket)
-      CurationStream.publishTouchedBuckets(spark, storePath, merged, touched)
-    } finally release()
-  }
+      : Unit =
+    new BucketedMonoidStore(storePath, reduce, bucket)
+      .merge(spark, batchRows)
 
   /** Wire the stream: event files under `uploadDir` → per-batch store
     * merge. Same file-arrival/checkpoint posture as every ingest

@@ -83,6 +83,55 @@ final class MonoidStore(val path: String,
       compact(spark, batchId - 1)
 }
 
+/** THE TOUCHED-BUCKET SIBLING of [[MonoidStore]] — for IDEMPOTENT
+  * monoids whose state is a keyed table re-reduced IN PLACE
+  * (latest-wins max_by, set union, lattice min, bottom-k) rather than
+  * per-batch delta dirs folded at read time. Sum is the one monoid
+  * that needs the delta layout for replay safety; an idempotent reduce
+  * makes redelivery a value no-op, so the store can BE the merged
+  * view: `pmod(key, N)`-bucketed parquet, and a batch unions into only
+  * the buckets it touches (union + re-reduce + the recoverable
+  * two-rename publish). Per-batch work is O(batch + touched buckets),
+  * independent of store size; the read side pays zero fold cost.
+  *
+  * Previously hand-rolled identically by CdcStore, CohortStore and
+  * KmvStore — defined once here, with each store contributing only its
+  * monoid and bucket key. */
+final class BucketedMonoidStore(val path: String,
+                                val reduce: DataFrame => DataFrame,
+                                val bucket: org.apache.spark.sql.Column) {
+
+  /** Union `batchRows` (already reduced map-side by the caller) into
+    * the touched buckets and republish them. `reduce` must be the
+    * store's monoid over (store ∪ batch) — idempotent and
+    * order-independent, which is the replay-safety contract here. */
+  def merge(spark: SparkSession, batchRows: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CurationStream.recoverStore(spark, path)
+    val (staged, release) = graft.util.Checkpoints.checkpointTracked(
+      batchRows.withColumn("bucket", bucket))
+    try {
+      val touched = staged.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet // ≤ storeBuckets
+      if (touched.isEmpty) return
+      val existing =
+        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          Some(spark.read.parquet(path)
+            .filter(col("bucket").isInCollection(touched)))
+        else None
+      val merged = reduce(
+        existing.fold(staged)(staged.unionByName(_)).drop("bucket"))
+        .withColumn("bucket", bucket)
+      CurationStream.publishTouchedBuckets(spark, path, merged, touched)
+    } finally release()
+  }
+
+  /** The live state (the store IS the merged view here). */
+  def merged(spark: SparkSession): DataFrame =
+    spark.read.parquet(path).drop("bucket")
+}
+
 object MonoidStore {
 
   /** The common aggregate monoid: group by every non-aggregated
