@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -56,6 +56,15 @@ object LinkPredict {
 
   val lpTopK = 20
 
+  /** The seeded per-center hash order: md5(z:n) — the
+    * WeightedSample/KMV convention, oracle-identical, and the SAME
+    * order the streaming [[graft.streaming.LinkPredictStore]] ranks
+    * its per-batch samples by (what makes its bottom-S state mergeable
+    * into exactly this batch sample). */
+  def neighborHash(z: Column, n: Column): Column =
+    conv(substring(md5(concat_ws(":", z, n).cast("binary")), 1, 15),
+      16, 10).cast("bigint")
+
   /** Core over any undirected edge set `und` (u < v, distinct). */
   def linkPredict(und: DataFrame, sample: Int = lpSample,
                   topK: Int = lpTopK): DataFrame = {
@@ -64,14 +73,26 @@ object LinkPredict {
       .groupBy("node").agg(count(lit(1)).as("d"))
     val adj = und.select(col("u").as("z"), col("v").as("n"))
       .unionAll(und.select(col("v").as("z"), col("u").as("n")))
-    // seeded bottom-S neighbor sample per center: md5(z:n) order —
-    // the WeightedSample/KMV hash convention, oracle-identical
+    // seeded bottom-S neighbor sample per center
     val ranked = adj
       .join(deg.withColumnRenamed("node", "z"), "z")
       .filter(col("d") >= 2)
       .withColumn("rk", row_number().over(Window.partitionBy("z")
-        .orderBy(conv(substring(md5(concat_ws(":", col("z"), col("n"))
-          .cast("binary")), 1, 15), 16, 10).cast("bigint"), col("n"))))
+        .orderBy(neighborHash(col("z"), col("n")), col("n"))))
+    scoreSampledAdjacency(ranked.filter(col("rk") <= sample)
+        .select("z", "n", "d"),
+      und, sample, topK)
+  }
+
+  /** The scoring head over ANY bottom-S sampled adjacency — (z, n, d)
+    * rows where each center carries at most `sample` neighbors in
+    * md5(z:n) order and `d` is the center's FULL degree. The batch
+    * path ranks the full adjacency to get here; the streaming store
+    * serves its maintained sample directly. `und` is the full edge
+    * set for the distance-2 left-anti (never sampled). */
+  def scoreSampledAdjacency(sampledAdj: DataFrame, und: DataFrame,
+                            sample: Int = lpSample,
+                            topK: Int = lpTopK): DataFrame = {
     // one double expression per term, shape-identical in the oracle;
     // scale = C(d,2)/C(s,2) (≡ 1 when d ≤ S: exact, not estimated).
     // cn/ra terms are PURE IEEE arithmetic (mul/div of small exact
@@ -81,7 +102,7 @@ object LinkPredict {
     // derives by exact integer division — never round(x/ln(d)), whose
     // half-boundary a 1-ulp libm difference can flip (observed: one
     // term in 40k differed cross-engine before this derivation).
-    val sampled = ranked.filter(col("rk") <= sample)
+    val sampled = sampledAdj.filter(col("d") >= 2)
       .withColumn("s", least(col("d"), lit(sample.toLong)))
       .withColumn("cn_term",
         expr("cast(round((d * (d - 1.0)) / (s * (s - 1.0)) " +
