@@ -214,6 +214,36 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** Per-segment PEAK |sample| over 8 equal time slices — EXACT
+      * integers off the decoded PCM (signed 16-bit mono little-endian,
+      * the layout both synthesizers write): the det-twin feature for
+      * [[qAudioNearDupDet]]. [[read]]'s RMS float envelope stays the
+      * production descriptor; the peak exists because a square wave's
+      * segment peak IS its segment amplitude, which is what makes the
+      * audio twin oracle-replayable without per-sample SQL. */
+    def peaks8(payload: Array[Byte]): Array[Long] = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, "peaks8 expects mono s16le PCM WAV")
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        val peaks = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val v = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toLong
+          val seg = math.min(7L, i.toLong * 8 / math.max(1, n)).toInt
+          val a = math.abs(v)
+          if (a > peaks(seg)) peaks(seg) = a
+          i += 1
+        }
+        peaks
+      } finally in.close()
+    }
+
     /** Real resample: decode → JDK sample-rate conversion
       * (`AudioSystem.getAudioInputStream(targetFormat, in)`) → re-encode
       * WAV — the audio analogue of [[ImageIoCodec.resize]]'s
@@ -373,6 +403,41 @@ object Multimodal {
       val s = (amps(seg) * 0.8 *
         math.sin(2 * math.Pi * 440.0 * i / 8000.0) * 32767).toShort
       bb.putShort(s)
+      i += 1
+    }
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic SQUARE-wave real-WAV synthesis — the integer-exact
+    * sibling of [[wavFromText]] for the audio det twin: same container
+    * (mono 16-bit s16le 8 kHz PCM via `AudioSystem.write`, 44 +
+    * 2·frames bytes), same per-segment [[textAmps]] envelope, but the
+    * carrier is a 440 Hz SQUARE wave on the INTEGER phase grid
+    * (440·i mod 8000): sample = round(amps(seg)·0.8·32767) · sgn,
+    * sgn ∈ {0, ±1} by exact integer comparison. A sine's samples pass
+    * through libm sin (1-ulp engine-dependent); a square wave's
+    * samples are integers an oracle re-derives from text bytes alone,
+    * and its per-segment decoded PEAK equals the segment amplitude. */
+  def squareWavFromText(text: String, frames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val amps = textAmps(text)
+    val pcm = new Array[Byte](frames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < frames) {
+      val seg = math.min(7, i * 8 / frames)
+      val a = math.round(amps(seg) * 0.8 * 32767).toInt
+      val ph = (440L * i) % 8000L
+      val sgn = if (ph == 0L || ph == 4000L) 0 else if (ph < 4000L) 1 else -1
+      bb.putShort((a * sgn).toShort)
       i += 1
     }
     val fmt = new AudioFormat(
@@ -665,6 +730,95 @@ object Multimodal {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    $dp AS dp, $na AS na, $nb AS nb
       |  FROM q a JOIN q b ON a.q0 = b.q0 AND a.q1 = b.q1
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+      |    * sqrt(CAST(nb AS DOUBLE))) AS cosine
+      |FROM p
+      |WHERE na > 0 AND nb > 0
+      |  AND CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+      |    * sqrt(CAST(nb AS DOUBLE))) >= $mediaNearDupDetMinCos""".stripMargin
+  }
+
+  /** DETERMINISTIC AUDIO near-dup twin — extends the hash-checked
+    * coverage from the image modality ([[qMediaNearDupDet]]) to the
+    * WAV DECODE PATH, the round-12 residual: the image twin never
+    * exercises `javax.sound.sampled`. Pipeline: synthesize a REAL
+    * square-wave WAV per audio doc ([[squareWavFromText]] — same
+    * container the production sine path writes), decode it through
+    * the REAL JDK codec, take the 8 per-segment PEAKS
+    * ([[WavCodec.peaks8]] — exact integers, because a square wave's
+    * segment peak is its segment amplitude), band on the first two
+    * peaks, verify with the integer-sum cosine. The oracle re-derives
+    * every peak from `documents.text` byte arithmetic — so the full
+    * synthesize → RIFF container → JDK decode → feature chain is
+    * pinned by hash, exactly as the BMP chain is. The sine path stays
+    * the production default (RMS envelopes are what real re-encoded
+    * audio preserves); this is its exactness certificate.
+    *
+    * Runs over EVERY document, not just the synthetic corpus's audio
+    * third: the modality split is [[synthesize]]'s routing concern,
+    * while this is a codec certificate — and the sf0.01 gate corpus
+    * happens to plant zero near-dup pairs inside the ≡1 (mod 3) third,
+    * which would make the hash check trivially empty. */
+  def qAudioNearDupDet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{decode => _, _}
+    // decode-once artifact, memoized like the image twin's features
+    val peaks = graft.util.SessionCache.memoize(spark, "media-sq-peaks",
+      dir) {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
+        .map { case (id, text, nChars) =>
+          val p = WavCodec.peaks8(
+            squareWavFromText(text, (64 + (nChars % 512)).toInt))
+          (id, p(0), p(1), p(2), p(3), p(4), p(5), p(6), p(7))
+        }
+        .toDF("doc_id", "p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7")
+        .localCheckpoint()
+    }
+    val dp = (0 until 8).map(j => col(s"a.p$j") * col(s"b.p$j")).reduce(_ + _)
+    val na = (0 until 8).map(j => col(s"a.p$j") * col(s"a.p$j")).reduce(_ + _)
+    val nb = (0 until 8).map(j => col(s"b.p$j") * col(s"b.p$j")).reduce(_ + _)
+    peaks.as("a").join(peaks.as("b"),
+        col("a.p0") === col("b.p0") && col("a.p1") === col("b.p1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        dp.as("dp"), na.as("na"), nb.as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("dp").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= mediaNearDupDetMinCos)
+  }
+
+  /** Full ANSI replay of [[qAudioNearDupDet]]: [[textAmps]]'s byte
+    * arithmetic, the ·0.8·32767 amplitude quantization (the same
+    * left-associated double product the synthesizer computes), the
+    * (p0, p1) band join, and the integer-sum cosine. */
+  val qAudioNearDupDetSql: String = {
+    def byteAt(i: Int) =
+      s"(CASE WHEN length(text) > $i THEN ascii(substr(text, ${i + 1}, 1)) " +
+        "ELSE 97 END)"
+    def pcol(c: Int) = {
+      val s = (0 until 8).map(k => byteAt(8 * c + k)).mkString(" + ")
+      s"CAST(round(LEAST(1.0, GREATEST(0.0, (($s) / 8.0 - 96.0) " +
+        s"/ 32.0)) * 0.8 * 32767) AS BIGINT) AS p$c"
+    }
+    val pcols = (0 until 8).map(pcol).mkString(",\n    ")
+    val dp = (0 until 8).map(j => s"a.p$j*b.p$j").mkString(" + ")
+    val na = (0 until 8).map(j => s"a.p$j*a.p$j").mkString(" + ")
+    val nb = (0 until 8).map(j => s"b.p$j*b.p$j").mkString(" + ")
+    s"""WITH aud AS (SELECT doc_id, text FROM documents),
+      |q AS (SELECT doc_id,
+      |    $pcols
+      |  FROM aud),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    $dp AS dp, $na AS na, $nb AS nb
+      |  FROM q a JOIN q b ON a.p0 = b.p0 AND a.p1 = b.p1
       |    AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
       |  CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))

@@ -345,4 +345,32 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("square-wave WAV: real container, exact per-segment peaks") {
+    import graft.multimodal.Multimodal
+    // > 64 chars so the fingerprint prefix is full and a trailing
+    // suffix provably cannot shift it
+    val text = "The quick brown fox jumps over the lazy dog again and " +
+      "again while more text trails"
+    val frames = 320
+    val wav = Multimodal.squareWavFromText(text, frames)
+    // a REAL RIFF/WAVE container of the canonical size, decodable by
+    // the production codec
+    assert(Multimodal.WavCodec.isRealWav(wav))
+    assert(wav.length === 44 + 2 * frames)
+    val d = Multimodal.WavCodec.read(wav)
+    assert(d.channels === 1 && d.sampleRate === 8000 &&
+      d.nFrames === frames)
+    // peaks8 recovers EXACTLY round(textAmps(s)·0.8·32767) — the
+    // integer chain the oracle re-derives from text bytes (a square
+    // wave's segment peak is its amplitude; every segment of ≥8
+    // samples contains a nonzero-phase sample)
+    val peaks = Multimodal.WavCodec.peaks8(wav)
+    val expected = Multimodal.textAmps(text)
+      .map(a => math.round(a * 0.8 * 32767))
+    assert(peaks.toSeq === expected.toSeq)
+    // and identical prefixes give identical peaks (the near-dup premise)
+    val wav2 = Multimodal.squareWavFromText(text + " trailing tail", 200)
+    assert(Multimodal.WavCodec.peaks8(wav2).toSeq === peaks.toSeq)
+  }
 }
