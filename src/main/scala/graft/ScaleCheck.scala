@@ -635,6 +635,10 @@ object ScaleCheck {
         // tables — vocab grows ~factor under rotation/suffix copies,
         // the worst case for the model join (the lm_score posture)
         "q_kneser_ney",
+        // KN-gated curate: qCurate's chain plus the KN scoring join
+        // (memoized model — serving slope is q_kneser_ney's row) and
+        // the two bounded threshold scans (q_score_threshold's shape)
+        "q_curate_e2e_kn",
         // link prediction: adjacency build/shuffle ~edge mass
         // (~factor; distinct part-pair edges saturate as in BFS while
         // degrees grow), per-center wedge work capped at C(S,2) by the

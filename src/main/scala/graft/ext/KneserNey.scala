@@ -127,9 +127,14 @@ object KneserNey {
     scoreWith(Tables(spark, dir, "documents"), model)
   }
 
-  val qKneserNeySql: String = {
+  /** The KN scoring CTE chain (toks … scored) — shared by
+    * [[qKneserNeySql]] and the KN-gated curate oracle
+    * ([[TextOps.qCurateKnSql]]); `scored` holds one row per document
+    * WITH bigrams (zero-bigram docs surface only in the outer join the
+    * full query adds). */
+  val knScoreCtes: String = {
     val lang = CorpusOps.lmTrainLang
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
       |bi AS (
       |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
@@ -167,11 +172,14 @@ object KneserNey {
       |    CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
       |    CAST(SUM(CAST(round(-ln(p) * 1000000.0) AS BIGINT)) AS BIGINT)
       |      AS kn_nll_micro
-      |  FROM terms GROUP BY doc_id)
+      |  FROM terms GROUP BY doc_id)""".stripMargin
+  }
+
+  val qKneserNeySql: String =
+    s"""WITH $knScoreCtes
       |SELECT toks.doc_id, lang,
       |  COALESCE(n_bigrams, 0) AS n_bigrams,
       |  COALESCE(oov_bigrams, 0) AS oov_bigrams,
       |  COALESCE(kn_nll_micro, 0) AS kn_nll_micro
       |FROM toks LEFT JOIN scored ON toks.doc_id = scored.doc_id""".stripMargin
-  }
 }

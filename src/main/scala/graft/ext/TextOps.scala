@@ -1124,23 +1124,72 @@ object TextOps {
       .withColumn("pack_id",
         expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
 
+  /** KN-gate keep rate: top 3/4 of documents by Kneser-Ney naturalness
+    * (−avg bigram nll). Chosen to bracket the heuristic gate's ~87%
+    * keep from below so the two variants differ visibly. */
+  val knKeepNum = 3L
+  val knKeepDen = 4L
+
+  /** The curate pipeline with the KNESER-NEY LM as the quality gate —
+    * the `scorer` choice threaded through the same chain (gate → PII
+    * scrub → exact dedup → chunk → pack): instead of the heuristic
+    * len/punct/stopword predicates, each document is scored by the
+    * memoized KN model ([[KneserNey.qKneserNey]] — the strictly
+    * stronger scorer the corpus-LM family already built), the gate
+    * threshold is CALIBRATED on the corpus by the same two-phase
+    * distributed selection q_score_threshold uses
+    * ([[CorpusOps.scoreThreshold]] — exact k-th order statistic, no
+    * global sort), and everything downstream is shared code with
+    * [[qCurate]]. Score = −(kn_nll_micro div n_bigrams) — the integer
+    * per-bigram average, higher = more natural; zero-bigram docs are
+    * unscorable and drop. Plan shape adds one scoring join (bigrams ⟕
+    * vocab-bounded model) and two bounded threshold scans to qCurate's
+    * two exchanges — nothing corpus-sorted. */
+  def qCurateKn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val scored = KneserNey.qKneserNey(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .selectExpr("doc_id",
+        "-(kn_nll_micro div n_bigrams) as score")
+    val (sc, release) = graft.util.Checkpoints.checkpointTracked(scored)
+    val keptIds =
+      try {
+        val thr = CorpusOps.scoreThreshold(sc, "score", knKeepNum, knKeepDen)
+          .head().getLong(2)
+        // the kept id set must outlive the released checkpoint
+        sc.filter(col("score") >= thr).select("doc_id").localCheckpoint()
+      } finally release()
+    val kept = docs.join(keptIds, "doc_id").select("doc_id", "text")
+    graft.operators.PrefixSum.withRunningTotal(
+        chunkTokens(dedupScrubbed(scrubPii(kept)), col("scrubbed")),
+        Seq(col("doc_id"), col("chunk_id")),
+        "n_chunk_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
+  }
+
   /** The map-only front of the pipeline — quality gates + PII scrub on
     * any (doc_id, text) frame, batch OR streaming (pure narrow
     * projections work identically under Structured Streaming; see
     * [[graft.streaming.CurationStream]]). */
   def gateAndScrub(docs: DataFrame): DataFrame = {
     val t0 = split(col("text"), " ")
-    docs.filter(
-        length(col("text")) >= 100 &&
-          (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-            length(col("text"))) <= 0.3 &&
-          (size(filter(t0, x => x.isInCollection(stopwords))).cast("double") /
-            size(t0)) >= 0.01)
-      .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
-          piiPhoneRe, "<PHONE>").as("scrubbed"))
+    scrubPii(docs.filter(
+      length(col("text")) >= 100 &&
+        (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+          length(col("text"))) <= 0.3 &&
+        (size(filter(t0, x => x.isInCollection(stopwords))).cast("double") /
+          size(t0)) >= 0.01))
   }
+
+  /** The PII scrub alone — shared by the heuristic gate above and the
+    * KN-scored gate ([[qCurateKn]]), so every curate variant redacts
+    * identically. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+        piiPhoneRe, "<PHONE>").as("scrubbed"))
 
   /** Exact dedup with the DETERMINISTIC survivor rule: representative =
     * min doc_id per normalized key; the join back on the unique doc_id
@@ -1176,6 +1225,45 @@ object TextOps {
       |      '$piiEmailRe', '<EMAIL>', 'g'),
       |      '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed
       |  FROM gated),
+      |reps AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM scrub
+      |  GROUP BY substr(scrubbed, 1, 40)),
+      |kept AS (SELECT s.* FROM scrub s JOIN reps USING (doc_id)),
+      |chunks AS (
+      |${chunkSelectSql("kept", "scrubbed").linesIterator
+           .map("  " + _).mkString("\n")}
+      |),
+      |${packAfterChunksSql(", chunk_text")}""".stripMargin
+
+  /** Full ANSI replay of [[qCurateKn]]: the shared KN scoring CTEs,
+    * the integer per-bigram score, the k-th-order-statistic threshold
+    * (row_number definition — tie-insensitive, so it agrees exactly
+    * with the two-phase selection), then the identical scrub → dedup →
+    * chunk → pack chain as [[qCurateSql]]. */
+  val qCurateKnSql: String =
+    s"""WITH ${KneserNey.knScoreCtes},
+      |docsc AS (
+      |  SELECT doc_id, -(kn_nll_micro // n_bigrams) AS score
+      |  FROM scored WHERE n_bigrams > 0),
+      |kk AS (
+      |  SELECT COUNT(*) AS n,
+      |    (COUNT(*) * $knKeepNum + $knKeepDen - 1) // $knKeepDen AS k
+      |  FROM docsc),
+      |thr AS (
+      |  SELECT score AS threshold
+      |  FROM (SELECT score, row_number() OVER (ORDER BY score DESC) AS rn
+      |        FROM docsc), kk
+      |  WHERE rn = k),
+      |keptdocs AS (
+      |  SELECT d.doc_id, d.text
+      |  FROM documents d JOIN docsc USING (doc_id), thr
+      |  WHERE docsc.score >= thr.threshold),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text,
+      |      '$piiEmailRe', '<EMAIL>', 'g'),
+      |      '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed
+      |  FROM keptdocs),
       |reps AS (
       |  SELECT MIN(doc_id) AS doc_id FROM scrub
       |  GROUP BY substr(scrubbed, 1, 40)),
