@@ -635,6 +635,18 @@ object ScaleCheck {
         // tables — vocab grows ~factor under rotation/suffix copies,
         // the worst case for the model join (the lm_score posture)
         "q_kneser_ney",
+        // round-13 session 2 — SRM/MDE: one scan → per-user agg →
+        // 1-row integer sufficient statistics (the ab_test shape)
+        "q_srm_check", "q_mde_power",
+        // trimmed mean + QTE: per-(arm, cents) groups + the range-
+        // partitioned per-arm running total (the mann_whitney shape);
+        // the decile probe is a 9-row broadcast fan-out
+        "q_trimmed_ab", "q_qte",
+        // post-stratification: one scan → ≤10-row stratum table
+        "q_strat_effect",
+        // Theil-Sen: rollup-first — the pair set is C(|hours|, 2),
+        // calendar-bounded; the corpus-sized leg is the one rollup
+        "q_theil_sen",
         // KN-gated curate: qCurate's chain plus the KN scoring join
         // (memoized model — serving slope is q_kneser_ney's row) and
         // the two bounded threshold scans (q_score_threshold's shape)

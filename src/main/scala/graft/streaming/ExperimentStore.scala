@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
-import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, Sprt}
+import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, RobustEffects, Sprt, SrmMde, StratEffect}
 
 /** Incrementally-maintained EXPERIMENT READOUTS — the streaming half
   * of the whole experiment-science suite ([[AbTest]] chi²/Welch,
@@ -110,6 +110,31 @@ object ExperimentStore {
       .transform(Sprt.withInc)
       .select(col("user_id"), col("arm"),
         col("first_ts_us").as("first_ts"), col("inc_micro")))
+
+  /** Live SRM guard ≡ [[SrmMde.srmCheck]] — the check that should gate
+    * reading any of the views above. */
+  def srmView(spark: SparkSession, storePath: String): DataFrame =
+    SrmMde.srmFromPerUser(perUserView(spark, storePath))
+
+  /** Live MDE/power readout ≡ [[SrmMde.mdePower]]. */
+  def mdeView(spark: SparkSession, storePath: String): DataFrame =
+    SrmMde.mdeFromPerUser(perUserView(spark, storePath))
+
+  /** Live trimmed-mean effect ≡ [[RobustEffects.trimmedAb]]. */
+  def trimmedView(spark: SparkSession, storePath: String): DataFrame =
+    RobustEffects.trimmedFromPerUser(perUserView(spark, storePath)
+      .select("user_id", "arm", "cents"))
+
+  /** Live decile QTE ≡ [[RobustEffects.qte]]. */
+  def qteView(spark: SparkSession, storePath: String): DataFrame =
+    RobustEffects.qteFromPerUser(perUserView(spark, storePath)
+      .select("user_id", "arm", "cents"))
+
+  /** Live post-stratified estimate ≡ [[StratEffect.stratEffect]]. */
+  def stratView(spark: SparkSession, storePath: String): DataFrame =
+    StratEffect.stratFromPerUser(perUserView(spark, storePath)
+      .select(col("arm"), col("nonpurchases").as("x"),
+        col("cents").as("y")))
 
   /** Wire the stream; `compactEvery` > 0 enables the cadenced fold. */
   def runExperimentStream(spark: SparkSession, uploadDir: String,

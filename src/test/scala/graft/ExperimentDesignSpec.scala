@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{RobustEffects, SrmMde, StratEffect, TheilSen}
+
+/** Independent-path checks for the experiment-design & robustness wave:
+  * planted constructions whose correct readouts are derivable by hand
+  * (the MiSelect lesson — the mirrored oracle proves engine agreement,
+  * only an independent construction proves the formula). */
+class ExperimentDesignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pu(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("user_id", "arm", "cents")
+
+  test("SRM: a planted 60/40 split at n=10000 is detected; 50/50 is not") {
+    // 6000 vs 4000: chi2 = 2000^2/10000 = 400 >> 3.84
+    val bad = SrmMde.srmFromPerUser(
+      ((1L to 6000L).map((_, 1L)) ++ (1L to 4000L).map((_, 0L)))
+        .toDF("user_id", "arm")).head()
+    assert(bad.getAs[Long]("chi2_micro") === 400000000L)
+    assert(bad.getAs[Boolean]("srm_detected"))
+    val ok = SrmMde.srmFromPerUser(
+      ((1L to 5000L).map((_, 1L)) ++ (1L to 5000L).map((_, 0L)))
+        .toDF("user_id", "arm")).head()
+    assert(ok.getAs[Long]("chi2_micro") === 0L)
+    assert(!ok.getAs[Boolean]("srm_detected"))
+  }
+
+  test("MDE: hand-computed two-sample formula on a tiny design") {
+    // arm 1: {0, 200} (var 20000), arm 0: {100, 100} (var 0)
+    // se = sqrt(20000/2 + 0/2) = 100; mde = 2.801585 * 100
+    val r = SrmMde.mdeFromPerUser(pu(Seq(
+      (1L, 1L, 0L), (2L, 1L, 200L), (3L, 0L, 100L), (4L, 0L, 100L))))
+      .head()
+    assert(r.getAs[Long]("se_micro") === 100000000L)
+    assert(r.getAs[Long]("mde_micro") === 280158500L)
+    assert(r.getAs[Long]("effect_micro") === 0L) // means equal: 100 vs 100
+    assert(!r.getAs[Boolean]("detectable"))
+  }
+
+  test("trimmed mean ignores the whale the raw mean can't") {
+    // 20 users/arm at 100 cents; one treated whale at 1,000,000.
+    // raw effect ≈ +47619 cents/user; 5% trim drops exactly the top
+    // (and bottom) rank of each arm -> trimmed means equal.
+    val base = (1L to 20L).map(i => (i, 1L, 100L)) ++
+      (21L to 40L).map(i => (i, 0L, 100L))
+    val whale = pu(base :+ (41L, 1L, 1000000L))
+    val r = RobustEffects.trimmedFromPerUser(whale).head()
+    assert(r.getAs[Long]("tdiff_micro") === 0L)
+    assert(r.getAs[Long]("kept_t") === 19L) // 21 - 2*floor(21*5/100)=1 each side
+    // and the untrimmed difference is enormous (sanity of the bait)
+    val naive = whale.groupBy("arm").agg(avg("cents")).collect()
+    assert(naive.map(_.getDouble(1)).max > 40000)
+  }
+
+  test("QTE deciles are exact order statistics per arm") {
+    // arm 1: cents 10,20,...,100; arm 0: cents 5,10,...,50
+    val rows = (1L to 10L).map(i => (i, 1L, i * 10L)) ++
+      (11L to 20L).map(i => (i - 10L + 100L, 0L, (i - 10L) * 5L))
+    val r = RobustEffects.qteFromPerUser(pu(rows))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // p-th decile of n=10 is the ceil(p*10/10)=p-th smallest value
+    r.foreach { case (p, qt, qc) =>
+      assert(qt === p * 10L, s"q_t at p=$p")
+      assert(qc === p * 5L, s"q_c at p=$p")
+    }
+  }
+
+  test("post-stratification removes a planted confound the naive " +
+    "difference reports") {
+    // Confound: treatment is over-represented in the high-activity
+    // stratum, and activity drives spend; within every stratum the
+    // arms are identical -> true effect 0, naive effect > 0.
+    val rows = Seq.newBuilder[(Long, Long, Long, Long)] // user, arm, x, y
+    var id = 0L
+    // low stratum (x=1, y=100): 30 control, 10 treated
+    (1 to 30).foreach { _ => id += 1; rows += ((id, 0L, 1L, 100L)) }
+    (1 to 10).foreach { _ => id += 1; rows += ((id, 1L, 1L, 100L)) }
+    // high stratum (x=9, y=1000): 10 control, 30 treated
+    (1 to 10).foreach { _ => id += 1; rows += ((id, 0L, 9L, 1000L)) }
+    (1 to 30).foreach { _ => id += 1; rows += ((id, 1L, 9L, 1000L)) }
+    val r = StratEffect.stratFromPerUser(
+      rows.result().toDF("user_id", "arm", "x", "y")
+        .select("arm", "x", "y")).head()
+    assert(r.getAs[Long]("naive_micro") > 400000000L) // ~+450 cents
+    assert(r.getAs[Long]("strat_micro") === 0L)
+    assert(r.getAs[Long]("n_strata_used") === 2L)
+  }
+
+  test("Theil-Sen recovers a planted slope through 25% corruption") {
+    // y = 7t on hours 0..39, every 4th hour spiked to 900. Hour 0 has
+    // zero purchases so the spine carries 39 points: 29 clean + 10
+    // spikes. Clean-clean pairs are C(29,2) = 406 of C(39,2) = 741 —
+    // a strict majority, so the pairwise-slope median is EXACTLY the
+    // planted 7/hour no matter what the spikes do (the breakdown
+    // argument; an OLS mean slope would be dragged by every spike).
+    val ev = (0L until 40L).flatMap { t =>
+      val y = if (t % 4 == 3) 900L else 7L * t
+      (0L until y).map(i => (t * 1000 + i, t, "purchase"))
+    }
+    val events = ev.toDF("event_id", "h", "event_type")
+      .select(col("event_id"),
+        expr("timestamp_seconds(h * 3600)").as("ts"),
+        col("event_type"))
+    val spine = TheilSen.hourlySpine(events).orderBy("t").collect()
+    assert(spine.length === 39)
+    val r = TheilSen.theilSen(events).head()
+    assert(r.getAs[Long]("n_pairs") === 741L)
+    assert(r.getAs[Long]("slope_micro") === 7000000L)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, Sprt}
+import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, RobustEffects, Sprt, SrmMde, StratEffect}
 import graft.streaming.ExperimentStore
 
 /** Streaming experiment store: every live readout (chi²/Welch,
@@ -15,7 +15,7 @@ class ExperimentStoreSpec extends SparkSpec {
 
   private def events = Tables(spark, dir, "events")
 
-  test("all six live readouts == their batch tests; replay idempotent; " +
+  test("every live readout == its batch test; replay idempotent; " +
     "compaction inert") {
     val tmp = java.nio.file.Files.createTempDirectory("expstore")
       .toFile.getAbsolutePath
@@ -49,7 +49,18 @@ class ExperimentStoreSpec extends SparkSpec {
         rows(ExperimentStore.permTestView(spark, s"$tmp/store")),
         rows(PermTest.permTest(all))),
       ("sprt", () => rows(ExperimentStore.sprtView(spark, s"$tmp/store")),
-        rows(Sprt.sprt(all))))
+        rows(Sprt.sprt(all))),
+      ("srm", () => rows(ExperimentStore.srmView(spark, s"$tmp/store")),
+        rows(SrmMde.srmCheck(all))),
+      ("mde", () => rows(ExperimentStore.mdeView(spark, s"$tmp/store")),
+        rows(SrmMde.mdePower(all))),
+      ("trimmed", () =>
+        rows(ExperimentStore.trimmedView(spark, s"$tmp/store")),
+        rows(RobustEffects.trimmedAb(all))),
+      ("qte", () => rows(ExperimentStore.qteView(spark, s"$tmp/store")),
+        rows(RobustEffects.qte(all))),
+      ("strat", () => rows(ExperimentStore.stratView(spark, s"$tmp/store")),
+        rows(StratEffect.stratEffect(all))))
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"live $name view != batch")
     }
