@@ -635,9 +635,10 @@ object ScaleCheck {
         // tables — vocab grows ~factor under rotation/suffix copies,
         // the worst case for the model join (the lm_score posture)
         "q_kneser_ney",
-        // round-13 session 2 — SRM/MDE: one scan → per-user agg →
-        // 1-row integer sufficient statistics (the ab_test shape)
-        "q_srm_check", "q_mde_power",
+        // round-13 session 2 — SRM/MDE/group-sequential: one scan →
+        // per-user agg → bounded integer sufficient statistics (the
+        // ab_test shape; group_seq carries K=5 conditional sums)
+        "q_srm_check", "q_mde_power", "q_group_seq",
         // trimmed mean + QTE: per-(arm, cents) groups + the range-
         // partitioned per-arm running total (the mann_whitney shape);
         // the decile probe is a 9-row broadcast fan-out

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{RobustEffects, SrmMde, StratEffect, TheilSen}
+import graft.operators.{GroupSeq, RobustEffects, SrmMde, StratEffect, TheilSen}
 
 /** Independent-path checks for the experiment-design & robustness wave:
   * planted constructions whose correct readouts are derivable by hand
@@ -86,6 +86,39 @@ class ExperimentDesignSpec extends SparkSpec {
     assert(r.getAs[Long]("naive_micro") > 400000000L) // ~+450 cents
     assert(r.getAs[Long]("strat_micro") === 0L)
     assert(r.getAs[Long]("n_strata_used") === 2L)
+  }
+
+  test("group-sequential: OBF boundaries decay as c*sqrt(K/k); a huge " +
+    "planted effect crosses at the first look with enrollment") {
+    // 400 users enrolled day 1; arm from the md5 coin; treated spend
+    // 10000 cents at day 2, control 100 — a massive early effect
+    val users = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.operators.AbTest.armOf(col("user_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ev = users.zipWithIndex.flatMap { case ((u, arm), i) =>
+      val spend = if (arm == 1) 10000.0 + (i % 7) else 100.0 + (i % 7)
+      Seq((u * 10, u, "2024-01-02 01:00:00", "view", 0.0),
+        (u * 10 + 1, u, "2024-01-02 02:00:00", "purchase", spend / 100.0))
+    }
+    val events = ev.toSeq
+      .toDF("event_id", "user_id", "tss", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val out = GroupSeq.groupSeq(events).collect()
+    assert(out.length === GroupSeq.looks)
+    // boundary values: round(1e6 * 2.040082 * sqrt(5/k))
+    val expected = (1 to 5).map(k =>
+      math.round(1e6 * 2.040082 * math.sqrt(5.0 / k)))
+    assert(out.map(_.getAs[Long]("bound_micro")).toSeq === expected)
+    // everyone enrolled before look 1; the effect crosses immediately
+    assert(out.forall(_.getAs[Boolean]("crossed")))
+    assert(out.head.getAs[Long]("n_t")
+      + out.head.getAs[Long]("n_c") === 400L)
+    // sanity of the triangle: the first crossed look is the stop time
+    val stop = out.filter(_.getAs[Boolean]("crossed"))
+      .map(_.getAs[Long]("look")).min
+    assert(stop === 1L)
   }
 
   test("Theil-Sen recovers a planted slope through 25% corruption") {
