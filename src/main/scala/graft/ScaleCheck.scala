@@ -645,6 +645,9 @@ object ScaleCheck {
         "q_trimmed_ab", "q_qte",
         // post-stratification: one scan → ≤10-row stratum table
         "q_strat_effect",
+        // conformal: the map-only inference scan (model memoized) +
+        // two bounded selection passes + one eval partial agg
+        "q_conformal",
         // Theil-Sen: rollup-first — the pair set is C(|hours|, 2),
         // calendar-bounded; the corpus-sized leg is the one rollup
         "q_theil_sen",

@@ -276,7 +276,7 @@ object CorpusOps {
       |           x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |         / len(string_split(text, ' ')) >= 0.01)""".stripMargin
 
-  private lazy val classifierTrainCtes: String = {
+  private[ext] lazy val classifierTrainCtes: String = {
     val b = classifierBuckets
     val gate = gateSql
     // Every CTE is MATERIALIZED: DuckDB 1.x INLINES CTEs by default,
@@ -1322,14 +1322,37 @@ object CorpusOps {
                              keepNum: Long = thresholdKeepNum,
                              keepDen: Long = thresholdKeepDen): DataFrame = {
     val spark = scored.sparkSession
+    val n = totalWeight(scored, weight)
+    val k = (n * keepNum + keepDen - 1) / keepDen
+    val (threshold, cum) = kthLargestWeighted(scored, scoreCol, weight, k)
+    import spark.implicits._
+    Seq((n, k, threshold, cum))
+      .toDF("n_docs", "k", "threshold", "n_kept")
+  }
+
+  /** Total weight of a scored frame (row count when weight = 1). */
+  def totalWeight(scored: DataFrame, weight: Column): Long = {
+    val r = scored.agg(sum(weight)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Exact k-th LARGEST value of a weighted score table by the
+    * two-phase distributed selection (bucket histogram → within-bucket
+    * values; driver state bounded by the 4096-wide bucket grid, two
+    * scans, no sort) — the shared core of [[scoreThresholdWeighted]],
+    * exposed with an EXPLICIT k for callers whose rank isn't a corpus
+    * fraction (the conformal quantile's ⌈(n+1)(1−α)⌉). Returns
+    * (value, cumulative weight ≥ value). */
+  def kthLargestWeighted(scored: DataFrame, scoreCol: String,
+                         weight: Column, k: Long): (Long, Long) = {
     val s = col(scoreCol)
     val hist = scored
       .groupBy(shiftright(s, thresholdShift).as("b"))
       .agg(sum(weight).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val n = hist.map(_._2).sum
-    require(n > 0, "scoreThreshold: empty input")
-    val k = (n * keepNum + keepDen - 1) / keepDen
+    require(n > 0, "kthLargestWeighted: empty input")
+    require(k >= 1 && k <= n, s"k=$k outside [1, $n]")
     var cum = 0L
     var bi = 0
     while (cum + hist(bi)._2 < k) { cum += hist(bi)._2; bi += 1 }
@@ -1340,10 +1363,7 @@ object CorpusOps {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     var i = 0
     while (cum < k) { cum += vals(i)._2; i += 1 }
-    val threshold = vals(i - 1)._1
-    import spark.implicits._
-    Seq((n, k, threshold, cum))
-      .toDF("n_docs", "k", "threshold", "n_kept")
+    (vals(i - 1)._1, cum)
   }
 
   /** The scored frame is checkpoint-materialized once: the two-phase

@@ -121,6 +121,30 @@ class ExperimentDesignSpec extends SparkSpec {
     assert(stop === 1L)
   }
 
+  test("conformal: the finite-sample quantile rank and the coverage " +
+    "guarantee on a planted separable corpus") {
+    import graft.ext.Conformal
+    // perfectly separable scores: y=1 docs score +10, y=0 docs −10.
+    // Every nonconformity is −10, so q̂ = −10 and every eval doc's
+    // true label is in its set; the wrong label (score +10 > q̂) never
+    // is — coverage exactly 1.0, set size exactly 1.0.
+    val inf = (1L to 400L).map { i =>
+      val y = (i % 2).toInt
+      (i, if (y == 1) 10L else -10L, y)
+    }.toDF("doc_id", "score", "y")
+    val r = Conformal.conformal(inf).head()
+    assert(r.getAs[Long]("q_hat") === -10L)
+    assert(r.getAs[Long]("coverage_micro") === 1000000L)
+    assert(r.getAs[Long]("avg_set_micro") === 1000000L)
+    assert(r.getAs[Long]("frac_both_micro") === 0L)
+    assert(r.getAs[Long]("frac_empty_micro") === 0L)
+    // the real corpus readout keeps the marginal guarantee: the driver
+    // query at sf0.001 must cover ≥ 1 − α − finite-sample slack
+    val real = Conformal.qConformal(spark, "/root/testdata/sf0.001").head()
+    assert(real.getAs[Long]("coverage_micro") >= 850000L,
+      s"coverage ${real.getAs[Long]("coverage_micro")} below 0.85")
+  }
+
   test("Theil-Sen recovers a planted slope through 25% corruption") {
     // y = 7t on hours 0..39, every 4th hour spiked to 900. Hour 0 has
     // zero purchases so the spine carries 39 points: 29 clean + 10
