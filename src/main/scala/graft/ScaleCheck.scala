@@ -779,6 +779,16 @@ object ScaleCheck {
                 else Tables(s, d, "customer")
         graft.operators.RecordLinkage.linkageEval(c)
       }),
+      // round-13: KNN-Shapley at its DOCUMENTED scale posture — a
+      // fixed probe BUDGET (~80 probes at any corpus), so the slope is
+      // the per-probe scoring scan + partitioned windows, not the
+      // probe count (the q_knn_probe_ann_budget convention; the
+      // rate-fixed driver query is deliberately not timed at scale)
+      "q_knn_shapley_budget" -> ((s: SparkSession, d: String) => {
+        val emb = Tables(s, d, "embeddings")
+        val n = emb.count()
+        ext.KnnShapley.knnShapley(emb, mod = math.max(1L, n / 80L))
+      }),
       // fuzzy join against the DEDICATED scaled name corpus (dims
       // don't scale; part_scaled is the fact-shaped twin) — falls back
       // to the real part table on the unscaled source dir
