@@ -48,36 +48,53 @@ object Conformal {
     conv(substring(md5(concat(lit("cal:"), doc).cast(BinaryType)),
       1, 15), 16, 10).cast(LongType) % 2 === 0
 
+  /** The (is_cal, score, y, c) group counts of an inferred frame —
+    * the bounded state the readout needs (score-domain-sized, never
+    * corpus-sized): the batch query groups per run, the streaming
+    * [[graft.streaming.ConformalStore]] maintains the same table as a
+    * per-key sum monoid. */
+  def groupsOf(inferred: DataFrame): DataFrame =
+    inferred
+      .withColumn("is_cal", calCoin(col("doc_id")))
+      .groupBy("is_cal", "score", "y").agg(count(lit(1)).as("c"))
+
   /** One row: (n_cal, q_hat, n_eval, coverage_micro, avg_set_micro,
     * frac_empty_micro, frac_both_micro). */
-  def conformal(inferred: DataFrame): DataFrame = {
-    val spark = inferred.sparkSession
-    val scored = inferred
-      .withColumn("is_cal", calCoin(col("doc_id")))
-      .withColumn("nc",
-        when(col("y") === 1, -col("score")).otherwise(col("score")))
+  def conformal(inferred: DataFrame): DataFrame =
+    conformalFromGroups(groupsOf(inferred))
+
+  /** The readout from any (is_cal, score, y, c) group-count frame
+    * ([[groupsOf]]'s shape; streaming-store entry). */
+  def conformalFromGroups(groups: DataFrame): DataFrame = {
+    val scored = groups.withColumn("nc",
+      when(col("y") === 1, -col("score")).otherwise(col("score")))
     val (mat, release) = graft.util.Checkpoints.checkpointTracked(
-      scored.select("doc_id", "score", "y", "is_cal", "nc"))
+      scored.select("is_cal", "score", "y", "c", "nc"))
     try {
       val cal = mat.filter(col("is_cal"))
-      val nCal = cal.count()
+      val nCal = CorpusOps.totalWeight(cal, col("c"))
       require(nCal > 0, "conformal: empty calibration split")
       // k-th SMALLEST = (n − k + 1)-th largest; k = ⌈(n+1)(1−α)⌉
       val k = ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen
       val kEff = math.min(k, nCal) // k = n+1 ⇒ q̂ = +∞; cap = max value
       val (qHat, _) = CorpusOps.kthLargestWeighted(
-        cal.groupBy("nc").agg(count(lit(1)).as("c")),
+        cal.groupBy("nc").agg(sum(col("c")).as("c")),
         "nc", col("c"), nCal - kEff + 1)
       val ev = mat.filter(!col("is_cal"))
-        .select(
-          (col("nc") <= qHat).cast("long").as("covered"),
-          ((-col("score") <= qHat).cast("long")
-            + (col("score") <= qHat).cast("long")).as("set_size"))
-        .agg(count(lit(1)).as("n_eval"),
+        .select(col("c"),
+          when(col("nc") <= qHat, col("c")).otherwise(0L).as("covered"),
+          (((-col("score") <= qHat).cast("long")
+            + (col("score") <= qHat).cast("long")) * col("c"))
+            .as("set_size"),
+          ((-col("score") > qHat && col("score") > qHat).cast("long")
+            * col("c")).as("empty"),
+          ((-col("score") <= qHat && col("score") <= qHat).cast("long")
+            * col("c")).as("both"))
+        .agg(sum("c").as("n_eval"),
           sum("covered").as("n_covered"),
           sum("set_size").as("sum_size"),
-          sum((col("set_size") === 0).cast("long")).as("n_empty"),
-          sum((col("set_size") === 2).cast("long")).as("n_both"))
+          sum("empty").as("n_empty"),
+          sum("both").as("n_both"))
       ev.selectExpr(s"${nCal}L as n_cal", s"${qHat}L as q_hat", "n_eval",
           """case when n_eval = 0 then 0L else
             | cast(round(1000000.0 * n_covered / n_eval) as bigint) end
