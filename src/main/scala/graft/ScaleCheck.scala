@@ -613,6 +613,9 @@ object ScaleCheck {
         // explode → distinct presence shuffle → ≤2^k bucket rows; KM:
         // per-user agg → the calendar-bounded life table
         "q_cuped", "q_auc", "q_mi_select", "q_kaplan_meier",
+        // RMST: the same per-user scan + per-arm bounded grid as
+        // log-rank, plus K-row integer area arithmetic
+        "q_rmst",
         // log-rank rides the same per-user scan + bounded grid as KM;
         // perm test fans the per-user table out B× with MAP-SIDE
         // COMBINE to 2B cells/partition — shuffle O(B·parts), corpus-

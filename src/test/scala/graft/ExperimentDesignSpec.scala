@@ -121,6 +121,23 @@ class ExperimentDesignSpec extends SparkSpec {
     assert(stop === 1L)
   }
 
+  test("RMST is the exact area under a hand-built KM step curve") {
+    import graft.operators.Rmst
+    // arm 1: events at days 10 and 20 (no censoring, n=2):
+    //   S=1 on [0,10): 10 days; S=0.5 on [10,20): 5 days; 0 after
+    //   -> RMST = 15 (quantized: s_micro=round(1e6·exp(round(1e6·ln .5)/1e6))
+    //      = 500000 -> exactly 15.0)
+    // arm 0: one subject censored at day 30: S=1 throughout -> 30
+    val pu = Seq(
+      (1L, 1L, 10L), (1L, 1L, 20L), // arm, event, t_days
+      (0L, 0L, 30L)
+    ).toDF("arm", "event", "t_days")
+    val r = Rmst.rmstFromPerUser(pu).head()
+    assert(r.getAs[Long]("rmst_t_micro") === 15000000L)
+    assert(r.getAs[Long]("rmst_c_micro") === 30000000L)
+    assert(r.getAs[Long]("diff_micro") === -15000000L)
+  }
+
   test("conformal: the finite-sample quantile rank and the coverage " +
     "guarantee on a planted separable corpus") {
     import graft.ext.Conformal
