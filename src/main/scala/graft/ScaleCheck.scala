@@ -444,6 +444,9 @@ object ScaleCheck {
         // range window over |hours × types| rows), mixture plan (one
         // partial-agg scan + #domains driver rows)
         "q_funnel_conv", "q_event_transitions", "q_top_spenders",
+        // Markov eval: the transitions window + two |types|²-bounded
+        // halves and a rank-1 model pick — the sessionizer shape
+        "q_markov_eval",
         "q_event_anomaly", "q_mixture_plan",
         // round-10 family: gap-fill (rollup-first — spine cost is
         // |hours×types|, independent of event volume), islands and
