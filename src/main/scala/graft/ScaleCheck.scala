@@ -369,6 +369,9 @@ object ScaleCheck {
         // round-5 curation family: pack exercises the distributed
         // prefix sum, curate_e2e the whole composed pipeline
         "q_pack", "q_passage_dedup", "q_contam_frac", "q_curate_e2e",
+        // release gate: one partial-agg scan per gate + the contam
+        // shingle join (its own slope is the q_contam_frac row)
+        "q_release_gate",
         // round-6 corpus-model family: boilerplate's line-hash
         // docfreq + anti join, lm_score's model build + scoring join
         // (rotation copies grow the model ~factor× too — vocabulary
