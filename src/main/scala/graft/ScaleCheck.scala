@@ -450,6 +450,13 @@ object ScaleCheck {
         // Markov eval: the transitions window + two |types|²-bounded
         // halves and a rank-1 model pick — the sessionizer shape
         "q_markov_eval",
+        // RFM: one scan → per-user table + three two-level global row
+        // numbers (the ntile shape ×3), ≤125-row rollup
+        "q_rfm",
+        // quality fusion: the classifier + KN serving scans (models
+        // memoized — their training slopes are the _fit rows) + three
+        // scalable rankings + a TakeOrdered head
+        "q_quality_fusion",
         "q_event_anomaly", "q_mixture_plan",
         // round-10 family: gap-fill (rollup-first — spine cost is
         // |hours×types|, independent of event volume), islands and

@@ -11,7 +11,7 @@ import graft.Tables
   * UDFs). */
 object TextOps {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to")
 
   /** Per-document quality stats: token count (whitespace), BPE-ish
     * subword count (greedy 1-3 letter regex chunks), char length, avg
