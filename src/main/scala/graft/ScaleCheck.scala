@@ -453,6 +453,9 @@ object ScaleCheck {
         // RFM: one scan → per-user table + three two-level global row
         // numbers (the ntile shape ×3), ≤125-row rollup
         "q_rfm",
+        // Lorenz/Gini: one scan + ONE two-level row number; the i·x
+        // mass rides DECIMAL(38,0); 10-row output
+        "q_lorenz",
         // quality fusion: the classifier + KN serving scans (models
         // memoized — their training slopes are the _fit rows) + three
         // scalable rankings + a TakeOrdered head
