@@ -27,11 +27,16 @@ import graft.Tables
   * (no single-partition window); 10-row output. */
 object Lorenz {
 
-  def lorenzGini(events: DataFrame): DataFrame = {
-    val pu = events.groupBy("user_id").agg(
+  def lorenzGini(events: DataFrame): DataFrame =
+    lorenzFromPerUser(events.groupBy("user_id").agg(
       sum(when(col("event_type") === "purchase",
         expr("cast(round(value * 100.0) as bigint)")).otherwise(0L))
-        .as("cents"))
+        .as("cents")))
+
+  /** The readout from any (user_id, cents) per-user frame (streaming-
+    * store entry — per-user cents is a sum monoid, so
+    * [[graft.streaming.ExperimentStore.lorenzView]] equals this). */
+  def lorenzFromPerUser(pu: DataFrame): DataFrame = {
     val n = pu.count()
     val ranked = RowNumbering.withGlobalRowNumber(pu,
       Seq(col("cents").asc, col("user_id").asc), "rn")

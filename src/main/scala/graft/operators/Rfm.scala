@@ -31,14 +31,20 @@ object Rfm {
 
   private val usPerDay = 86400000000L
 
-  def rfm(events: DataFrame): DataFrame = {
-    val pu = events.groupBy("user_id").agg(
+  def rfm(events: DataFrame): DataFrame =
+    rfmFromPerUser(events.groupBy("user_id").agg(
       max(unix_micros(col("ts"))).as("last_us"),
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("freq"),
       sum(when(col("event_type") === "purchase",
         expr("cast(round(value * 100.0) as bigint)")).otherwise(0L))
-        .as("mon"))
+        .as("mon")))
+
+  /** The segment table from any (user_id, last_us, freq, mon)
+    * per-user frame (streaming-store entry — last_us is a MAX lattice,
+    * freq/mon per-user sums, so
+    * [[graft.streaming.ExperimentStore.rfmView]] equals this). */
+  def rfmFromPerUser(pu: DataFrame): DataFrame = {
     val mx = pu.agg(max("last_us").as("corpus_us"))
     val base = pu.crossJoin(broadcast(mx))
       .selectExpr("user_id", "freq", "mon",

@@ -54,7 +54,8 @@ object ExperimentStore {
         .as("pre_cents"),
       sum(when(isPurchase && col("ts") >= split, cents).otherwise(0L))
         .as("post_cents"),
-      min(unix_micros(col("ts"))).as("first_ts_us"))
+      min(unix_micros(col("ts"))).as("first_ts_us"),
+      max(unix_micros(col("ts"))).as("last_ts_us"))
   }
 
   def store(storePath: String): MonoidStore =
@@ -62,7 +63,7 @@ object ExperimentStore {
       MonoidStore.aggReduce(
         sumCols = Seq("purchases", "nonpurchases", "cents", "pre_cents",
           "post_cents"),
-        minCols = Seq("first_ts_us")))
+        minCols = Seq("first_ts_us"), maxCols = Seq("last_ts_us")))
 
   def appendExperimentBatch(spark: SparkSession, batch: DataFrame,
                             storePath: String, batchId: Long): Unit =
@@ -135,6 +136,21 @@ object ExperimentStore {
     StratEffect.stratFromPerUser(perUserView(spark, storePath)
       .select(col("arm"), col("nonpurchases").as("x"),
         col("cents").as("y")))
+
+  /** Live Lorenz/Gini revenue concentration ≡
+    * [[graft.operators.Lorenz.lorenzGini]] — per-user cents is the
+    * same sum monoid the tests ride. */
+  def lorenzView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Lorenz.lorenzFromPerUser(
+      perUserView(spark, storePath).select("user_id", "cents"))
+
+  /** Live RFM segmentation ≡ [[graft.operators.Rfm.rfm]] — recency
+    * reads the last_ts_us MAX lattice, frequency/monetary the sums. */
+  def rfmView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Rfm.rfmFromPerUser(
+      perUserView(spark, storePath)
+        .select(col("user_id"), col("last_ts_us").as("last_us"),
+          col("purchases").as("freq"), col("cents").as("mon")))
 
   /** Wire the stream; `compactEvery` > 0 enables the cadenced fold. */
   def runExperimentStream(spark: SparkSession, uploadDir: String,

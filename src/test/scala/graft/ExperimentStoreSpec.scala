@@ -60,7 +60,12 @@ class ExperimentStoreSpec extends SparkSpec {
       ("qte", () => rows(ExperimentStore.qteView(spark, s"$tmp/store")),
         rows(RobustEffects.qte(all))),
       ("strat", () => rows(ExperimentStore.stratView(spark, s"$tmp/store")),
-        rows(StratEffect.stratEffect(all))))
+        rows(StratEffect.stratEffect(all))),
+      ("lorenz", () =>
+        rows(ExperimentStore.lorenzView(spark, s"$tmp/store")),
+        rows(graft.operators.Lorenz.lorenzGini(all))),
+      ("rfm", () => rows(ExperimentStore.rfmView(spark, s"$tmp/store")),
+        rows(graft.operators.Rfm.rfm(all))))
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"live $name view != batch")
     }
