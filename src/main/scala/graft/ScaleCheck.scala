@@ -456,6 +456,9 @@ object ScaleCheck {
         // Lorenz/Gini: one scan + ONE two-level row number; the i·x
         // mass rides DECIMAL(38,0); 10-row output
         "q_lorenz",
+        // embedding drift: one posexplode scan → |labels|×dims
+        // bounded integer sums (embeddings scale under harness v2)
+        "q_embed_drift",
         // quality fusion: the classifier + KN serving scans (models
         // memoized — their training slopes are the _fit rows) + three
         // scalable rankings + a TakeOrdered head

@@ -121,6 +121,27 @@ class ExperimentDesignSpec extends SparkSpec {
     assert(stop === 1L)
   }
 
+  test("embedding drift: T reads ~1 on the null split and alarms only " +
+    "on the planted shift") {
+    import graft.ext.EmbedDrift
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val nullRead = EmbedDrift.embedDrift(emb).collect()
+    assert(nullRead.forall(!_.getAs[Boolean]("drifted")),
+      "null split must not alarm")
+    // plant: shift label 3's CURRENT half (odd vec_id) by +0.5 on
+    // every dimension — a real mean shift the monitor exists to catch
+    val planted = emb.withColumn("embedding",
+      when(col("label") === 3 && col("vec_id") % 2 =!= 0,
+        transform(col("embedding"), x => x + lit(0.5f)))
+        .otherwise(col("embedding")))
+    val read = EmbedDrift.embedDrift(planted).collect()
+      .map(r => r.getAs[Number]("label").intValue
+        -> r.getAs[Boolean]("drifted")).toMap
+    assert(read(3), "planted shift must alarm")
+    assert(read.filterNot(_._1 == 3).values.forall(!_),
+      "unshifted labels must stay quiet")
+  }
+
   test("RMST is the exact area under a hand-built KM step curve") {
     import graft.operators.Rmst
     // arm 1: events at days 10 and 20 (no censoring, n=2):
