@@ -459,6 +459,9 @@ object ScaleCheck {
         // embedding drift: one posexplode scan → |labels|×dims
         // bounded integer sums (embeddings scale under harness v2)
         "q_embed_drift",
+        // Zipf fit: one tokenize scan → vocab table (~factor under
+        // rotation copies) + one two-level rank + 1-row OLS agg
+        "q_zipf",
         // quality fusion: the classifier + KN serving scans (models
         // memoized — their training slopes are the _fit rows) + three
         // scalable rankings + a TakeOrdered head

@@ -121,6 +121,25 @@ class ExperimentDesignSpec extends SparkSpec {
     assert(stop === 1L)
   }
 
+  test("Zipf fit recovers slope -1 on a planted power-law vocabulary") {
+    import graft.ext.Zipf
+    // word_i appears round(2000/i) times, i = 1..200: a pure Zipf law.
+    // Each occurrence is its own doc — zipfFit only reads the corpus
+    // frequency table, not document structure.
+    val docs = (1 to 200).flatMap { i =>
+      Seq.fill(math.max(1, math.round(2000.0 / i).toInt))(s"w$i")
+    }.zipWithIndex.map { case (w, id) => (id.toLong, w) }
+      .toDF("doc_id", "text")
+    val r = Zipf.zipfFit(docs).head()
+    val slope = r.getAs[Long]("slope_micro")
+    assert(math.abs(slope + 1000000L) < 30000L, s"slope $slope !~ -1e6")
+    assert(r.getAs[Long]("r2_micro") > 990000L)
+    // the synthetic driver corpus is near-uniform (31 types): the fit
+    // honestly reads non-Zipfian — slope shallow, R² tiny
+    val real = Zipf.qZipf(spark, "/root/testdata/sf0.001").head()
+    assert(real.getAs[Long]("slope_micro") > -400000L)
+  }
+
   test("embedding drift: T reads ~1 on the null split and alarms only " +
     "on the planted shift") {
     import graft.ext.EmbedDrift
