@@ -462,6 +462,9 @@ object ScaleCheck {
         // Zipf fit: one tokenize scan → vocab table (~factor under
         // rotation copies) + one two-level rank + 1-row OLS agg
         "q_zipf",
+        // CCNet buckets: the memoized-KN scoring join + two bounded
+        // two-phase selections + one rollup (the score_threshold shape)
+        "q_ccnet_buckets",
         // quality fusion: the classifier + KN serving scans (models
         // memoized — their training slopes are the _fit rows) + three
         // scalable rankings + a TakeOrdered head
