@@ -1,6 +1,82 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Round-14 bench evidence/trigger helpers, pure and spec-testable
+  * (BenchSpec): the driver's 2000-char stdout tail stopped fitting the
+  * per-query arrays at ~200 queries, so the FULL per-query map is also
+  * WRITTEN to a committed `BENCH_LOCAL_r<N>.json` each sweep — and the
+  * prior round's file feeds a third retime arm (warm > 2× the committed
+  * prior record) that catches the case the ratio test is blind to: a
+  * degraded window inflating cold and warm TOGETHER. */
+object BenchEvidence {
+
+  /** The retime-suspect decision (Bench.scala's sweep applies it):
+    *  - RATIO arm: warm > ratio×cold beyond the absolute floor (a warm
+    *    pass repeats a strict subset of cold's work, so warm > cold
+    *    beyond noise means the timed passes were inflated);
+    *  - HEAVY arm: warm > the absolute heavy ceiling (genuine heavies
+    *    get one extra min-of-2 round regardless — if a start-of-sweep
+    *    window inflated cold AND warm together the ratio arm is blind);
+    *  - PRIOR arm: warm > priorRatio× the prior round's COMMITTED warm
+    *    record (closes the heavy arm's sub-ceiling blind spot for any
+    *    query that has a prior record). */
+  def isRetimeSuspect(warmSec: Double, coldSec: Double,
+                      priorWarmSec: Option[Double],
+                      absSec: Double = 1.0, ratio: Double = 1.3,
+                      heavySec: Double = 5.0,
+                      priorRatio: Double = 2.0): Boolean =
+    (warmSec > absSec && warmSec > ratio * coldSec) ||
+      warmSec > heavySec ||
+      priorWarmSec.exists(p =>
+        warmSec > absSec && warmSec > priorRatio * p)
+
+  /** This sweep's round number: 1 + the highest committed BENCH_r<N>
+    * artifact (the driver writes BENCH_r<N>.json AFTER the sweep, so
+    * during round N the tree holds up to N−1). Only the DRIVER's
+    * artifacts count — our own BENCH_LOCAL file must not bump the
+    * round on a same-round re-run (it just gets overwritten). */
+  def currentRound(repoDir: java.io.File): Int = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val ns = Option(repoDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt)
+        case _ => None
+      })
+    if (ns.isEmpty) 1 else ns.max + 1
+  }
+
+  /** Serialize the per-query evidence map (sorted names — stable
+    * diffs): query → {warm_ms, cold_ms, retimed}. */
+  def evidenceJson(round: Int, sf: String, hostEff: (Double, Double),
+                   rows: Seq[(String, Long, Long, Boolean)]): String = {
+    val qs = rows.sortBy(_._1).map { case (n, w, c, r) =>
+      s""""$n":{"warm_ms":$w,"cold_ms":$c,"retimed":$r}"""
+    }.mkString("{", ",", "}")
+    f"""{"round":$round,"sf":"$sf","host_eff_cores":[${hostEff._1}%.1f,${hostEff._2}%.1f],"queries":$qs}"""
+  }
+
+  /** The prior round's committed warm records (seconds), for the PRIOR
+    * retime arm. Empty when no BENCH_LOCAL file exists yet (the arm
+    * simply stays silent — rounds before the evidence file). Parsing
+    * is a two-regex scan of the file this object itself writes, so no
+    * JSON library dependency enters the hot path. */
+  def priorWarms(repoDir: java.io.File): Map[String, Double] = {
+    val re = "BENCH_LOCAL_r(\\d+)\\.json".r
+    val prior = Option(repoDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt -> f)
+        case _ => None
+      }).sortBy(-_._1).headOption.map(_._2)
+    prior.fold(Map.empty[String, Double]) { f =>
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val entry = """"([^"]+)":\{"warm_ms":(\d+)""".r
+      entry.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong / 1000.0).toMap
+    }
+  }
+}
+
 /** Driver-run benchmark: every SparkEntry query over SPARK_GRAFT_SF_DIR,
   * JSON lines on stdout.
   *
@@ -204,10 +280,18 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_RETIME_RATIO", "1.3").toDouble
     val retimeHeavy =
       sys.env.getOrElse("SPARK_GRAFT_RETIME_HEAVY_SEC", "5.0").toDouble
+    // third arm (round 14): warm > 2× the prior round's COMMITTED
+    // record (BENCH_LOCAL_r<N−1>.json) — a query whose COLD pass was
+    // itself inflated by a degraded window escapes the first two arms
+    // (cold and warm inflate together); the prior-round record doesn't.
+    val retimePriorRatio =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_PRIOR_RATIO", "2.0").toDouble
+    val repoDir = new java.io.File(sys.props("user.dir"))
+    val priorWarm = BenchEvidence.priorWarms(repoDir)
     val suspects = resultsByRun.filter { case (name, times) =>
-      val c = math.abs(coldMap(name))
-      (times.min > retimeAbs && times.min > retimeRatio * c) ||
-        times.min > retimeHeavy
+      BenchEvidence.isRetimeSuspect(times.min, math.abs(coldMap(name)),
+        priorWarm.get(name), retimeAbs, retimeRatio, retimeHeavy,
+        retimePriorRatio)
     }.sortBy { case (_, times) => -times.min }
     val retimes: Map[String, (Seq[Double], Double)] =
       suspects.map { case (name, _) =>
@@ -290,6 +374,24 @@ object Bench {
     // cause of the roaming heavy-query inflation) is visible in the
     // 2000-char tail the driver records
     val host1 = hostProbe(cpus.toInt)
+    // Round-14 (verdict ask #1): the FULL per-query evidence map no
+    // longer fits the driver's 2000-char stdout tail at 222+ queries —
+    // write it to a committed BENCH_LOCAL_r<N>.json so round-over-round
+    // per-query regression auditing never needs a re-run. Full sweeps
+    // only (a filtered ad-hoc run must not masquerade as the record).
+    if (args.isEmpty) {
+      val evidenceRows = results.map { case (name, v) =>
+        (name, (v.min * 1000).round, (coldMap(name) * 1000).round,
+          retimes.contains(name))
+      }
+      val out = new java.io.File(repoDir,
+        s"BENCH_LOCAL_r${BenchEvidence.currentRound(repoDir)}.json")
+      java.nio.file.Files.write(out.toPath,
+        BenchEvidence.evidenceJson(BenchEvidence.currentRound(repoDir),
+          sfDir, (host0._3, host1._3), evidenceRows)
+          .getBytes("UTF-8"))
+      println(s"""{"metric":"evidence_file","path":"${out.getPath}"}""")
+    }
     val hostJson = f""""host_eff_cores":[${host0._3}%.1f,${host1._3}%.1f]"""
     println(s"""{"metric":"summary","order":"values_align_with_query_names_sorted_asc","n":${results.size},"warm_ms":$warmMs,"cold_ms":$coldMs,"peak_pinned_mb":$peakPinnedMb,$hostJson,"cold_errors":$cerrJson,"missing_from_correctness":$missJson}""")
     // Compact re-time evidence on its OWN line between summary and

@@ -663,6 +663,13 @@ object ScaleCheck {
         // tables — vocab grows ~factor under rotation/suffix copies,
         // the worst case for the model join (the lm_score posture)
         "q_kneser_ney",
+        // round-14 (verdict ask #3): the vocab-CAPPED model under the
+        // SAME vocab-growth worst case — every model table is bounded
+        // at (capV+1)² regardless of corpus growth, so the serving
+        // slope should flatten to the pure bigram scan as the rotated
+        // vocab saturates past the cap (the uncapped row above is the
+        // control)
+        "q_kneser_ney_capped",
         // round-13 session 2 — SRM/MDE/group-sequential: one scan →
         // per-user agg → bounded integer sufficient statistics (the
         // ab_test shape; group_seq carries K=5 conditional sums)
@@ -691,6 +698,15 @@ object ScaleCheck {
         // Σd² ≈ factor²
         "q_link_predict")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // round-14 (verdict ask #8): the heuristic curate gate's
+      // stopword predicate collapses on the rotated corpus (only
+      // copy-0 keeps stopwords), so q_curate_e2e's scale row proves
+      // the plan but not the work — this rotation-INVARIANT gate twin
+      // (length + punct only, same chain: scrub → dedup → chunk →
+      // prefix-sum pack) keeps the kept set growing ~factor so the
+      // measured slope carries honest output volume
+      "q_curate_e2e_invariant" ->
+        ((s: SparkSession, d: String) => ext.TextOps.qCurateInvariant(s, d)),
       // round-12 session 2: the WordPiece TRAINING slope, unmemoized
       // (classifier_train posture) — per round one pair-explode scan +
       // one symbol-explode scan over |types|, argmax TakeOrdered;

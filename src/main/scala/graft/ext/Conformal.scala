@@ -74,12 +74,22 @@ object Conformal {
       val cal = mat.filter(col("is_cal"))
       val nCal = CorpusOps.totalWeight(cal, col("c"))
       require(nCal > 0, "conformal: empty calibration split")
-      // k-th SMALLEST = (n − k + 1)-th largest; k = ⌈(n+1)(1−α)⌉
+      // k-th SMALLEST = (n − k + 1)-th largest; k = ⌈(n+1)(1−α)⌉.
+      // k > n (tiny calibration sets, ⌈(n+1)(1−α)⌉ = n+1) means exact
+      // split-conformal has NO finite quantile: q̂ = +∞ and every
+      // prediction set is {0,1}. Surfacing the degenerate case (rather
+      // than capping at the max calibration value) preserves the
+      // ≥ 1 − α guarantee — a capped q̂ can exclude labels the exact
+      // method must include, so e.g. ConformalStore's first small
+      // batches would report under-coverage that reads as a MODEL
+      // problem when it is a calibration-size problem. The readout
+      // makes it visible: q_hat = Long.MaxValue, avg_set = 2.0.
       val k = ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen
-      val kEff = math.min(k, nCal) // k = n+1 ⇒ q̂ = +∞; cap = max value
-      val (qHat, _) = CorpusOps.kthLargestWeighted(
-        cal.groupBy("nc").agg(sum(col("c")).as("c")),
-        "nc", col("c"), nCal - kEff + 1)
+      val qHat =
+        if (k > nCal) Long.MaxValue
+        else CorpusOps.kthLargestWeighted(
+          cal.groupBy("nc").agg(sum(col("c")).as("c")),
+          "nc", col("c"), nCal - k + 1)._1
       val ev = mat.filter(!col("is_cal"))
         .select(col("c"),
           when(col("nc") <= qHat, col("c")).otherwise(0L).as("covered"),
@@ -134,14 +144,17 @@ object Conformal {
       |  FROM final_score s JOIN lab l USING (doc_id)),
       |ck AS (
       |  SELECT COUNT(*) AS n_cal,
-      |    LEAST(((COUNT(*) + 1) * ($alphaDen - $alphaNum)
-      |      + $alphaDen - 1) // $alphaDen, COUNT(*)) AS k
+      |    ((COUNT(*) + 1) * ($alphaDen - $alphaNum)
+      |      + $alphaDen - 1) // $alphaDen AS k
       |  FROM scored WHERE is_cal),
+      |-- k > n_cal (tiny calibration): no finite quantile exists, the
+      |-- rn = k row is absent and q_hat falls through to +inf — every
+      |-- prediction set is {0,1}, mirroring the Spark degenerate case
       |qh AS (
-      |  SELECT nc AS q_hat
+      |  SELECT COALESCE(MAX(CASE WHEN rn = k THEN nc END),
+      |      9223372036854775807) AS q_hat
       |  FROM (SELECT nc, row_number() OVER (ORDER BY nc ASC) AS rn
-      |        FROM scored WHERE is_cal), ck
-      |  WHERE rn = k),
+      |        FROM scored WHERE is_cal), ck),
       |ev AS (
       |  SELECT COUNT(*) AS n_eval,
       |    SUM(CASE WHEN nc <= q_hat THEN 1 ELSE 0 END) AS n_covered,

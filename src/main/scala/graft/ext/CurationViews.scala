@@ -68,6 +68,29 @@ object CurationViews {
       .createOrReplaceTempView("source_overlap")
   }
 
+  /** Register the RELEASE-GOVERNANCE views (round-13 verdict ask #5):
+    * every release-process read — the gate verdict, the descriptive
+    * card, the Merkle manifest, the privacy-budget grant/refuse
+    * ledger, and the snapshot diff — under one registration, so a
+    * SQL-first release pipeline composes them without Scala (e.g. join
+    * the gate verdict to the ledger's granted releases — the ExtSpec
+    * composition test). All lazy plans over bounded artifacts: the
+    * gate is four 1-row aggregates + the manifest hash, the ledger a
+    * |releases|-row window, the diff two manifest scans. */
+  def createGovernanceViews(spark: SparkSession, dir: String): Unit = {
+    graft.Tables.registerAll(spark, dir)
+    ReleaseGate.qReleaseGate(spark, dir)
+      .createOrReplaceTempView("release_gate")
+    TextOps.qDatasetCard(spark, dir)
+      .createOrReplaceTempView("dataset_card")
+    TextOps.qManifest(spark, dir)
+      .createOrReplaceTempView("corpus_manifest")
+    graft.streaming.PrivacyLedger.qPrivacyLedger(spark, dir)
+      .createOrReplaceTempView("privacy_ledger")
+    TextOps.qSnapshotDiff(spark, dir)
+      .createOrReplaceTempView("snapshot_diff")
+  }
+
   /** Register the MODEL-backed views: `doc_scores` (classifier score +
     * LM nll + repetition in one per-doc table), `semantic_dedup`, and
     * `bpe_merges`. Registering these EXECUTES the model builds (BPE

@@ -53,8 +53,11 @@ object KnnShapley {
     * times. */
   def knnShapley(emb: DataFrame, k: Int = shapK,
                  mod: Long = probeMod): DataFrame = {
+    // residue reduced mod `mod` so a small COMPUTED budget mod (e.g.
+    // ScaleCheck's max(1, n/80) on a tiny corpus, where mod ≤ probeRes)
+    // still selects a non-empty probe set
     val probes = emb
-      .filter(col("vec_id") % mod === probeRes)
+      .filter(col("vec_id") % mod === probeRes % mod)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_vec"),
         col("label").as("p_label"))
     val scored = emb.crossJoin(broadcast(probes))

@@ -1210,6 +1210,32 @@ object TextOps {
       dedupScrubbed(gateAndScrub(Tables(spark, dir, "documents"))),
       col("scrubbed"))
 
+  /** ScaleCheck twin of [[qCurate]] with a ROTATION-INVARIANT gate
+    * (round-13 verdict ask #8): the heuristic gate's stopword
+    * predicate collapses on ScaleCheck's rotated corpus (rotation
+    * rewrites every vowel, so only copy-0 docs keep stopwords and the
+    * big-side kept set — hence the pipeline's OUTPUT — stops growing;
+    * its measured scale row proved the plan but not the work). This
+    * twin keeps the same plan shape end to end (scan + regexp_count
+    * gate → scrub → exact dedup → chunk → prefix-sum pack) but gates
+    * on length and punctuation ratio only — both invariant under the
+    * rotation/suffix transforms — so the kept set, and with it every
+    * downstream stage's input AND output, grows ~factor×: the scale
+    * row now times real work at real output volume. Not in the driver
+    * query surface: it is a measurement twin, not a product gate. */
+  def qCurateInvariant(spark: SparkSession, dir: String): DataFrame = {
+    val gated = Tables(spark, dir, "documents").filter(
+      length(col("text")) >= 100 &&
+        (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+          length(col("text"))) <= 0.3)
+    graft.operators.PrefixSum.withRunningTotal(
+        chunkTokens(dedupScrubbed(scrubPii(gated)), col("scrubbed")),
+        Seq(col("doc_id"), col("chunk_id")),
+        "n_chunk_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_chunk_tokens) div $packContext"))
+  }
+
   val qCurateSql: String =
     s"""WITH gated AS (
       |  SELECT doc_id, text FROM documents

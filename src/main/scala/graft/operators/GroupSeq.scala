@@ -34,10 +34,12 @@ import graft.Tables
   * z = 0 under the family's exact-integer guards.
   *
   * SCALE. One events scan → per-user K conditional sums (map-side) →
-  * a K×2-cell aggregate; everything after is K-row arithmetic. (A
-  * streaming twin would hold the K per-look cents as per-user sum
-  * monoids — the [[graft.streaming.ExperimentStore]] posture with K
-  * extra columns; not wired, since look columns are schedule-specific.) */
+  * a K×2-cell aggregate; everything after is K-row arithmetic. The
+  * streaming twin holds the K per-look cents as per-user sum monoids —
+  * [[graft.streaming.ExperimentStore.groupSeqView]], K extra columns
+  * on the experiment delta, parameterized by [[lookDates]] (look
+  * columns are schedule-specific: a schedule change is a store schema
+  * change, stated up front). */
 object GroupSeq {
 
   /** Scheduled look dates over the 30-day event window (day 6·k). */

@@ -28,17 +28,30 @@ import graft.Tables
   * anything else happens. */
 object MarkovEval {
 
-  def markovEval(events: DataFrame): DataFrame = {
+  /** The (is_train, from_type, to_type, n) transition-count table —
+    * the |types|²-bounded sufficient statistic everything below
+    * consumes (and the per-key SUM monoid the streaming
+    * [[graft.streaming.MarkovStore]] maintains). */
+  def transitionCounts(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val split = lit(DiffInDiff.splitDate).cast("timestamp")
-    val pairs = events
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .select(col("from_type"), col("event_type").as("to_type"),
         (col("ts") < split).as("is_train"))
-    val counts = pairs.groupBy("is_train", "from_type", "to_type")
+      .groupBy("is_train", "from_type", "to_type")
       .agg(count(lit(1)).as("n"))
+  }
+
+  def markovEval(events: DataFrame): DataFrame =
+    markovFromCounts(transitionCounts(events))
+
+  /** The train → serve → score readout from any (is_train, from_type,
+    * to_type, n) count table ([[transitionCounts]]'s shape;
+    * streaming-store entry). */
+  def markovFromCounts(counts: DataFrame): DataFrame = {
     val trainCounts = counts.filter(col("is_train")).drop("is_train")
     // model: per from_type, the count-argmax to_type (ties: to_type asc)
     val model = trainCounts

@@ -73,9 +73,11 @@ object Rmst {
       .withColumn("t_next",
         coalesce(lead(col("t_days"), 1).over(ord), lit(tauDays)))
     // area: the pre-first-step strip at S = 1 plus each step's strip,
-    // all integers — summation order can't matter
+    // all integers — summation order can't matter. The strip is clamped
+    // to τ: if an arm's earliest duration exceeds the horizon, RMST = τ
+    // (the integral ∫₀^τ S dt can never exceed τ).
     val perArm = curve.groupBy("arm").agg(
-      (min("t_days") * 1000000L
+      (least(min("t_days"), lit(tauDays)) * 1000000L
         + sum(when(col("t_days") < tauDays,
             col("s_micro")
               * (least(col("t_next"), lit(tauDays)) - col("t_days")))
@@ -143,7 +145,7 @@ object Rmst {
        |  FROM curve),
        |per_arm AS (
        |  SELECT arm,
-       |    MIN(t_days) * 1000000 +
+       |    LEAST(MIN(t_days), $tauDays) * 1000000 +
        |    SUM(CASE WHEN t_days < $tauDays
        |      THEN s_micro * (LEAST(t_next, $tauDays) - t_days)
        |      ELSE 0 END) AS rmst

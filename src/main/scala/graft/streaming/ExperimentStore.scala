@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
-import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, RobustEffects, Sprt, SrmMde, StratEffect}
+import graft.operators.{AbTest, Cuped, DiffInDiff, GroupSeq, KaplanMeier, LogRank, PermTest, Rmst, RobustEffects, Sprt, SrmMde, StratEffect}
 
 /** Incrementally-maintained EXPERIMENT READOUTS — the streaming half
   * of the whole experiment-science suite ([[AbTest]] chi²/Welch,
@@ -34,6 +34,14 @@ import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, RobustEffects, Sprt
   * itself min-monoid state, so the store serves always-valid
   * sequential inference without replaying the event log.
   *
+  * Round 14: the SURVIVAL clocks ([[KaplanMeier]]/[[LogRank]]/
+  * [[Rmst]]) and the [[GroupSeq]] per-look conditional sums live on
+  * the SAME per-user delta — the clocks are two more lattice columns
+  * and the looks K more sum columns, so one store and one per-batch
+  * agg serve all sixteen-plus live readouts (the former SurvivalStore
+  * is retired; half the storage, half the per-batch agg count for a
+  * platform running both).
+  *
   * At 100 TB the store is |users|-bounded (never event history), a
   * batch's delta cost is its own per-user agg with map-side combine,
   * and compaction/recovery ride [[MonoidStore]] unchanged. */
@@ -41,29 +49,44 @@ object ExperimentStore {
 
   /** One batch's per-user delta from raw event rows. `ts` is stored
     * as epoch micros (a plain long min-monoid — [[Sprt]] only needs
-    * the order, which micros preserve). */
+    * the order, which micros preserve). Round 14 (verdict ask #6):
+    * the delta also carries the SURVIVAL clock (`big_ts_us`, lattice
+    * MIN of the first big-ticket purchase — first/last activity were
+    * already here) and the K per-look conditional cents of the
+    * group-sequential schedule (plain sums) — one store, one per-batch
+    * agg, serving the experiment, survival AND group-sequential
+    * readouts that previously needed two stores. */
   def experimentDelta(batch: DataFrame): DataFrame = {
     val isPurchase = col("event_type") === "purchase"
     val cents = expr("cast(round(value * 100.0) as bigint)")
     val split = lit(DiffInDiff.splitDate).cast("timestamp")
+    val lookSums = GroupSeq.lookDates.zipWithIndex.map { case (d, i) =>
+      sum(when(isPurchase && col("ts") < lit(d).cast("timestamp"), cents)
+        .otherwise(0L)).as(s"look_c${i + 1}")
+    }
     batch.groupBy("user_id").agg(
       sum(when(isPurchase, 1L).otherwise(0L)).as("purchases"),
-      sum(when(!isPurchase, 1L).otherwise(0L)).as("nonpurchases"),
-      sum(when(isPurchase, cents).otherwise(0L)).as("cents"),
-      sum(when(isPurchase && col("ts") < split, cents).otherwise(0L))
-        .as("pre_cents"),
-      sum(when(isPurchase && col("ts") >= split, cents).otherwise(0L))
-        .as("post_cents"),
-      min(unix_micros(col("ts"))).as("first_ts_us"),
-      max(unix_micros(col("ts"))).as("last_ts_us"))
+      (sum(when(!isPurchase, 1L).otherwise(0L)).as("nonpurchases") +:
+        sum(when(isPurchase, cents).otherwise(0L)).as("cents") +:
+        sum(when(isPurchase && col("ts") < split, cents).otherwise(0L))
+          .as("pre_cents") +:
+        sum(when(isPurchase && col("ts") >= split, cents).otherwise(0L))
+          .as("post_cents") +:
+        lookSums :+
+        min(unix_micros(col("ts"))).as("first_ts_us") :+
+        max(unix_micros(col("ts"))).as("last_ts_us") :+
+        min(when(isPurchase && cents >= KaplanMeier.bigCents,
+          unix_micros(col("ts")))).as("big_ts_us")): _*)
   }
 
   def store(storePath: String): MonoidStore =
     new MonoidStore(storePath,
       MonoidStore.aggReduce(
         sumCols = Seq("purchases", "nonpurchases", "cents", "pre_cents",
-          "post_cents"),
-        minCols = Seq("first_ts_us"), maxCols = Seq("last_ts_us")))
+          "post_cents")
+          ++ (1 to GroupSeq.looks).map(k => s"look_c$k"),
+        minCols = Seq("first_ts_us", "big_ts_us"),
+        maxCols = Seq("last_ts_us")))
 
   def appendExperimentBatch(spark: SparkSession, batch: DataFrame,
                             storePath: String, batchId: Long): Unit =
@@ -151,6 +174,49 @@ object ExperimentStore {
       perUserView(spark, storePath)
         .select(col("user_id"), col("last_ts_us").as("last_us"),
           col("purchases").as("freq"), col("cents").as("mon")))
+
+  /** Live group-sequential O'Brien–Fleming readout ≡
+    * [[GroupSeq.groupSeq]]: the K per-look conditional cents are K sum
+    * columns on the same delta (parameterized by
+    * [[GroupSeq.lookDates]] — look columns are schedule-specific, so a
+    * schedule change is a store schema change, stated up front), and
+    * enrollment-as-of-look re-reads the first_ts_us MIN lattice. */
+  def groupSeqView(spark: SparkSession, storePath: String): DataFrame =
+    GroupSeq.groupSeqFromPerUser(perUserView(spark, storePath).select(
+      col("arm") +:
+        timestamp_micros(col("first_ts_us")).as("first_ts") +:
+        (1 to GroupSeq.looks).map(k => col(s"look_c$k").as(s"c$k")): _*))
+
+  /** The (user_id, f_us, l_us, p_us) survival clock table — the
+    * first/last/first-big lattice columns of the same per-user state:
+    * censoring EXTENDS as batches arrive (l_us max), the event time
+    * only moves EARLIER (p_us min), and the duration/censoring verdict
+    * is re-derived in each view rather than frozen at ingest. */
+  def clockView(spark: SparkSession, storePath: String): DataFrame =
+    store(storePath).merged(spark)
+      .select(col("user_id"), col("first_ts_us").as("f_us"),
+        col("last_ts_us").as("l_us"), col("big_ts_us").as("p_us"))
+
+  /** Live life table ≡ [[KaplanMeier.qKaplanMeier]]. */
+  def kmView(spark: SparkSession, storePath: String): DataFrame =
+    KaplanMeier.lifeTable(clockView(spark, storePath))
+
+  private def armedClocks(spark: SparkSession,
+                          storePath: String): DataFrame =
+    clockView(spark, storePath)
+      .withColumn("arm", AbTest.armOf(col("user_id")))
+      .select(col("arm"),
+        when(col("p_us").isNotNull, 1L).otherwise(0L).as("event"),
+        expr(s"(coalesce(p_us, l_us) - f_us) div ${86400000000L}")
+          .as("t_days"))
+
+  /** Live Mantel readout ≡ [[LogRank.logRank]]. */
+  def logRankView(spark: SparkSession, storePath: String): DataFrame =
+    LogRank.logRankFromPerUser(armedClocks(spark, storePath))
+
+  /** Live RMST ≡ [[Rmst.rmst]]. */
+  def rmstView(spark: SparkSession, storePath: String): DataFrame =
+    Rmst.rmstFromPerUser(armedClocks(spark, storePath))
 
   /** Wire the stream; `compactEvery` > 0 enables the cadenced fold. */
   def runExperimentStream(spark: SparkSession, uploadDir: String,

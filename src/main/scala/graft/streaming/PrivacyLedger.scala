@@ -122,10 +122,12 @@ object PrivacyLedger {
     val w = Window.partitionBy("scope").orderBy("release_id")
     releases
       .withColumn("cum", sum(col("cost_micro")).over(w))
-      // the spend cap a constant-cost scope can ever reach
+      // the spend cap a constant-cost scope can ever reach — exact
+      // integer ⌊budget/cost⌋·cost (`div`), matching the oracle's `//`:
+      // a rounded double quotient can cross an integer boundary for
+      // near-integer ratios at large magnitudes
       .withColumn("cap",
-        (lit(budgetMicro) / col("cost_micro")).cast("bigint")
-          * col("cost_micro"))
+        expr(s"${budgetMicro}L div cost_micro") * col("cost_micro"))
       .select(
         col("release_id"), col("scope"), col("cost_micro"),
         least(col("cum") - col("cost_micro"), col("cap"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AbTest, Cuped, DiffInDiff, PermTest, RobustEffects, Sprt, SrmMde, StratEffect}
+import graft.operators.{AbTest, Cuped, DiffInDiff, GroupSeq, PermTest, RobustEffects, Sprt, SrmMde, StratEffect}
 import graft.streaming.ExperimentStore
 
 /** Streaming experiment store: every live readout (chi²/Welch,
@@ -65,7 +65,12 @@ class ExperimentStoreSpec extends SparkSpec {
         rows(ExperimentStore.lorenzView(spark, s"$tmp/store")),
         rows(graft.operators.Lorenz.lorenzGini(all))),
       ("rfm", () => rows(ExperimentStore.rfmView(spark, s"$tmp/store")),
-        rows(graft.operators.Rfm.rfm(all))))
+        rows(graft.operators.Rfm.rfm(all))),
+      // round 14: the group-sequential looks ride the same per-user
+      // delta as K schedule-parameterized sum columns
+      ("groupseq", () =>
+        rows(ExperimentStore.groupSeqView(spark, s"$tmp/store")),
+        rows(GroupSeq.groupSeq(all))))
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"live $name view != batch")
     }

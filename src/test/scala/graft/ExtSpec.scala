@@ -1405,4 +1405,38 @@ class ExtSpec extends SparkSpec {
     // top-k with positive score is NOT corpus-universal
     rows.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0))
   }
+
+  test("governance views: a SQL-first release pipeline composes gate, " +
+    "ledger, manifest, card and diff without Scala") {
+    graft.ext.CurationViews.createGovernanceViews(spark, dir)
+    // the release decision a CI step actually runs: ship only when the
+    // gate is green AND every planned release fits the privacy budget —
+    // gate verdict joined to the ledger's grant/refuse trail
+    val verdict = spark.sql(
+      """SELECT g.release_ok, g.corpus_md5,
+        |  sum(CASE WHEN l.granted THEN 1 ELSE 0 END) AS n_granted,
+        |  sum(CASE WHEN l.granted THEN 0 ELSE 1 END) AS n_refused
+        |FROM release_gate g, privacy_ledger l
+        |GROUP BY g.release_ok, g.corpus_md5""".stripMargin).head()
+    val ledger = graft.streaming.PrivacyLedger.qPrivacyLedger(spark, dir)
+      .collect()
+    assert(verdict.getAs[Long]("n_granted") ===
+      ledger.count(_.getAs[Boolean]("granted")).toLong)
+    assert(verdict.getAs[Long]("n_refused") ===
+      ledger.count(!_.getAs[Boolean]("granted")).toLong)
+    // the refusal boundary lands INSIDE the plan (a real readout)
+    assert(verdict.getAs[Long]("n_granted") > 0)
+    assert(verdict.getAs[Long]("n_refused") > 0)
+    // the gate's fingerprint is the manifest's — the verdict is bound
+    // to exactly the bytes the manifest certifies
+    assert(verdict.getAs[String]("corpus_md5") ===
+      spark.sql("SELECT corpus_md5 FROM corpus_manifest")
+        .head().getString(0))
+    // card and diff serve from the same registration
+    assert(spark.sql("SELECT n_docs FROM dataset_card").head().getLong(0)
+      === spark.sql("SELECT count(*) AS n FROM documents")
+        .head().getLong(0))
+    assert(spark.sql("SELECT count(*) AS n FROM snapshot_diff")
+      .head().getLong(0) > 0)
+  }
 }

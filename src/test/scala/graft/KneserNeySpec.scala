@@ -64,4 +64,44 @@ class KneserNeySpec extends SparkSpec {
     assert(out.count() === n)
     assert(out.select("doc_id").distinct().count() === n)
   }
+
+  test("capped kn: vocab binds at capV, OOV folds into <unk>, model " +
+    "tables stay (capV+1)^2-bounded, full coverage") {
+    val docs = Tables(spark, dir, "documents")
+    val capped = KneserNey.trainCapped(docs, materialize = false)
+    val m = capped.model
+    // the cap BINDS on the real corpus (31-word en vocab > capV=16):
+    // V = capV + 1 (the <unk> fold), vocab exactly capV words
+    assert(capped.vocab.count() === KneserNey.capV.toLong)
+    assert(m.v === KneserNey.capV + 1L)
+    // <unk> genuinely absorbed train mass — it appears as a context
+    assert(m.uni.filter(col("w1") === KneserNey.unk).count() === 1L)
+    // every model table bounded by (capV+1)^2 REGARDLESS of corpus
+    val bound = (KneserNey.capV + 1L) * (KneserNey.capV + 1L)
+    assert(m.b <= bound)
+    assert(m.uni.count() <= KneserNey.capV + 1L)
+    assert(m.cont.count() <= KneserNey.capV + 1L)
+    // deterministic top-V selection: the capped vocab is the count-desc
+    // word-asc head of the full count table
+    val expect = docs
+      .filter(col("lang") === CorpusOps.lmTrainLang)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(KneserNey.capV)
+      .collect().map(_.getString(0)).toSet
+    assert(capped.vocab.collect().map(_.getString(0)).toSet === expect)
+    // scoring covers every document exactly once, and the capped model
+    // genuinely differs from the uncapped one (OOV backs off through
+    // <unk>'s folded statistics, not the unbounded-vocab floor)
+    val out = KneserNey.qKneserNeyCapped(spark, dir)
+    val n = docs.count()
+    assert(out.count() === n)
+    assert(out.select("doc_id").distinct().count() === n)
+    val unc = KneserNey.qKneserNey(spark, dir)
+      .withColumnRenamed("kn_nll_micro", "u")
+    val differ = out.join(unc.select("doc_id", "u"), "doc_id")
+      .filter(col("kn_nll_micro") =!= col("u")).count()
+    assert(differ > 0)
+  }
 }
