@@ -44,7 +44,7 @@ import org.apache.spark.sql.functions._
 object StoreCompaction {
 
   val baseBatchId: Long = -1L
-  private val manifestName = "_ABSORBED"
+  private[streaming] val manifestName = "_ABSORBED"
 
   private def listTmp(fs: org.apache.hadoop.fs.FileSystem,
                       root: Path): Seq[Path] =
