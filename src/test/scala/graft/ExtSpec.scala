@@ -1439,4 +1439,37 @@ class ExtSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM snapshot_diff")
       .head().getLong(0) > 0)
   }
+
+  test("rbo: self-agreement saturates to 1 - p^min(n,D) - tail; " +
+    "reversal scores strictly lower; driver query is a valid interval") {
+    import org.apache.spark.sql.functions._
+    val ranks = graft.ext.Rbo.qualityRanks(spark, dir)
+    val n = ranks.count()
+    val d = graft.ext.Rbo.rboDepth.toLong
+    // a ranking against ITSELF: X_d = min(d, n), so the truncated sum
+    // is Σ_{d≤D} w_d·min(d,n)/d — with n ≤ D this is computable in
+    // closed form only via the same weights, so assert the cheap exact
+    // cases: overlap profile saturation and the [0, 1e12] interval
+    val self = graft.ext.Rbo.rboFromRanks(
+      ranks.select(col("doc_id"), col("ra"), col("ra").as("rb")))
+      .head()
+    assert(self.getAs[Long]("overlap_at_depth") === math.min(n, d))
+    val selfScore = self.getAs[Long]("rbo_min_pico")
+    // reversing one list can only reduce prefix overlap at every depth
+    val rev = graft.ext.Rbo.rboFromRanks(
+      ranks.select(col("doc_id"), col("ra"),
+        (lit(n + 1) - col("ra")).as("rb"))).head()
+    val revScore = rev.getAs[Long]("rbo_min_pico")
+    assert(revScore < selfScore, "reversal must lose top-weighted mass")
+    assert(revScore >= 0L)
+    // the driver comparison sits inside the valid interval and its
+    // residual matches the closed form p^D
+    val q = graft.ext.Rbo.qRbo(spark, dir).head()
+    val score = q.getAs[Long]("rbo_min_pico")
+    assert(score >= revScore - 1 && score <= selfScore + 1,
+      "KN-vs-heuristic must land between reversal and self-agreement")
+    assert(q.getAs[Long]("tail_pico") ===
+      math.round(1e12 * math.exp(d.toDouble * math.log(graft.ext.Rbo.rboP))))
+    assert(q.getAs[Long]("n_ranked") === n)
+  }
 }
