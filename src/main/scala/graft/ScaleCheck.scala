@@ -690,6 +690,11 @@ object ScaleCheck {
         // (memoized model — serving slope is q_kneser_ney's row) and
         // the two bounded threshold scans (q_score_threshold's shape)
         "q_curate_e2e_kn",
+        // round-14: RBO — past the KN serving join (the row above) and
+        // two range-partitioned global row numbers, the whole query
+        // lives on rows with max(ra, rb) ≤ 1000 and the constant
+        // 1000-row depth spine, so the slope should track the KN scan
+        "q_rbo",
         // link prediction: adjacency build/shuffle ~edge mass
         // (~factor; distinct part-pair edges saturate as in BFS while
         // degrees grow), per-center wedge work capped at C(S,2) by the
