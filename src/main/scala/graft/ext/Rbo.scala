@@ -107,8 +107,12 @@ object Rbo {
   def qRbo(spark: SparkSession, dir: String): DataFrame =
     rboFromRanks(qualityRanks(spark, dir))
 
-  val qRboSql: String =
-    s"""WITH ${KneserNey.knScoreCtes.replaceFirst("toks AS", "kn_toks AS")
+  /** The shared DuckDB CTE prefix building the conjoint rank table —
+    * ends with `ra` and `rb` CTEs keyed by doc_id ([[RankCorr]]'s
+    * Spearman oracle composes the same prefix, so the two rank-
+    * agreement measures are pinned to ONE ranking definition). */
+  val qualityRanksCtes: String =
+    s"""${KneserNey.knScoreCtes.replaceFirst("toks AS", "kn_toks AS")
           .replace("FROM toks", "FROM kn_toks")},
       |kn_s AS (
       |  SELECT doc_id, -(kn_nll_micro // n_bigrams) AS s_kn
@@ -129,7 +133,10 @@ object Rbo {
       |rb AS (
       |  SELECT doc_id,
       |    row_number() OVER (ORDER BY s_heur DESC, doc_id ASC) AS rb
-      |  FROM rbo_uni),
+      |  FROM rbo_uni)""".stripMargin
+
+  val qRboSql: String =
+    s"""WITH $qualityRanksCtes,
       |mc AS (
       |  SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM (
       |    SELECT GREATEST(ra.ra, rb.rb) AS m

@@ -1472,4 +1472,34 @@ class ExtSpec extends SparkSpec {
       math.round(1e12 * math.exp(d.toDouble * math.log(graft.ext.Rbo.rboP))))
     assert(q.getAs[Long]("n_ranked") === n)
   }
+
+  test("embed decontam: flags are exactly the brute-force threshold hits, " +
+    "train and eval splits are disjoint") {
+    import graft.ext.EmbedDecontam
+    val emb = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray)
+    val (ev, tr) = emb.partition {
+      case (id, _) => id % EmbedDecontam.evalMod == EmbedDecontam.evalRes }
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    val expect = tr.flatMap { case (id, v) =>
+      val hits = ev.map { case (_, e) => dot(v, e) }
+        .filter(_ >= EmbedDecontam.decontamCos)
+      if (hits.nonEmpty) Some(id -> (hits.length.toLong, hits.max))
+      else None
+    }.toMap
+    val got = EmbedDecontam.qEmbedDecontam(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("max_cos"))).toMap
+    assert(got.keySet === expect.keySet)
+    for ((k, (n1, m1)) <- expect) {
+      assert(got(k)._1 === n1)
+      assert(math.abs(got(k)._2 - m1) < 1e-9)
+    }
+    // no flagged vector is itself in the eval split
+    assert(got.keySet.forall(
+      _ % EmbedDecontam.evalMod != EmbedDecontam.evalRes))
+  }
 }
