@@ -695,6 +695,32 @@ object ScaleCheck {
         // lives on rows with max(ra, rb) ≤ 1000 and the constant
         // 1000-row depth spine, so the slope should track the KN scan
         "q_rbo",
+        // round-14 session 3 — Spearman: the SAME two global row
+        // numbers as q_rbo, then ONE partial-agg scan to four
+        // sufficient statistics (no depth spine at all) — the cheaper
+        // whole-list complement should track or beat the RBO slope
+        "q_spearman",
+        // rater kappa: two map-only gate predicates + a 4-cell partial
+        // agg — the ideal linear-scan shape (the rotated copies kill
+        // the stopword gate but the repetition gate still computes,
+        // so the scan work is honest)
+        "q_rater_kappa",
+        // isotonic calibration: the KN serving scan (memoized model) +
+        // a 1-row min/max pass + one ≤24-bucket shuffle; the B²
+        // interval/minimax tail is constant-domain work
+        "q_isotonic_cal",
+        // preference pairs: one range-partitioned global row number +
+        // a broadcast 1-row count + three rank-offset equi-joins —
+        // exactly 3n output rows, slope ≈ factor·log(factor) from the
+        // sort, never an all-pairs leg
+        "q_pref_pairs",
+        // Bradley-Terry: the win matrix from ONE multi-column
+        // PrefixSum (|S|=20 indicator totals off one sort) + an |S|²
+        // partial agg; the Θ(n²) win MASSES ride decimal sums but the
+        // WORK is the sort — MM rounds are driver arithmetic over the
+        // bounded matrix. Uncapped pair joins would be factor²; this
+        // row is the evidence the one-sort formulation isn't
+        "q_bradley_terry",
         // link prediction: adjacency build/shuffle ~edge mass
         // (~factor; distinct part-pair edges saturate as in BFS while
         // degrees grow), per-center wedge work capped at C(S,2) by the
@@ -827,6 +853,18 @@ object ScaleCheck {
         val c = if (f.exists) s.read.parquet(f.getPath)
                 else Tables(s, d, "customer")
         graft.operators.RecordLinkage.linkageEval(c)
+      }),
+      // round-14 session 3: embedding decontamination at its
+      // DOCUMENTED scale posture — the eval battery is small by
+      // nature, so the timed variant holds it CONSTANT (~30 vectors)
+      // as the train side grows; the slope is the broadcast map-only
+      // scan (the rate-fixed %17 driver query would grow the battery
+      // with the corpus and time an undocumented quadratic)
+      "q_embed_decontam_budget" -> ((s: SparkSession, d: String) => {
+        val emb = Tables(s, d, "embeddings")
+        val n = emb.count()
+        ext.EmbedDecontam.embedDecontam(emb,
+          math.max(ext.EmbedDecontam.evalMod, n / 30L))
       }),
       // round-13: KNN-Shapley at its DOCUMENTED scale posture — a
       // fixed probe BUDGET (~80 probes at any corpus), so the slope is

@@ -40,17 +40,22 @@ object EmbedDecontam {
   val evalMod = 17L
   val evalRes = 3L
 
-  def qEmbedDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val ev = emb.filter(pmod(col("vec_id"), lit(evalMod)) === evalRes)
+  /** Parameterized entry (ScaleCheck passes a corpus-proportional
+    * `mod` so the timed eval battery stays CONSTANT-size — the
+    * documented contract). */
+  def embedDecontam(emb: DataFrame, mod: Long): DataFrame = {
+    val ev = emb.filter(pmod(col("vec_id"), lit(mod)) === evalRes)
       .select(col("vec_id").as("eval_id"), col("embedding").as("e"))
-    val tr = emb.filter(pmod(col("vec_id"), lit(evalMod)) =!= evalRes)
+    val tr = emb.filter(pmod(col("vec_id"), lit(mod)) =!= evalRes)
     tr.join(broadcast(ev),
         Similarity.dot(col("embedding"), col("e")) >= decontamCos)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_hits"),
         max(Similarity.dot(col("embedding"), col("e"))).as("max_cos"))
   }
+
+  def qEmbedDecontam(spark: SparkSession, dir: String): DataFrame =
+    embedDecontam(Tables(spark, dir, "embeddings"), evalMod)
 
   val qEmbedDecontamSql: String =
     s"""WITH ev AS (

@@ -72,9 +72,12 @@ object LabelProp {
     * (the [[PageRank.qPagerankSql]] technique; the argmax is the
     * row_number-over-(sum desc, label asc) formulation, which equals
     * the engine's struct-max by the same total order). */
-  val qLabelPropSql: String = {
+  /** The shared CTE prefix through the final round's label table
+    * (l`lpRounds`) — [[GraphStats]]' modularity oracle composes it so
+    * both queries pin ONE community definition. */
+  val labelPropCtes: String = {
     val per = (1 to lpRounds).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT node, label FROM (
          |    SELECT e.dst AS node, l.label,
          |      row_number() OVER (
@@ -84,8 +87,8 @@ object LabelProp {
          |    GROUP BY e.dst, l.label) t
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-       |edges AS (
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |edges AS MATERIALIZED (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
        |    CAST(COUNT(*) AS BIGINT) AS w
        |  FROM li a JOIN li b
@@ -93,8 +96,11 @@ object LabelProp {
        |  GROUP BY 1, 2),
        |l0 AS (SELECT DISTINCT l_partkey AS node, l_partkey AS label
        |  FROM li),
-       |$per
+       |$per""".stripMargin
+  }
+
+  val qLabelPropSql: String =
+    s"""WITH $labelPropCtes
        |SELECT node AS p_partkey, label AS community
        |FROM l$lpRounds""".stripMargin
-  }
 }
