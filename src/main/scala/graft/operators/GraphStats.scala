@@ -72,7 +72,7 @@ object GraphStats {
 
   def qModularity(spark: SparkSession, dir: String): DataFrame =
     modularity(PageRank.coPurchaseEdgesMemo(spark, dir),
-      LabelProp.qLabelProp(spark, dir))
+      LabelProp.labelPropMemo(spark, dir))
 
   val qModularitySql: String =
     s"""WITH ${LabelProp.labelPropCtes},

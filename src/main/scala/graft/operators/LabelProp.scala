@@ -64,20 +64,31 @@ object LabelProp {
     lab.select(col("node").as("p_partkey"), col("label").as("community"))
   }
 
-  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropagate(Tables(spark, dir, "lineitem"),
-      edgesIn = Some(PageRank.coPurchaseEdgesMemo(spark, dir)))
+  /** Per-(session, dir) memoized LPA labeling — [[GraphStats]]'
+    * modularity readout re-reads the SAME partition q_label_prop
+    * publishes, so the 3-sweep propagation is paid once per session,
+    * not per consumer (the [[PageRank.coPurchaseEdgesMemo]] posture). */
+  def labelPropMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.memoize(spark, "labelprop", dir) {
+      labelPropagate(Tables(spark, dir, "lineitem"),
+        edgesIn = Some(PageRank.coPurchaseEdgesMemo(spark, dir)))
+        .localCheckpoint()
+    }
 
-  /** Full-replay oracle: graph build + every argmax round unrolled
-    * (the [[PageRank.qPagerankSql]] technique; the argmax is the
-    * row_number-over-(sum desc, label asc) formulation, which equals
-    * the engine's struct-max by the same total order). */
-  /** The shared CTE prefix through the final round's label table
-    * (l`lpRounds`) — [[GraphStats]]' modularity oracle composes it so
-    * both queries pin ONE community definition. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropMemo(spark, dir)
+
+  /** Full-replay oracle prefix: graph build + every argmax round
+    * unrolled (the [[PageRank.qPagerankSql]] technique; the argmax is
+    * the row_number-over-(sum desc, label asc) formulation, which
+    * equals the engine's struct-max by the same total order). Ends at
+    * the final round's label table l`lpRounds`; [[GraphStats]]'
+    * modularity oracle composes it so both queries pin ONE community
+    * definition. Kept plain ANSI (no MATERIALIZED hints): the
+    * LabelPropSpec cross-check parses this text through Spark too. */
   val labelPropCtes: String = {
     val per = (1 to lpRounds).map { i =>
-      s"""l$i AS MATERIALIZED (
+      s"""l$i AS (
          |  SELECT node, label FROM (
          |    SELECT e.dst AS node, l.label,
          |      row_number() OVER (
@@ -88,7 +99,7 @@ object LabelProp {
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-       |edges AS MATERIALIZED (
+       |edges AS (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
        |    CAST(COUNT(*) AS BIGINT) AS w
        |  FROM li a JOIN li b
