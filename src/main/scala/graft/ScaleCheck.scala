@@ -646,6 +646,11 @@ object ScaleCheck {
         // COMBINE to 2B cells/partition — shuffle O(B·parts), corpus-
         // independent; the slope is the scan + the fan-out map work
         "q_logrank", "q_perm_test",
+        // round-14 session 3 — the BH battery rides the perm-test
+        // shape per event type: per-(user, type) counts ~factor, the
+        // B-draw broadcast fan-out combines map-side to ≤ m·2B cells
+        // per partition, BH itself is an m-row bounded-domain window
+        "q_fdr_bh",
         // DiD: one scan to per-user pre/post sums -> 1-row suff stats,
         // the CUPED shape with a time split instead of a covariate
         "q_did_test",
