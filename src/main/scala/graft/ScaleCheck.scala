@@ -651,6 +651,10 @@ object ScaleCheck {
         // B-draw broadcast fan-out combines map-side to ≤ m·2B cells
         // per partition, BH itself is an m-row bounded-domain window
         "q_fdr_bh",
+        // coverage curve: one exploded-shingle pass + per-gram MIN
+        // partial agg + a ≤11-row histogram — the dedup_exact shape;
+        // the whole 10-point curve costs ONE scan, never a per-k join
+        "q_coverage_curve",
         // DiD: one scan to per-user pre/post sums -> 1-row suff stats,
         // the CUPED shape with a time split instead of a covariate
         "q_did_test",

@@ -1028,4 +1028,98 @@ object Dedup {
       |    ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
+
+  /** N-GRAM COVERAGE CURVE — the data-scaling diagnostic behind "will
+    * more of this source help?": split off the standard eval slice
+    * (the [[qDecontaminate]] md5 rule), order the TRAINING corpus into
+    * 10 deterministic md5 buckets, and report what fraction of the
+    * eval set's distinct shingles the first k buckets cover, for
+    * k = 1..10. A curve that is still climbing at 100% says the eval
+    * domain is undersampled; a flat curve says additional data from
+    * this source buys nothing the eval set can see (the n-gram-overlap
+    * reading of data-scaling diminishing returns).
+    *
+    * THE SHAPE IS THE POINT: coverage at every k comes from ONE
+    * number per eval shingle — the MINIMUM train bucket containing it
+    * — so the whole 10-point curve is one exploded-shingle pass, one
+    * per-gram MIN partial agg, one ≤11-row histogram, and a cumulative
+    * sum over the constant 10-row spine. Never 10 passes, never a
+    * per-k join. Spark joins on the codegen'd shingle hash; the oracle
+    * groups the strings and agrees on all counts (the
+    * [[qDecontaminate]] collision contract). */
+  def qCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isEval = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      .isin("0", "1")
+    val evalG = docs.filter(isEval)
+      .select(explode(shingles3Hashed(col("text"))).as("g")).distinct()
+    val trainMin = docs.filter(!isEval)
+      .select(explode(shingles3Hashed(col("text"))).as("g"),
+        (org.apache.spark.sql.functions.conv(
+          substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 15), 16, 10).cast("long") % 10).as("bucket"))
+      .groupBy("g").agg(min(col("bucket")).as("minb"))
+    val hist = evalG.join(trainMin, Seq("g"), "left")
+      .groupBy("minb").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum(col("c")).as("total_grams"))
+    val spine = spark.range(1, 11).select(col("id").as("train_buckets"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("train_buckets")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    spine
+      .join(hist, col("minb") === col("train_buckets") - 1, "left")
+      .withColumn("covered", sum(coalesce(col("c"), lit(0L))).over(w))
+      .crossJoin(broadcast(tot))
+      .selectExpr("train_buckets", "covered",
+        "cast(total_grams as bigint) as total_grams",
+        """case when total_grams = 0 then 0L else
+          | cast(round(1000000.0 * cast(covered as double)
+          |   / cast(total_grams as double)) as bigint)
+          | end as coverage_micro""".stripMargin.replace("\n", " "))
+  }
+
+  val qCoverageCurveSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      |      AS eval,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS UBIGINT) AS BIGINT) % 10 AS bucket
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, eval, bucket,
+      |    unnest(list_distinct(
+      |    CASE WHEN len(t) >= 3
+      |         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |               for i in range(1, len(t) - 1)]
+      |         ELSE [array_to_string(t, ' ')] END)) AS g
+      |  FROM toks),
+      |eval_g AS (SELECT DISTINCT g FROM grams WHERE eval),
+      |train_min AS (
+      |  SELECT g, MIN(bucket) AS minb FROM grams
+      |  WHERE NOT eval GROUP BY g),
+      |hist AS (
+      |  SELECT t.minb, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM eval_g e LEFT JOIN train_min t ON t.g = e.g
+      |  GROUP BY t.minb),
+      |tot AS (SELECT SUM(c) AS total_grams FROM hist),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+      |    AS train_buckets)
+      |SELECT s.train_buckets,
+      |  CAST(SUM(COALESCE(h.c, 0)) OVER (ORDER BY s.train_buckets
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered,
+      |  CAST(t.total_grams AS BIGINT) AS total_grams,
+      |  CASE WHEN t.total_grams = 0 THEN 0 ELSE
+      |    CAST(ROUND(1000000.0 * CAST(SUM(COALESCE(h.c, 0))
+      |        OVER (ORDER BY s.train_buckets ROWS UNBOUNDED PRECEDING)
+      |        AS DOUBLE)
+      |      / CAST(t.total_grams AS DOUBLE)) AS BIGINT)
+      |    END AS coverage_micro
+      |FROM spine s
+      |LEFT JOIN hist h ON h.minb = s.train_buckets - 1
+      |CROSS JOIN tot t""".stripMargin
 }

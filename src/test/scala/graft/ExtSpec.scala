@@ -1502,4 +1502,36 @@ class ExtSpec extends SparkSpec {
     assert(got.keySet.forall(
       _ % EmbedDecontam.evalMod != EmbedDecontam.evalRes))
   }
+
+  test("coverage curve: monotone, endpoint = any-bucket coverage, brute replay") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sh3(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    val docs = Tables(spark, dir, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val isEval = (id: Long) => "01".contains(md5hex(id.toString).charAt(0))
+    val bucketOf = (id: Long) =>
+      (java.lang.Long.parseUnsignedLong(
+        md5hex(id.toString).take(15), 16) % 10).toInt
+    val evalGrams = docs.filter(d => isEval(d._1))
+      .flatMap(d => sh3(d._2)).toSet
+    val minb = docs.filterNot(d => isEval(d._1))
+      .flatMap(d => sh3(d._2).map(_ -> bucketOf(d._1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expect = (1 to 10).map { k =>
+      evalGrams.count(g => minb.get(g).exists(_ <= k - 1)).toLong
+    }
+    val got = graft.ext.Dedup.qCoverageCurve(spark, dir)
+      .orderBy("train_buckets").collect()
+    assert(got.map(_.getAs[Long]("covered")).toSeq === expect)
+    assert(got.forall(_.getAs[Long]("total_grams") === evalGrams.size))
+    val cov = got.map(_.getAs[Long]("coverage_micro"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+  }
 }
