@@ -655,6 +655,15 @@ object ScaleCheck {
         // partial agg + a ≤11-row histogram — the dedup_exact shape;
         // the whole 10-point curve costs ONE scan, never a per-k join
         "q_coverage_curve",
+        // Heaps'-law fit: the same min-bucket trick over TOKENS (one
+        // exploded pass, per-type MIN, two 10-row cumsums, OLS on the
+        // constant spine) — vocab grows ~factor under rotation copies,
+        // exercising the per-type MIN agg at its worst
+        "q_heaps_law",
+        // Simpson check: the strat_effect scan re-published as the
+        // ≤10-row per-stratum table + a broadcast 1-row naive — the
+        // ideal one-scan shape
+        "q_simpson_check",
         // DiD: one scan to per-user pre/post sums -> 1-row suff stats,
         // the CUPED shape with a time split instead of a covariate
         "q_did_test",

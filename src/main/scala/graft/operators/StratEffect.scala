@@ -38,9 +38,9 @@ object StratEffect {
   def stratEffect(events: DataFrame): DataFrame =
     stratFromPerUser(Cuped.perUser(events))
 
-  /** The readout from any (arm, x, y) per-user frame
-    * ([[Cuped.perUser]]'s shape; streaming-store entry). */
-  def stratFromPerUser(pu: DataFrame): DataFrame = {
+  /** The ≤[[nStrata]]-row per-stratum effect table — shared by the
+    * pooled readout and [[qSimpsonCheck]]. */
+  def perStratumTable(pu: DataFrame): DataFrame = {
     val mx = pu.agg(max(col("x")).as("max_x"))
     val strata = pu.crossJoin(broadcast(mx))
       .selectExpr("arm", "y", s"(x * $nStrata) div (max_x + 1) as stratum")
@@ -49,12 +49,18 @@ object StratEffect {
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
         sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s_t"),
         sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s_c"))
-    val perStratum = strata.selectExpr("stratum", "n_t", "n_c",
+    strata.selectExpr("stratum", "n_t", "n_c",
       "s_t", "s_c", "n_t + n_c as w",
       """case when n_t = 0 or n_c = 0 then null else
         | cast(round(1000000.0 * (s_t / cast(n_t as double)
         |   - s_c / cast(n_c as double))) as bigint) end
         | as effect_micro""".stripMargin.replace("\n", " "))
+  }
+
+  /** The readout from any (arm, x, y) per-user frame
+    * ([[Cuped.perUser]]'s shape; streaming-store entry). */
+  def stratFromPerUser(pu: DataFrame): DataFrame = {
+    val perStratum = perStratumTable(pu)
     perStratum.agg(
         count(lit(1)).as("n_strata"),
         sum(when(col("effect_micro").isNotNull, 1L).otherwise(0L))
@@ -88,6 +94,82 @@ object StratEffect {
 
   def qStratEffect(spark: SparkSession, dir: String): DataFrame =
     stratEffect(Tables(spark, dir, "events"))
+
+  /** SIMPSON'S-PARADOX CHECK — the per-stratum table the pooled
+    * readout averages over, published row by row with the pooled
+    * (naive) effect beside each stratum and an explicit
+    * `sign_reversed` flag: a stratum whose within-stratum effect
+    * points the OTHER way from the pooled difference is exactly the
+    * aggregation-reversal Simpson 1951 warned about, and the single
+    * most common way a dashboard's topline misleads. Any flagged row
+    * means "the pooled number is not the story — read the strata"
+    * (and [[stratEffect]]'s strat_micro is the corrected combine).
+    * Same scan, same ≤10-row table, zero new corpus-sized work. */
+  def qSimpsonCheck(spark: SparkSession, dir: String): DataFrame = {
+    val pu = Cuped.perUser(Tables(spark, dir, "events"))
+    val naive = pu.agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s_t"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s_c"))
+      .selectExpr(
+        """case when n_t = 0 or n_c = 0 then 0L else
+          | cast(round(1000000.0 * (s_t / cast(n_t as double)
+          |   - s_c / cast(n_c as double))) as bigint) end
+          | as naive_micro""".stripMargin.replace("\n", " "))
+    perStratumTable(pu)
+      .crossJoin(broadcast(naive))
+      .selectExpr("stratum", "n_t", "n_c", "w", "effect_micro",
+        "naive_micro",
+        """effect_micro is not null and
+          | ((effect_micro > 0 and naive_micro < 0) or
+          |  (effect_micro < 0 and naive_micro > 0))
+          | as sign_reversed""".stripMargin.replace("\n", " "))
+  }
+
+  val qSimpsonCheckSql: String =
+    s"""WITH pu AS MATERIALIZED (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS x,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS y,
+       |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+       |      AS UBIGINT) AS BIGINT) % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |mx AS (SELECT MAX(x) AS max_x FROM pu),
+       |strata AS (
+       |  SELECT (x * $nStrata) // (max_x + 1) AS stratum,
+       |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+       |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+       |    SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s_t,
+       |    SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s_c
+       |  FROM pu, mx GROUP BY 1),
+       |per AS (
+       |  SELECT stratum, n_t, n_c, n_t + n_c AS w,
+       |    CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE
+       |      CAST(ROUND(1000000.0 * (s_t / CAST(n_t AS DOUBLE)
+       |        - s_c / CAST(n_c AS DOUBLE))) AS BIGINT) END
+       |      AS effect_micro
+       |  FROM strata),
+       |naive AS (
+       |  SELECT CASE WHEN SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) = 0
+       |      OR SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) = 0 THEN 0
+       |    ELSE CAST(ROUND(1000000.0
+       |      * (SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)
+       |         / CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+       |             AS DOUBLE)
+       |         - SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)
+       |         / CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+       |             AS DOUBLE))) AS BIGINT) END AS naive_micro
+       |  FROM pu)
+       |SELECT CAST(p.stratum AS BIGINT) AS stratum,
+       |  CAST(p.n_t AS BIGINT) AS n_t, CAST(p.n_c AS BIGINT) AS n_c,
+       |  CAST(p.w AS BIGINT) AS w, p.effect_micro,
+       |  n.naive_micro,
+       |  p.effect_micro IS NOT NULL AND
+       |    ((p.effect_micro > 0 AND n.naive_micro < 0) OR
+       |     (p.effect_micro < 0 AND n.naive_micro > 0)) AS sign_reversed
+       |FROM per p CROSS JOIN naive n""".stripMargin
 
   val qStratEffectSql: String =
     s"""WITH pu AS MATERIALIZED (

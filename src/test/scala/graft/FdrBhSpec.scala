@@ -79,4 +79,26 @@ class FdrBhSpec extends SparkSpec {
     FdrStore.store(s"$tmp/store").compact(spark, 2L)
     assert(live === full)
   }
+
+  test("simpson check: strata equal the shared table, flags replay the sign rule") {
+    import graft.operators.{Cuped, StratEffect}
+    val pu = Cuped.perUser(Tables(spark, dir, "events"))
+    val expectStrata = StratEffect.perStratumTable(pu)
+      .collect().map(r => r.getAs[Long]("stratum") ->
+        (Option(r.get(r.fieldIndex("effect_micro"))).map(_
+          .asInstanceOf[Long]), r.getAs[Long]("w"))).toMap
+    val out = StratEffect.qSimpsonCheck(spark, dir).collect()
+    assert(out.length === expectStrata.size)
+    val naive = out.head.getAs[Long]("naive_micro")
+    assert(out.forall(_.getAs[Long]("naive_micro") === naive))
+    out.foreach { r =>
+      val s = r.getAs[Long]("stratum")
+      val eff = Option(r.get(r.fieldIndex("effect_micro")))
+        .map(_.asInstanceOf[Long])
+      assert(eff === expectStrata(s)._1)
+      val expectFlag = eff.exists(e =>
+        (e > 0 && naive < 0) || (e < 0 && naive > 0))
+      assert(r.getAs[Boolean]("sign_reversed") === expectFlag)
+    }
+  }
 }

@@ -132,4 +132,47 @@ class GraphStatsSpec extends SparkSpec {
         r.getAs[Long]("entropy_micro")).toMap
     assert(driver === brute)
   }
+
+  test("heaps law: curve replays brute-force, fit replays OLS on the points") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bucketOf = (id: Long) =>
+      (java.lang.Long.parseUnsignedLong(
+        md5hex(id.toString).take(15), 16) % 10).toInt
+    val docs = Tables(spark, dir, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (w, bucketOf(id))) }
+    val nTok = toks.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val minB = toks.groupBy(_._1).map { case (w, xs) =>
+      w -> xs.map(_._2).min }
+    val expect = (1 to 10).flatMap { k =>
+      val n = (0 until k).map(b => nTok.getOrElse(b, 0)).sum.toLong
+      val v = minB.values.count(_ <= k - 1).toLong
+      if (n > 0 && v > 0) Some((k.toLong, n, v)) else None
+    }
+    val got = CorpusQa.qHeapsLaw(spark, dir)
+      .orderBy("train_buckets").collect()
+    assert(got.map(r => (r.getAs[Long]("train_buckets"),
+      r.getAs[Long]("tokens_cum"), r.getAs[Long]("types_cum"))).toSeq
+      === expect)
+    // OLS replay over the quantized points
+    val xs = got.map(_.getAs[Long]("x_micro"))
+    val ys = got.map(_.getAs[Long]("y_micro"))
+    assert(xs.zip(got).forall { case (x, r) =>
+      x === math.round(1e6 * math.log(r.getAs[Long]("tokens_cum"))) })
+    val np = xs.length.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val beta = math.round(1e6 * (np.toDouble * sxy - sx.toDouble * sy) /
+      (np.toDouble * sxx - sx.toDouble * sx))
+    assert(got.forall(_.getAs[Long]("beta_micro") === beta))
+    // sub-linear vocabulary growth; the synthetic corpus' ~31-word
+    // vocab saturates in the first bucket, so β = 0 is the CORRECT
+    // fit here (flat V(N)) — the bound is [0, 1)
+    assert(beta >= 0L && beta < 1000000L)
+  }
 }
