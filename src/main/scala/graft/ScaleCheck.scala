@@ -675,6 +675,10 @@ object ScaleCheck {
         // running total is PrefixSum's range-partitioned sort — slope
         // ≈ factor·log(factor), never a single-partition window
         "q_mann_whitney",
+        // tail risk rides the same per-value group table + ONE
+        // range-partitioned running count (PrefixSum, descending) —
+        // the mann_whitney shape with a broadcast 1-row cut
+        "q_tail_risk",
         // Kneser-Ney SERVING (model memoized per dir — the production
         // train-once lifetime; training slope is q_kn_fit below): the
         // corpus bigram stream joined to the vocab-bounded count
