@@ -749,8 +749,42 @@ object ScaleCheck {
         // bottom-S sample REGARDLESS of hub degree — the cap is
         // exactly what this row exercises: uncapped wedges would be
         // Σd² ≈ factor²
-        "q_link_predict")
+        "q_link_predict",
+        // round-14 session 4 — qini: one scan → per-user triple
+        // (users ~factor), two-level global row number, 10-row decile
+        // table (the mann_whitney sort shape)
+        "q_qini",
+        // shapley channels: one scan → per-user mask partial agg →
+        // ≤16-row coalition game; the ideal linear shape with a
+        // constant-size driver tail
+        "q_shapley_channels",
+        // FD profile: one scan, |candidates| explode fan-out, one
+        // histogram shuffle whose cardinality rides the lhs key
+        // growth (~factor for the orderkey candidates)
+        "q_fd_discover",
+        // inclusion deps: per-candidate distinct-project shuffles
+        // (child cardinality ~factor for the fact-side keys) + one
+        // value-keyed join each
+        "q_inclusion_deps",
+        // HITS: same memoized edge build as pagerank (edges ~factor
+        // under constant basket sizes), 6 half-steps of join +
+        // partial agg, 1-row broadcast normalizers
+        "q_hits")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      // t-closeness against the scaled population twin (the
+      // k_anonymity posture): class count fixed, class sizes ~factor;
+      // one (class, band) histogram shuffle then bounded-grid sweeps
+      "q_t_closeness" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/customer_scaled.parquet")
+        val c = if (f.exists) s.read.parquet(f.getPath)
+                else Tables(s, d, "customer")
+        graft.operators.Anonymity.tClosenessProfile(
+          c.withColumn("bal_band",
+            org.apache.spark.sql.functions.floor(
+              org.apache.spark.sql.functions.col("c_acctbal") / 1000.0)
+              .cast(org.apache.spark.sql.types.LongType)),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band")
+      }),
       // round-14 (verdict ask #8): the heuristic curate gate's
       // stopword predicate collapses on the rotated corpus (only
       // copy-0 keeps stopwords), so q_curate_e2e's scale row proves

@@ -224,4 +224,97 @@ object Anonymity {
       |FROM classes CROSS JOIN ks
       |GROUP BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // T-CLOSENESS — the third rung of the release-privacy ladder
+  // (k-anonymity → l-diversity → t-closeness; Li, Li &
+  // Venkatasubramanian 2007): a class can be large (k ok) and
+  // diverse (l ok) yet still leak — if its sensitive DISTRIBUTION
+  // differs sharply from the global one, membership alone updates an
+  // adversary's belief. t is the Earth Mover's Distance between the
+  // class and global sensitive distributions; for a 1-D ordered
+  // attribute with m equally-spaced values,
+  //   EMD = Σᵢ₌₁^{m−1} |Σ_{j≤i}(p_j − q_j)| / (m − 1),
+  // held EXACT as cross-multiplied integers: the inner cumulative is
+  // r_i = Σ_{j≤i} (cnt_class_j·n − cnt_glob_j·sz) and
+  //   t_micro = 10⁶·Σ|r_i| div (sz·n·(m−1))
+  // (Θ(n²) masses → DECIMAL(38,0)/HUGEINT before the collapsing
+  // division). One corpus shuffle builds the (class, band) histogram;
+  // the dense grid, cumulative sweep and EMD are over the bounded
+  // |classes|×|bands| table.
+  // ---------------------------------------------------------------
+
+  /** Per-class t table over any frame: `qi` the quasi-identifier,
+    * `sensitive` an ORDERED (numeric) attribute. */
+  def tClosenessProfile(df: DataFrame, qi: Seq[String],
+                        sensitive: String): DataFrame = {
+    val qc = qi.map(col)
+    val cc = df.groupBy(qc :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("cc"))
+    val cls = cc.groupBy(qc: _*).agg(sum("cc").as("sz"))
+    val g = cc.groupBy(col(sensitive)).agg(sum("cc").as("gc"))
+    val tot = g.agg(sum("gc").as("n"), count(lit(1)).as("m"))
+    val grid = cls.crossJoin(broadcast(g))
+      .join(cc, qi :+ sensitive, "left")
+      .na.fill(0L, Seq("cc"))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(qc: _*)
+      .orderBy(col(sensitive).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("r", sum(col("cc") * col("n") - col("gc") * col("sz"))
+        .over(w))
+      .groupBy(qc :+ col("sz").as("sz") :+ col("n").as("n")
+        :+ col("m").as("m"): _*)
+      .agg(sum(abs(col("r"))).as("sabs"))
+      .select(qc :+ col("sz") :+
+        expr("""case when m <= 1 then 0L else cast(
+                | (cast(sabs as decimal(38,0)) * 1000000L)
+                |   div (cast(sz as decimal(38,0)) * n * (m - 1))
+                | as bigint) end""".stripMargin.replace("\n", " "))
+          .as("t_micro"): _*)
+      .orderBy(qc: _*)
+  }
+
+  /** Driver query: same instantiation as [[qKAnonymity]] — the
+    * (nation, segment) quasi-identifier against the banded balance. */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessProfile(
+      Tables(spark, dir, "customer")
+        .withColumn("bal_band",
+          (floor(col("c_acctbal") / 1000.0)).cast(LongType)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band")
+
+  val qTClosenessSql: String =
+    """WITH cc AS MATERIALIZED (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(SUM(cc) AS BIGINT) AS sz
+      |  FROM cc GROUP BY 1, 2),
+      |g AS (SELECT bal_band, CAST(SUM(cc) AS BIGINT) AS gc
+      |  FROM cc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS m FROM g),
+      |grid AS (
+      |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.sz,
+      |    g.bal_band, g.gc, COALESCE(cc.cc, 0) AS cc, tot.n, tot.m
+      |  FROM cls CROSS JOIN g CROSS JOIN tot
+      |  LEFT JOIN cc ON cc.c_nationkey = cls.c_nationkey
+      |    AND cc.c_mktsegment = cls.c_mktsegment
+      |    AND cc.bal_band = g.bal_band),
+      |r AS (
+      |  SELECT c_nationkey, c_mktsegment, sz, n, m,
+      |    SUM(cc * n - gc * sz) OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY bal_band ROWS UNBOUNDED PRECEDING) AS r
+      |  FROM grid)
+      |SELECT c_nationkey, c_mktsegment, sz,
+      |  CASE WHEN m <= 1 THEN 0 ELSE CAST(
+      |    (CAST(SUM(ABS(r)) AS HUGEINT) * 1000000)
+      |      // (CAST(sz AS HUGEINT) * n * (m - 1)) AS BIGINT) END
+      |    AS t_micro
+      |FROM r GROUP BY c_nationkey, c_mktsegment, sz, n, m
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

@@ -64,6 +64,11 @@ object ExperimentStore {
       sum(when(isPurchase && col("ts") < lit(d).cast("timestamp"), cents)
         .otherwise(0L)).as(s"look_c${i + 1}")
     }
+    val chBits = graft.operators.ShapleyAttrib.channels.zipWithIndex
+      .map { case (c, i) =>
+        max(when(col("event_type") === c, lit(1L << i)).otherwise(0L))
+          .as(s"ch_$c")
+      }
     batch.groupBy("user_id").agg(
       sum(when(isPurchase, 1L).otherwise(0L)).as("purchases"),
       (sum(when(!isPurchase, 1L).otherwise(0L)).as("nonpurchases") +:
@@ -72,7 +77,11 @@ object ExperimentStore {
           .as("pre_cents") +:
         sum(when(isPurchase && col("ts") >= split, cents).otherwise(0L))
           .as("post_cents") +:
-        lookSums :+
+        lookSums :++
+        // per-channel exposure bits: single-bit columns, so per-key
+        // MAX ≡ bit-OR across batches — the Shapley coalition mask is
+        // their sum in the view, never stored
+        chBits :+
         min(unix_micros(col("ts"))).as("first_ts_us") :+
         max(unix_micros(col("ts"))).as("last_ts_us") :+
         min(when(isPurchase && cents >= KaplanMeier.bigCents,
@@ -86,7 +95,8 @@ object ExperimentStore {
           "post_cents")
           ++ (1 to GroupSeq.looks).map(k => s"look_c$k"),
         minCols = Seq("first_ts_us", "big_ts_us"),
-        maxCols = Seq("last_ts_us")))
+        maxCols = Seq("last_ts_us")
+          ++ graft.operators.ShapleyAttrib.channels.map(c => s"ch_$c")))
 
   def appendExperimentBatch(spark: SparkSession, batch: DataFrame,
                             storePath: String, batchId: Long): Unit =
@@ -217,6 +227,27 @@ object ExperimentStore {
   /** Live RMST ≡ [[Rmst.rmst]]. */
   def rmstView(spark: SparkSession, storePath: String): DataFrame =
     Rmst.rmstFromPerUser(armedClocks(spark, storePath))
+
+  /** Live Qini uplift curve ≡ [[graft.operators.Uplift.qQini]]:
+    * conversion re-derives from the purchases sum (a user can convert
+    * in a later batch), the targeting score IS the nonpurchases sum —
+    * zero new state. */
+  def qiniView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Uplift.qiniFromPerUser(
+      perUserView(spark, storePath).select(col("user_id"), col("arm"),
+        when(col("purchases") > 0L, 1L).otherwise(0L).as("conv"),
+        col("nonpurchases").as("score")))
+
+  /** Live Shapley channel attribution ≡
+    * [[graft.operators.ShapleyAttrib.qShapleyChannels]]: the coalition
+    * mask re-assembles from the per-channel single-bit MAX lattices
+    * (bit-OR across batches), conversion from the purchases sum. */
+  def shapleyView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.ShapleyAttrib.shapleyFromMasks(
+      perUserView(spark, storePath).select(
+        graft.operators.ShapleyAttrib.channels
+          .map(c => col(s"ch_$c")).reduce(_ + _).as("mask"),
+        when(col("purchases") > 0L, 1L).otherwise(0L).as("conv")))
 
   /** Wire the stream; `compactEvery` > 0 enables the cadenced fold. */
   def runExperimentStream(spark: SparkSession, uploadDir: String,

@@ -70,7 +70,15 @@ class ExperimentStoreSpec extends SparkSpec {
       // delta as K schedule-parameterized sum columns
       ("groupseq", () =>
         rows(ExperimentStore.groupSeqView(spark, s"$tmp/store")),
-        rows(GroupSeq.groupSeq(all))))
+        rows(GroupSeq.groupSeq(all))),
+      // round 14 session 4: qini rides the existing sums; shapley the
+      // per-channel single-bit MAX lattices (bit-OR across batches)
+      ("qini", () => rows(ExperimentStore.qiniView(spark, s"$tmp/store")),
+        rows(graft.operators.Uplift.qiniFromPerUser(
+          graft.operators.Uplift.perUserUplift(all)))),
+      ("shapley", () =>
+        rows(ExperimentStore.shapleyView(spark, s"$tmp/store")),
+        rows(graft.operators.ShapleyAttrib.shapleyChannels(all))))
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"live $name view != batch")
     }
