@@ -769,7 +769,14 @@ object ScaleCheck {
         // HITS: same memoized edge build as pagerank (edges ~factor
         // under constant basket sizes), 6 half-steps of join +
         // partial agg, 1-row broadcast normalizers
-        "q_hits")
+        "q_hits",
+        // burstiness: (type, hour) histogram rides a FIXED calendar
+        // spine (copies keep the ts range); the gap window partitions
+        // by (user, type) — users ~factor, per-partition size constant
+        "q_burstiness",
+        // off-policy eval: one scan → per-user agg → ONE 1-row
+        // aggregate carrying every policy's sums (the ab_test shape)
+        "q_offpolicy_eval")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

@@ -238,6 +238,15 @@ object ExperimentStore {
         when(col("purchases") > 0L, 1L).otherwise(0L).as("conv"),
         col("nonpurchases").as("score")))
 
+  /** Live IPS/SNIPS off-policy readout ≡
+    * [[graft.operators.OffPolicy.qOffPolicyEval]]: the logged tuple
+    * (arm from the coin, activity = nonpurchases, reward = cents) is
+    * already on the store — zero new state. */
+  def offPolicyView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.OffPolicy.offPolicyFromPerUser(
+      perUserView(spark, storePath).select(col("user_id"), col("arm"),
+        col("nonpurchases").as("activity"), col("cents")))
+
   /** Live Shapley channel attribution ≡
     * [[graft.operators.ShapleyAttrib.qShapleyChannels]]: the coalition
     * mask re-assembles from the per-channel single-bit MAX lattices

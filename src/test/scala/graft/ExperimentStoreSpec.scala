@@ -78,7 +78,11 @@ class ExperimentStoreSpec extends SparkSpec {
           graft.operators.Uplift.perUserUplift(all)))),
       ("shapley", () =>
         rows(ExperimentStore.shapleyView(spark, s"$tmp/store")),
-        rows(graft.operators.ShapleyAttrib.shapleyChannels(all))))
+        rows(graft.operators.ShapleyAttrib.shapleyChannels(all))),
+      ("offpolicy", () =>
+        rows(ExperimentStore.offPolicyView(spark, s"$tmp/store")),
+        rows(graft.operators.OffPolicy.offPolicyFromPerUser(
+          graft.operators.OffPolicy.perUserLogged(all)))))
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"live $name view != batch")
     }
