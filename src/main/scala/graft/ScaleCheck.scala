@@ -776,7 +776,14 @@ object ScaleCheck {
         "q_burstiness",
         // off-policy eval: one scan → per-user agg → ONE 1-row
         // aggregate carrying every policy's sums (the ab_test shape)
-        "q_offpolicy_eval")
+        "q_offpolicy_eval",
+        // paired-series diagnostics: one scan → (hour, type) rollup;
+        // the spine/lag/Cramer work is calendar-bounded (the Autocorr
+        // exemption), so the slope is the scan alone
+        "q_xcorr", "q_granger",
+        // ANOVA: one scan → |sources| sufficient-statistic rows
+        // (groups fixed under copies, sizes ~factor), 1-row verdict
+        "q_anova")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;
