@@ -249,8 +249,13 @@ object Anonymity {
   def tClosenessProfile(df: DataFrame, qi: Seq[String],
                         sensitive: String): DataFrame = {
     val qc = qi.map(col)
-    val cc = df.groupBy(qc :+ col(sensitive): _*)
-      .agg(count(lit(1)).as("cc"))
+    // the (class, band) histogram feeds FOUR legs (class sizes, global
+    // band counts, totals, and the dense-grid join) — materialize the
+    // bounded table once so the corpus is scanned once, not four times
+    // (plan-asserted in PlanAuditR14Spec)
+    val (cc, _) = graft.util.Checkpoints.checkpointTracked(
+      df.groupBy(qc :+ col(sensitive): _*)
+        .agg(count(lit(1)).as("cc")))
     val cls = cc.groupBy(qc: _*).agg(sum("cc").as("sz"))
     val g = cc.groupBy(col(sensitive)).agg(sum("cc").as("gc"))
     val tot = g.agg(sum("gc").as("n"), count(lit(1)).as("m"))

@@ -33,9 +33,13 @@ object Anova {
   /** ANOVA over any (g, y) frame — g the group label, y an integer
     * response. */
   def anova(df: DataFrame): DataFrame = {
-    val grp = df.groupBy("g").agg(count(lit(1)).as("n_g"),
-      sum("y").as("s_g"),
-      expr("sum(cast(y as decimal(38,0)) * y)").as("q_g"))
+    // |groups| sufficient-statistic rows, materialized once: the
+    // verdict chain AND the output join both consume it — without the
+    // checkpoint each would re-scan the corpus (plan-asserted)
+    val (grp, _) = graft.util.Checkpoints.checkpointTracked(
+      df.groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum("y").as("s_g"),
+        expr("sum(cast(y as decimal(38,0)) * y)").as("q_g")))
     val w = Window.orderBy(col("g"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ordered double fold of the between-group terms

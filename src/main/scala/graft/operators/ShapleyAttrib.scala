@@ -79,9 +79,14 @@ object ShapleyAttrib {
   def shapleyFromMasks(masks: DataFrame): DataFrame = {
     val spark = masks.sparkSession
     import spark.implicits._
-    // ≤2^|C|-row histogram of converted users by exact exposure set
-    val hist = masks.filter(col("conv") === 1L)
-      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // ≤2^|C|-row histogram of converted users by exact exposure set —
+    // materialized ONCE: the game frame v is consumed twice by the
+    // marginal sweep and once by the efficiency total, and without the
+    // checkpoint each consumer would re-scan the corpus
+    // (plan-asserted in PlanAuditR14Spec)
+    val (hist, _) = graft.util.Checkpoints.checkpointTracked(
+      masks.filter(col("conv") === 1L)
+        .groupBy("mask").agg(count(lit(1)).as("cnt")))
     // v(S) = Σ_{m ⊆ S} cnt(m): 16×16 subset-sum, all broadcast
     val coal = spark.range(0, full + 1).toDF("s")
     val v = coal.join(broadcast(hist),

@@ -30,10 +30,13 @@ import graft.Tables
   * 2×2/3×3 normal equations — every determinant a polynomial in the
   * same exact longs, mirrored token for token by the oracle.
   *
-  * Scale shape: ONE corpus scan → (hour, type) partial agg; the spine
-  * is calendar-bounded (a century < 10⁶ rows — the documented
-  * [[Autocorr]] single-partition-window exemption), so lag windows,
-  * stacks and the 1-row sufficient statistics are all bounded work. */
+  * Scale shape: the dense-spine pattern's two corpus passes (the
+  * bounds probe + the (hour, type) partial agg the spine joins back
+  * to — the [[Autocorr]] shape, plan-asserted ≤ 2 in
+  * PlanAuditR14Spec); the spine is calendar-bounded (a century < 10⁶
+  * rows — the documented single-partition-window exemption), so lag
+  * windows, stacks and the 1-row sufficient statistics are all
+  * bounded work. */
 object TimeSeriesPair {
 
   val xcorrMaxLag = 12
