@@ -31,16 +31,16 @@ import graft.Tables
   */
 object EventDynamics {
 
-  def burstiness(events: DataFrame): DataFrame = {
-    val hoursSpan = events.agg(
-      expr("(max(unix_micros(ts)) - min(unix_micros(ts)))" +
-        " div 3600000000 + 1").as("h"))
-    // hourly counts per type; empty hours enter via the global span H
-    val hourly = events
-      .groupBy(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("hour"))
-      .agg(count(lit(1)).as("c"))
-    val fano = hourly.groupBy("event_type")
+  /** Fano leg over an (event_type, hour, c) rollup — the shared
+    * definition the batch query AND the hourly-count-store
+    * [[graft.streaming.EventStreams.fanoView]] both consume. The span
+    * H counts CALENDAR HOUR BUCKETS (max hour − min hour + 1), so a
+    * store that only keeps the rollup reproduces the statistic
+    * exactly. */
+  def fanoOverHourly(hourly: DataFrame): DataFrame = {
+    val hoursSpan = hourly.agg(
+      (max(col("hour")) - min(col("hour")) + 1L).as("h"))
+    hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours_occupied"),
         sum("c").as("s_c"),
         expr("sum(cast(c as decimal(38,0)) * c)").as("sq_c"))
@@ -52,6 +52,15 @@ object EventDynamics {
                 |              - cast(s_c as decimal(38,0)) * s_c))
                 |   div (cast(h as decimal(38,0)) * s_c) as bigint) end"""
           .stripMargin.replace("\n", " ")).as("fano_micro"))
+  }
+
+  def burstiness(events: DataFrame): DataFrame = {
+    // hourly counts per type; empty hours enter via the global span H
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val fano = fanoOverHourly(hourly)
     // within-user inter-arrival gaps (seconds), pooled per type
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -90,15 +99,12 @@ object EventDynamics {
     burstiness(Tables(spark, dir, "events"))
 
   val qBurstinessSql: String =
-    """WITH span AS (
-      |  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
-      |    // 3600000000 + 1 AS h
-      |  FROM events),
-      |hourly AS (
+    """WITH hourly AS MATERIALIZED (
       |  SELECT event_type,
       |    epoch_us(ts) // 3600000000 AS hour,
       |    CAST(COUNT(*) AS BIGINT) AS c
       |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MAX(hour) - MIN(hour) + 1 AS h FROM hourly),
       |fano AS (
       |  SELECT event_type,
       |    CAST(COUNT(*) AS BIGINT) AS n_hours_occupied,

@@ -44,21 +44,31 @@ object TimeSeriesPair {
   /** F saturation sentinel (micro) for a perfect full-model fit. */
   val fSatMicro = 999999999999L
 
-  /** Dense (h, x, y) spine: x = hourly clicks, y = hourly purchases,
-    * zeros filled. */
-  def pairSpine(events: DataFrame): DataFrame = {
-    val counts = events
+  /** Dense (h, x, y) spine from an (event_type, h, n) hourly rollup —
+    * the shared definition the batch queries AND the hourly-count-
+    * store views ([[graft.streaming.EventStreams.xcorrView]]/
+    * [[graft.streaming.EventStreams.grangerView]]) both consume. */
+  def pairSpineOverHourly(hourly: DataFrame): DataFrame = {
+    val counts = hourly
       .filter(col("event_type").isin("click", "purchase"))
-      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("x"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("y"))
+      .groupBy("h")
+      .agg(sum(when(col("event_type") === "click", col("n"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", col("n"))
+          .otherwise(0L)).as("y"))
     counts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("h"))
       .join(counts, Seq("h"), "left")
       .na.fill(0L, Seq("x", "y"))
   }
+
+  /** Dense (h, x, y) spine: x = hourly clicks, y = hourly purchases,
+    * zeros filled. */
+  def pairSpine(events: DataFrame): DataFrame =
+    pairSpineOverHourly(events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n")))
 
   /** CCF at lags −maxL..maxL: r(ℓ) = Pearson(x_t, y_{t+ℓ}). */
   def xcorr(spine: DataFrame, maxL: Int = xcorrMaxLag): DataFrame = {

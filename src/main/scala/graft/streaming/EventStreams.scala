@@ -306,6 +306,42 @@ object EventStreams extends Serializable {
         .groupBy(expr("unix_micros(ws) div 3600000000").as("h"))
         .agg(sum(col("n_events")).as("c")))
 
+  /** STREAMING CROSS-CORRELATION VIEW —
+    * [[graft.operators.TimeSeriesPair]]'s lagged CCF served from the
+    * hourly count store via the shared `pairSpineOverHourly`
+    * definition: the (type, hour) rollup IS the two series, so the
+    * spine, lag windows and per-lag Pearson sums ride |hours| rows,
+    * never events. Equal to the batch q_xcorr on the absorbed corpus
+    * once all hours are watermark-finalized (spec-proven). */
+  def xcorrView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.TimeSeriesPair.xcorr(hourlyPairSpine(spark, storePath))
+
+  /** STREAMING GRANGER VIEW — the predictive F test served from the
+    * same spine; 1-row refresh cost per dashboard read. */
+  def grangerView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.TimeSeriesPair.granger(
+      hourlyPairSpine(spark, storePath))
+
+  private def hourlyPairSpine(spark: SparkSession,
+                              storePath: String): DataFrame =
+    graft.operators.TimeSeriesPair.pairSpineOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"),
+          expr("unix_micros(ws) div 3600000000").as("h"),
+          col("n_events").as("n")))
+
+  /** STREAMING FANO VIEW — [[graft.operators.EventDynamics]]'s
+    * dispersion leg served from the hourly count store via the shared
+    * `fanoOverHourly` definition (the span counts hour BUCKETS, so
+    * the rollup is sufficient). The inter-arrival burstiness leg
+    * needs per-user gaps and stays batch-only — stated, not hidden. */
+  def fanoView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.EventDynamics.fanoOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"),
+          expr("unix_micros(ws) div 3600000000").as("hour"),
+          col("n_events").as("c")))
+
   /** STREAMING EWMA VIEW — [[graft.operators.Ewma]]'s level monitor
     * served from the hourly count store via the shared `ewmaOver`
     * definition; the lag window rides the stored |types×hours| rollup,

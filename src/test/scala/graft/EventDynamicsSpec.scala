@@ -55,6 +55,32 @@ class EventDynamicsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("fano_micro") >= 0L))
   }
 
+  test("streaming fano view == the batch fano leg on fully-finalized data") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("fano-stream")
+      .toFile.getAbsolutePath
+    val ev = Tables(spark, dir, "events")
+    ev.coalesce(1).write.parquet(s"$tmp/src/part0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/src/part0").schema)
+      .parquet(s"$tmp/src/*")
+    graft.streaming.EventStreams
+      .runHourlyCountStream(spark, src, s"$tmp/store", s"$tmp/ckpt")
+      .awaitTermination()
+    val hmax = spark.read.parquet(s"$tmp/store")
+      .agg(max(expr("unix_micros(ws) div 3600000000"))).head.getLong(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq.sorted
+    val want = EventDynamics.fanoOverHourly(
+      ev.groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("hour") <= hmax))
+    assert(rows(graft.streaming.EventStreams.fanoView(spark, s"$tmp/store"))
+      === rows(want))
+  }
+
   private def puDf(rows: Seq[(Long, Long, Long, Long)]) = {
     val schema = StructType(Seq(
       StructField("user_id", LongType, false),

@@ -114,6 +114,34 @@ class TimeSeriesPairSpec extends SparkSpec {
     assert(flat.forall(_.getAs[Long]("f_micro") === 0L))
   }
 
+  test("streaming xcorr/granger views == batch on fully-finalized data") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("tsp-stream")
+      .toFile.getAbsolutePath
+    val ev = Tables(spark, dir, "events")
+    ev.coalesce(1).write.parquet(s"$tmp/src/part0")
+    val src = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/src/part0").schema)
+      .parquet(s"$tmp/src/*")
+    graft.streaming.EventStreams
+      .runHourlyCountStream(spark, src, s"$tmp/store", s"$tmp/ckpt")
+      .awaitTermination()
+    val hmax = spark.read.parquet(s"$tmp/store")
+      .agg(max(expr("unix_micros(ws) div 3600000000"))).head.getLong(0)
+    val batchSpine = TimeSeriesPair.pairSpineOverHourly(
+      ev.groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("h") <= hmax))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(rows(graft.streaming.EventStreams.xcorrView(spark, s"$tmp/store"))
+      === rows(TimeSeriesPair.xcorr(batchSpine)))
+    assert(rows(graft.streaming.EventStreams.grangerView(spark, s"$tmp/store"))
+      === rows(TimeSeriesPair.granger(batchSpine)))
+  }
+
   test("anova driver query: one row per source, shared verdict columns") {
     val out = Anova.qAnova(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
