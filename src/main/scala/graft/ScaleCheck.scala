@@ -783,7 +783,12 @@ object ScaleCheck {
         "q_xcorr", "q_granger",
         // ANOVA: one scan → |sources| sufficient-statistic rows
         // (groups fixed under copies, sizes ~factor), 1-row verdict
-        "q_anova")
+        "q_anova",
+        // cube: one Expand + partial agg (the rollup plan, 4 levels)
+        "q_cube",
+        // soft dedup: cluster histogram + one annotate join back —
+        // output rows grow exactly ~factor (every doc keeps a row)
+        "q_soft_dedup")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

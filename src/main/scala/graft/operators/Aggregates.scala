@@ -126,6 +126,29 @@ object Aggregates {
       |GROUP BY GROUPING SETS (
       |  (l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
 
+  /** CUBE — the full 2^d grouping lattice, completing the
+    * rollup/grouping-sets family: one Expand + one partial
+    * hash-aggregate pass (the [[qRollup]] plan shape with 4 levels
+    * instead of 3), never a UNION ALL of separate GROUP BYs.
+    * grouping() flags disambiguate a real NULL key from a subtotal
+    * row, the standard CUBE-consumption contract. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("cast(grouping(l_returnflag) as int)").as("g_rf"),
+        expr("cast(grouping(l_linestatus) as int)").as("g_ls"),
+        count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** NTILE deciles of customer spend — the quantile-bucketing reporting
     * op ("which spend decile is this account in"), WITHOUT the
     * single-partition window `ntile()` plans: decile is computed from
