@@ -788,7 +788,10 @@ object ScaleCheck {
         "q_cube",
         // soft dedup: cluster histogram + one annotate join back —
         // output rows grow exactly ~factor (every doc keeps a row)
-        "q_soft_dedup")
+        "q_soft_dedup",
+        // source ablation: one map-only gate scan -> |sources| rows +
+        // a 1-row broadcast total — the ideal linear shape
+        "q_source_ablation")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

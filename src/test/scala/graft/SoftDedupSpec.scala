@@ -39,6 +39,36 @@ class SoftDedupSpec extends SparkSpec {
     assert(aMass === 999999L)
   }
 
+  test("source ablation: hand-computed LOO deltas; single-source guard") {
+    import graft.ext.SourceAblation
+    val schema = StructType(Seq(StructField("source", StringType, false),
+      StructField("pass", LongType, false)))
+    def flags(rows: Seq[(String, Long)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2)), 2), schema)
+    // A passes 1/2, B passes 2/2: overall 3/4; without A = 1e6,
+    // without B = 500000 -> deltas +250000 / -250000
+    val out = SourceAblation.sourceAblation(flags(Seq(
+        ("A", 1L), ("A", 0L), ("B", 1L), ("B", 1L))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("loo_rate_micro") === 1000000L)
+    assert(out("A").getAs[Long]("delta_micro") === 250000L)
+    assert(out("B").getAs[Long]("delta_micro") === -250000L)
+    // a corpus that IS one source: guard, not a division by zero
+    val solo = SourceAblation.sourceAblation(flags(Seq(("A", 1L))))
+      .collect()(0)
+    assert(!solo.getAs[Boolean]("ablatable"))
+    assert(solo.getAs[Long]("loo_rate_micro") === 0L)
+  }
+
+  test("source ablation driver query: one row per source, rates in range") {
+    val out = graft.ext.SourceAblation.qSourceAblation(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val p = r.getAs[Long]("pass_rate_micro"); p >= 0L && p <= 1000000L })
+    assert(out.forall(_.getAs[Boolean]("ablatable")))
+  }
+
   test("soft dedup driver query: every document keeps a row; uniques weigh 1") {
     val out = SoftDedup.qSoftDedup(spark, dir).collect()
     assert(out.length === Tables(spark, dir, "documents").count())
