@@ -791,7 +791,50 @@ object ScaleCheck {
         "q_soft_dedup",
         // source ablation: one map-only gate scan -> |sources| rows +
         // a 1-row broadcast total — the ideal linear shape
-        "q_source_ablation")
+        "q_source_ablation",
+        // round-14 session 5 — Cliff's delta: the EXACT mann_whitney
+        // plan (one scan → per-user agg → distinct-value prefix sum)
+        // plus a 1-row post-projection; slope must track q_mann_whitney
+        "q_cliffs_delta",
+        // Nelson-Aalen: the kaplan_meier shape — one scan → per-user
+        // clock triple → bounded duration-domain life table; the
+        // cumulative window is over calendar days, never users
+        "q_nelson_aalen",
+        // chi²/Cramér-V: one (lang, source) partial agg (grid bounded
+        // by both domains), then grid-sized densify + 1-row verdict —
+        // the mix_drift boundedness contract
+        "q_chi2_assoc",
+        // Bayes A/B: one scan → per-user agg → ONE 1-row integer
+        // aggregate (the ab_test shape, cheapest possible)
+        "q_bayes_ab",
+        // entropy l-diversity: one (class, value) histogram shuffle,
+        // grid-sized joins after (the t_closeness shape minus the
+        // dense grid)
+        "q_l_diversity",
+        // readability: ONE map-only documents scan → |sources| rows —
+        // the source_ablation shape (regex counts make the scan
+        // honest under rotation)
+        "q_readability",
+        // Brown double-EWMA + forecast eval: one partial agg to the
+        // |types×hours| rollup; spine/lag work calendar-bounded (the
+        // Autocorr exemption — slope is the scan alone)
+        "q_double_ewma", "q_forecast_eval",
+        // TextRank: adjacent-pair partial agg (edge set bounded by
+        // DISTINCT bigrams — saturates under Heaps' law while counts
+        // grow), then 3 rounds of broadcast join over the vocab graph
+        "q_textrank",
+        // STL-lite: one partial agg to the |types×hours| rollup; the
+        // centered MA and hod means are calendar-bounded
+        "q_stl_decompose",
+        // degree power law: the memoized edge build (~factor) + one
+        // degree partial agg + a 1-row MLE
+        "q_degree_powerlaw",
+        // runs test: the cusum shape — one rollup partial agg,
+        // calendar-bounded spine windows, 1 row per type
+        "q_runs_test",
+        // McNemar: the rater_kappa shape — one map-only two-gate scan
+        // to a 4-cell aggregate
+        "q_mcnemar")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

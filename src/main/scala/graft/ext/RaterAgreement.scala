@@ -51,11 +51,7 @@ object RaterAgreement {
     * ([[graft.streaming.CalibrationStore]]) can serve it from the
     * absorbed 2×2 monoid. */
   def kappaFromVerdicts(v: DataFrame): DataFrame =
-    kappaFromCells(v.agg(
-        sum((col("ra") === 1 && col("rb") === 1).cast("bigint")).as("kk"),
-        sum((col("ra") === 1 && col("rb") === 0).cast("bigint")).as("kd"),
-        sum((col("ra") === 0 && col("rb") === 1).cast("bigint")).as("dk"),
-        sum((col("ra") === 0 && col("rb") === 0).cast("bigint")).as("dd")))
+    kappaFromCells(cellsFromVerdicts(v))
 
   /** Pivot summed (ra, rb, c) verdict-count rows into the 1-row
     * (kk, kd, dk, dd) cell frame — the streaming store's read path
@@ -121,7 +117,9 @@ object RaterAgreement {
   def qRaterKappa(spark: SparkSession, dir: String): DataFrame =
     kappaFromVerdicts(raterVerdicts(Tables(spark, dir, "documents")))
 
-  val qRaterKappaSql: String =
+  /** Shared verdict + 2×2-cell CTE text (both oracle queries replay
+    * the identical gates and cells). */
+  private val cellCteSql: String =
     s"""WITH v AS (
       |  SELECT
       |    CASE WHEN length(text) >= 100
@@ -151,7 +149,10 @@ object RaterAgreement {
       |      AS BIGINT) AS dk,
       |    CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS dd
-      |  FROM v),
+      |  FROM v)""".stripMargin
+
+  val qRaterKappaSql: String =
+    s"""$cellCteSql,
       |m AS (
       |  SELECT kk, kd, dk, dd, kk + kd + dk + dd AS n,
       |    CAST(kk + kd AS HUGEINT) * (kk + dk)
@@ -175,4 +176,57 @@ object RaterAgreement {
       |       - CAST(pe_mass AS DOUBLE)))
       |    AS BIGINT) END AS kappa_micro
       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // McNEMAR'S TEST (McNemar 1947) — the PAIRED significance question
+  // kappa doesn't answer: the two gates disagree on kd + dk docs; is
+  // the disagreement SYMMETRIC (both gates equally strict, just
+  // different) or does one gate systematically keep more? Only the
+  // discordant cells carry information:
+  //   χ² = (kd − dk)² / (kd + dk),  1 dof.
+  // ---------------------------------------------------------------
+
+  /** The test over a 1-row (kk, kd, dk, dd) cell frame — same input
+    * contract as [[kappaFromCells]], so the streaming
+    * CalibrationStore twin serves it from the absorbed 2×2 monoid. */
+  def mcnemarFromCells(cells: DataFrame): DataFrame =
+    cells.selectExpr("kk + kd + dk + dd as n_docs",
+        "kd as a_only_keep", "dk as b_only_keep",
+        """case when kd + dk = 0 then 0L else
+          | cast(round(1000000.0
+          |   * cast((kd - dk) * cast(kd - dk as decimal(38,0))
+          |       as double)
+          |   / cast(kd + dk as double)) as bigint)
+          | end as stat_micro""".stripMargin.replace("\n", " "))
+      .withColumn("asymmetric",
+        col("stat_micro") >= graft.operators.AbTest.chi2CritMicro)
+
+  /** Driver query: McNemar between the same two gates as
+    * [[qRaterKappa]] — one scan, one 4-cell aggregate. */
+  def qMcnemar(spark: SparkSession, dir: String): DataFrame =
+    mcnemarFromCells(cellsFromVerdicts(
+      raterVerdicts(Tables(spark, dir, "documents"))))
+
+  /** The 4-cell aggregate shared by both tests. */
+  def cellsFromVerdicts(v: DataFrame): DataFrame =
+    v.agg(
+      sum((col("ra") === 1 && col("rb") === 1).cast("bigint")).as("kk"),
+      sum((col("ra") === 1 && col("rb") === 0).cast("bigint")).as("kd"),
+      sum((col("ra") === 0 && col("rb") === 1).cast("bigint")).as("dk"),
+      sum((col("ra") === 0 && col("rb") === 0).cast("bigint")).as("dd"))
+
+  val qMcnemarSql: String =
+    s"""$cellCteSql
+      |SELECT kk + kd + dk + dd AS n_docs,
+      |  kd AS a_only_keep, dk AS b_only_keep,
+      |  CASE WHEN kd + dk = 0 THEN 0 ELSE
+      |    CAST(ROUND(1000000.0
+      |      * CAST((kd - dk) * CAST(kd - dk AS HUGEINT) AS DOUBLE)
+      |      / CAST(kd + dk AS DOUBLE)) AS BIGINT) END AS stat_micro,
+      |  (CASE WHEN kd + dk = 0 THEN 0 ELSE
+      |    CAST(ROUND(1000000.0
+      |      * CAST((kd - dk) * CAST(kd - dk AS HUGEINT) AS DOUBLE)
+      |      / CAST(kd + dk AS DOUBLE)) AS BIGINT) END)
+      |    >= ${graft.operators.AbTest.chi2CritMicro} AS asymmetric
+      |FROM cm""".stripMargin
 }

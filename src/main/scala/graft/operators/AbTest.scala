@@ -311,6 +311,70 @@ object AbTest {
   def qMannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitney(Tables(spark, dir, "events"))
 
+  // ---------------------------------------------------------------
+  // CLIFF'S DELTA — the ORDINAL EFFECT SIZE the rank test's z can't
+  // give you (z grows with n; delta doesn't): the probability a
+  // treatment observation exceeds a control one, minus the reverse
+  // (Cliff 1993). Identity with the rank machinery above:
+  //   delta = (#(t>c) − #(t<c)) / (n_t·n_c) = (2U_t − n_t·n_c) / (n_t·n_c)
+  // so u2_t = 2U_t from [[mannWhitneyFromPerUser]] IS the exact
+  // integer numerator — zero additional corpus passes.
+  // ---------------------------------------------------------------
+
+  /** Romano et al. 2006 magnitude fences, micro-quantized |delta|:
+    * < .147 negligible, < .33 small, < .474 medium, else large. */
+  val cliffSmallMicro = 147000L
+  val cliffMediumMicro = 330000L
+  val cliffLargeMicro = 474000L
+
+  /** Cliff's delta on per-user spend between the arms, 1 row:
+    * (n_t, n_c, delta_micro, magnitude). Everything up to the one
+    * float division is the exact doubled-rank bookkeeping of
+    * [[mannWhitneyFromPerUser]]; the magnitude label compares the
+    * identically-rounded delta_micro on both engines. */
+  def cliffsDelta(events: DataFrame): DataFrame =
+    cliffsDeltaFromPerUser(perUserArm(events))
+
+  /** Effect size from any (arm, cents) per-user frame
+    * (streaming-store entry, same contract as [[abTestFromPerUser]]). */
+  def cliffsDeltaFromPerUser(pu: DataFrame): DataFrame =
+    mannWhitneyFromPerUser(pu).selectExpr(
+        "n_t", "n_c",
+        """case when n_t = 0 or n_c = 0 then 0L else
+          |cast(round(1000000.0
+          |  * (cast(u2_t as double) - cast(n_t as double) * n_c)
+          |  / (cast(n_t as double) * n_c)) as bigint) end
+          |as delta_micro""".stripMargin.replace("\n", " "))
+      .selectExpr("n_t", "n_c", "delta_micro",
+        s"""case when abs(delta_micro) < $cliffSmallMicro
+           |  then 'negligible'
+           |when abs(delta_micro) < $cliffMediumMicro then 'small'
+           |when abs(delta_micro) < $cliffLargeMicro then 'medium'
+           |else 'large' end as magnitude"""
+          .stripMargin.replace("\n", " "))
+
+  def qCliffsDelta(spark: SparkSession, dir: String): DataFrame =
+    cliffsDelta(Tables(spark, dir, "events"))
+
+  /** Declared after [[qMannWhitneySql]] (object-init order: the
+    * embedded CTE text must already be populated). */
+  lazy val qCliffsDeltaSql: String =
+    s"""WITH mw AS MATERIALIZED ($qMannWhitneySql),
+       |d AS (
+       |  SELECT n_t, n_c,
+       |    CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE
+       |      CAST(ROUND(1000000.0
+       |        * (CAST(u2_t AS DOUBLE) - CAST(n_t AS DOUBLE) * n_c)
+       |        / (CAST(n_t AS DOUBLE) * n_c)) AS BIGINT) END
+       |      AS delta_micro
+       |  FROM mw)
+       |SELECT n_t, n_c, delta_micro,
+       |  CASE WHEN ABS(delta_micro) < $cliffSmallMicro THEN 'negligible'
+       |    WHEN ABS(delta_micro) < $cliffMediumMicro THEN 'small'
+       |    WHEN ABS(delta_micro) < $cliffLargeMicro THEN 'medium'
+       |    ELSE 'large' END AS magnitude
+       |FROM d""".stripMargin
+
   val qMannWhitneySql: String =
     s"""WITH pu AS MATERIALIZED (
        |  SELECT user_id,

@@ -322,4 +322,76 @@ object Anonymity {
       |    AS t_micro
       |FROM r GROUP BY c_nationkey, c_mktsegment, sz, n, m
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ENTROPY ℓ-DIVERSITY (Machanavajjhala et al. 2007 §3.2) — the
+  // middle rung the ladder's profile reported only as a distinct
+  // count: a class whose sensitive values are 99% one value and 1%
+  // spread passes distinct-ℓ but leaks; entropy ℓ-diversity demands
+  //   −Σ p_v ln p_v ≥ ln ℓ   per class,
+  // i.e. effective ℓ = exp(entropy) — the "how many values is the
+  // class REALLY spread over" number.
+  // ---------------------------------------------------------------
+
+  /** Per-class diversity table over any frame: (qi…, sz, distinct_l,
+    * entropy_micro, eff_l_micro). Each class's entropy is a sum of
+    * per-(class, value) micronat-quantized terms
+    * round(1e6·(cnt/sz)·ln(sz/cnt)) — integer, order-portable (the
+    * [[KaplanMeier]] convention); eff_l is one exp of the integer.
+    *
+    * Scale: ONE corpus shuffle to the (class, value) histogram (the
+    * [[tClosenessProfile]] cc table); both aggregations after are
+    * grid-sized. */
+  def lDiversityProfile(df: DataFrame, qi: Seq[String],
+                        sensitive: String): DataFrame = {
+    val qc = qi.map(col)
+    val cc = df.groupBy(qc :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("cc"))
+    val cls = cc.groupBy(qc: _*)
+      .agg(sum("cc").as("sz"), count(lit(1)).as("distinct_l"))
+    cc.join(cls, qi)
+      .withColumn("term",
+        expr("""cast(round(1000000.0 * cast(cc as double) / sz
+               | * ln(cast(sz as double) / cc)) as bigint)"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy(qc :+ col("sz") :+ col("distinct_l"): _*)
+      .agg(sum(col("term")).as("entropy_micro"))
+      .withColumn("eff_l_micro",
+        expr("cast(round(1000000.0 * exp(entropy_micro / 1000000.0))"
+          + " as bigint)"))
+      .select(qc :+ col("sz") :+ col("distinct_l")
+        :+ col("entropy_micro") :+ col("eff_l_micro"): _*)
+      .orderBy(qc: _*)
+  }
+
+  /** Driver query: same instantiation as [[qKAnonymity]]. */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityProfile(
+      Tables(spark, dir, "customer")
+        .withColumn("bal_band",
+          (floor(col("c_acctbal") / 1000.0)).cast(LongType)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band")
+
+  val qLDiversitySql: String =
+    """WITH cc AS MATERIALIZED (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(SUM(cc) AS BIGINT) AS sz,
+      |    CAST(COUNT(*) AS BIGINT) AS distinct_l
+      |  FROM cc GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT cc.c_nationkey, cc.c_mktsegment, cls.sz, cls.distinct_l,
+      |    CAST(ROUND(1000000.0 * CAST(cc.cc AS DOUBLE) / cls.sz
+      |      * ln(CAST(cls.sz AS DOUBLE) / cc.cc)) AS BIGINT) AS term
+      |  FROM cc JOIN cls ON cc.c_nationkey = cls.c_nationkey
+      |    AND cc.c_mktsegment = cls.c_mktsegment)
+      |SELECT c_nationkey, c_mktsegment, sz, distinct_l,
+      |  CAST(SUM(term) AS BIGINT) AS entropy_micro,
+      |  CAST(ROUND(1000000.0 * exp(CAST(SUM(term) AS DOUBLE) / 1000000.0))
+      |    AS BIGINT) AS eff_l_micro
+      |FROM terms GROUP BY 1, 2, 3, 4
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

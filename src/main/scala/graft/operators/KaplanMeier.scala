@@ -44,9 +44,12 @@ object KaplanMeier {
 
   private val usPerDay = 86400000000L
 
-  /** Life table over any (f_us, l_us, p_us) per-subject frame:
-    * p_us null ⇒ censored at l_us. */
-  def lifeTable(perUser: DataFrame): DataFrame = {
+  /** The (t_days, d, c, n_risk) risk table over any (f_us, l_us,
+    * p_us) per-subject frame — the shared substrate of the KM
+    * product-limit curve and the Nelson-Aalen cumulative hazard.
+    * Lives on the bounded duration domain (days, calendar-bounded);
+    * at-risk = total − running (d+c) prefix, no self-join. */
+  def riskTable(perUser: DataFrame): DataFrame = {
     val spans = perUser.select(
       when(col("p_us").isNotNull, 1L).otherwise(0L).as("event"),
       (when(col("p_us").isNotNull, col("p_us")).otherwise(col("l_us"))
@@ -62,6 +65,14 @@ object KaplanMeier {
       .withColumn("n_risk",
         col("n_all") - (sum(col("d") + col("c")).over(cum)
           - col("d") - col("c")))
+  }
+
+  /** Life table over any (f_us, l_us, p_us) per-subject frame:
+    * p_us null ⇒ censored at l_us. */
+  def lifeTable(perUser: DataFrame): DataFrame = {
+    val cum = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(perUser)
       // per-duration micronat log factor; d = n_risk ⇒ S hits exact 0
       .withColumn("term",
         when(col("d") === 0, 0L)

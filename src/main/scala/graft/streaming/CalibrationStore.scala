@@ -60,6 +60,12 @@ object CalibrationStore {
     RaterAgreement.kappaFromCells(
       RaterAgreement.cellsFromCounts(raterStore(path).merged(spark)))
 
+  /** Live paired-asymmetry test ≡ batch [[RaterAgreement.qMcnemar]] —
+    * the same absorbed 2×2 monoid as [[kappaView]], zero new state. */
+  def mcnemarView(spark: SparkSession, path: String): DataFrame =
+    RaterAgreement.mcnemarFromCells(
+      RaterAgreement.cellsFromCounts(raterStore(path).merged(spark)))
+
   /** Wire a stream of document files: each batch is scored with the
     * caller's FROZEN `score` (docs ⇒ (s, y) rows), its rater verdicts
     * are the map-only [[RaterAgreement.raterVerdicts]], and both

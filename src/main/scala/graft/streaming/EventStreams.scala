@@ -352,6 +352,44 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("n")))
 
+  /** STREAMING BROWN DOUBLE-EWMA VIEW — [[graft.operators.Forecast]]'s
+    * trend-aware forecaster served from the hourly count store via the
+    * shared `doubleEwmaOver` definition (the [[ewmaView]] pattern with
+    * the 15-tap self-convolved kernel). */
+  def doubleEwmaView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Forecast.doubleEwmaOver(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
+  /** STREAMING FORECAST-EVAL VIEW — [[graft.operators.Forecast]]'s
+    * MASE/sMAPE readout served from the hourly count store via the
+    * shared `forecastEvalOver` definition. */
+  def forecastEvalView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Forecast.forecastEvalOver(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
+  /** STREAMING RUNS-TEST VIEW — [[graft.operators.RunsTest]]'s
+    * randomness check served from the hourly count store via the
+    * shared `runsTestOverHourly` definition. */
+  def runsTestView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.RunsTest.runsTestOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
+  /** STREAMING SEASONAL-DECOMPOSITION VIEW — [[graft.operators
+    * .StlDecompose]]'s classical additive decomposition served from
+    * the hourly count store via the shared `stlOverHourly`
+    * definition. */
+  def stlView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.StlDecompose.stlOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
   /** STREAMING TREND VIEW — [[graft.operators.Trend]]'s per-type OLS
     * served from the hourly count store via the shared
     * `trendOverHourly` definition: the store rollup IS the regression

@@ -116,6 +116,16 @@ object ExperimentStore {
   def mannWhitneyView(spark: SparkSession, storePath: String): DataFrame =
     AbTest.mannWhitneyFromPerUser(perUserView(spark, storePath))
 
+  /** Live ordinal effect size ≡ [[AbTest.cliffsDelta]] — the same
+    * rank state as [[mannWhitneyView]], zero new columns. */
+  def cliffsDeltaView(spark: SparkSession, storePath: String): DataFrame =
+    AbTest.cliffsDeltaFromPerUser(perUserView(spark, storePath))
+
+  /** Live Beta-Binomial posterior readout ≡ [[graft.operators.BayesAb
+    * .bayesAb]] — the purchases sum is already store state. */
+  def bayesView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.BayesAb.bayesFromPerUser(perUserView(spark, storePath))
+
   /** Live variance-reduced readout ≡ [[Cuped.cuped]]. */
   def cupedView(spark: SparkSession, storePath: String): DataFrame =
     Cuped.cupedFromPerUser(perUserView(spark, storePath)
@@ -210,6 +220,11 @@ object ExperimentStore {
   /** Live life table ≡ [[KaplanMeier.qKaplanMeier]]. */
   def kmView(spark: SparkSession, storePath: String): DataFrame =
     KaplanMeier.lifeTable(clockView(spark, storePath))
+
+  /** Live cumulative hazard ≡ [[graft.operators.NelsonAalen
+    * .qNelsonAalen]] — the same clock lattice as [[kmView]]. */
+  def nelsonAalenView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.NelsonAalen.hazardTable(clockView(spark, storePath))
 
   private def armedClocks(spark: SparkSession,
                           storePath: String): DataFrame =

@@ -28,6 +28,8 @@ class CalibrationStoreSpec extends SparkSpec {
         .orderBy("bucket").collect().map(_.toString).toSeq
     def kappaLive: String =
       CalibrationStore.kappaView(spark, tmp).head.toString
+    def mcnemarLive: String =
+      CalibrationStore.mcnemarView(spark, tmp).head.toString
     (0 until 3).foreach { i =>
       CalibrationStore.appendScoredBatch(spark, slParts(i), tmp, i.toLong)
       CalibrationStore.appendVerdictBatch(spark,
@@ -44,6 +46,9 @@ class CalibrationStoreSpec extends SparkSpec {
     }
     val isoFull = isoLive
     val kappaFull = kappaLive
+    val mcnemarFull = mcnemarLive
+    assert(mcnemarFull === RaterAgreement.qMcnemar(spark, dir)
+      .head.toString)
     // the absorbed corpus now equals the full dir: cross-check the
     // driver queries directly
     assert(isoFull === IsotonicCal.qIsotonicCal(spark, dir)
@@ -61,6 +66,7 @@ class CalibrationStoreSpec extends SparkSpec {
     CalibrationStore.raterStore(tmp).compact(spark, 2L)
     assert(isoLive === isoFull)
     assert(kappaLive === kappaFull)
+    assert(mcnemarLive === mcnemarFull)
   }
 
   test("a range-extending batch re-buckets the curve from merged state") {

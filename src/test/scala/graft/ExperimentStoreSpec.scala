@@ -41,6 +41,18 @@ class ExperimentStoreSpec extends SparkSpec {
       ("mw", () =>
         rows(ExperimentStore.mannWhitneyView(spark, s"$tmp/store")),
         rows(AbTest.mannWhitney(all))),
+      // round 14 session 5: Cliff's delta rides the same rank state;
+      // Nelson-Aalen the same clock lattice as kmView
+      ("cliffs", () =>
+        rows(ExperimentStore.cliffsDeltaView(spark, s"$tmp/store")),
+        rows(AbTest.cliffsDelta(all))),
+      ("bayes", () =>
+        rows(ExperimentStore.bayesView(spark, s"$tmp/store")),
+        rows(graft.operators.BayesAb.bayesAb(all))),
+      ("nelson", () =>
+        rows(ExperimentStore.nelsonAalenView(spark, s"$tmp/store")),
+        rows(graft.operators.NelsonAalen.hazardTable(
+          graft.operators.KaplanMeier.timeToBigPurchase(all)))),
       ("cuped", () => rows(ExperimentStore.cupedView(spark, s"$tmp/store")),
         rows(Cuped.cuped(all))),
       ("did", () => rows(ExperimentStore.didView(spark, s"$tmp/store")),
