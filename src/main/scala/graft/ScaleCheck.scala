@@ -834,7 +834,17 @@ object ScaleCheck {
         "q_runs_test",
         // McNemar: the rater_kappa shape — one map-only two-gate scan
         // to a 4-cell aggregate
-        "q_mcnemar")
+        "q_mcnemar",
+        // odds ratio: the ab_test shape — one scan, one 4-cell row
+        "q_odds_ratio",
+        // fightin' words: one tokenize scan → vocab-bounded (word,
+        // side) agg → two TakeOrdered top-k legs
+        "q_fightin_words",
+        // Chao richness: tokenize scan → per-source vocab agg
+        // (Heaps-saturating) → |sources| rows
+        "q_chao_richness",
+        // extreme value: the cusum rollup + |types×days| maxima fold
+        "q_extreme_value")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

@@ -371,6 +371,15 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("n")))
 
+  /** STREAMING EXTREME-VALUE VIEW — [[graft.operators.ExtremeValue]]'s
+    * Gumbel return levels served from the hourly count store via the
+    * shared `extremeOverHourly` definition. */
+  def extremeView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.ExtremeValue.extremeOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
   /** STREAMING RUNS-TEST VIEW — [[graft.operators.RunsTest]]'s
     * randomness check served from the hourly count store via the
     * shared `runsTestOverHourly` definition. */

@@ -126,6 +126,12 @@ object ExperimentStore {
   def bayesView(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.BayesAb.bayesFromPerUser(perUserView(spark, storePath))
 
+  /** Live odds-ratio / relative-risk readout ≡ [[graft.operators
+    * .OddsRatio.oddsRatio]] — same state as [[bayesView]]. */
+  def oddsView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.OddsRatio.oddsFromPerUser(
+      perUserView(spark, storePath))
+
   /** Live variance-reduced readout ≡ [[Cuped.cuped]]. */
   def cupedView(spark: SparkSession, storePath: String): DataFrame =
     Cuped.cupedFromPerUser(perUserView(spark, storePath)
