@@ -844,7 +844,17 @@ object ScaleCheck {
         // (Heaps-saturating) → |sources| rows
         "q_chao_richness",
         // extreme value: the cusum rollup + |types×days| maxima fold
-        "q_extreme_value")
+        "q_extreme_value",
+        // covariate balance: one scan → per-user agg → 3-way stack →
+        // |covariates| rows (the ab_test shape ×3)
+        "q_covariate_balance",
+        // survival quantiles: the kaplan_meier table + a 3-row probe
+        "q_median_survival",
+        // hubness: |corpus|·|probes| scoring with per-probe windows
+        // (the knn_shapley plan) — fixed probe budget keeps it linear
+        "q_hubness",
+        // ESS: one pass over the memoized DSIR weight table → 1 row
+        "q_ess")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

@@ -132,6 +132,22 @@ object ExperimentStore {
     graft.operators.OddsRatio.oddsFromPerUser(
       perUserView(spark, storePath))
 
+  /** Live covariate-balance table ≡ [[graft.operators
+    * .CovariateBalance.covariateBalance]]: n_events re-derives as
+    * purchases + nonpurchases (every event is one or the other) —
+    * zero new state. */
+  def balanceView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.CovariateBalance.balanceFromPerUser(
+      perUserView(spark, storePath)
+        .withColumn("n_events", col("purchases") + col("nonpurchases")))
+
+  /** Live survival quantiles ≡ [[graft.operators.MedianSurvival
+    * .qMedianSurvival]] — the same clock lattice as [[kmView]]. */
+  def medianSurvivalView(spark: SparkSession,
+                         storePath: String): DataFrame =
+    graft.operators.MedianSurvival.survivalQuantiles(
+      clockView(spark, storePath))
+
   /** Live variance-reduced readout ≡ [[Cuped.cuped]]. */
   def cupedView(spark: SparkSession, storePath: String): DataFrame =
     Cuped.cupedFromPerUser(perUserView(spark, storePath)

@@ -49,6 +49,16 @@ class ExperimentStoreSpec extends SparkSpec {
       ("bayes", () =>
         rows(ExperimentStore.bayesView(spark, s"$tmp/store")),
         rows(graft.operators.BayesAb.bayesAb(all))),
+      ("odds", () =>
+        rows(ExperimentStore.oddsView(spark, s"$tmp/store")),
+        rows(graft.operators.OddsRatio.oddsRatio(all))),
+      ("balance", () =>
+        rows(ExperimentStore.balanceView(spark, s"$tmp/store")),
+        rows(graft.operators.CovariateBalance.covariateBalance(all))),
+      ("medsurv", () =>
+        rows(ExperimentStore.medianSurvivalView(spark, s"$tmp/store")),
+        rows(graft.operators.MedianSurvival.survivalQuantiles(
+          graft.operators.KaplanMeier.timeToBigPurchase(all)))),
       ("nelson", () =>
         rows(ExperimentStore.nelsonAalenView(spark, s"$tmp/store")),
         rows(graft.operators.NelsonAalen.hazardTable(

@@ -85,5 +85,8 @@ class ForecastSpec extends SparkSpec {
     assert(rows(graft.streaming.EventStreams
       .runsTestView(spark, s"$tmp/store"))
       === rows(graft.operators.RunsTest.runsTest(fin)))
+    assert(rows(graft.streaming.EventStreams
+      .extremeView(spark, s"$tmp/store"))
+      === rows(graft.operators.ExtremeValue.extremeValue(fin)))
   }
 }
