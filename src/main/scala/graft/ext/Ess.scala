@@ -32,7 +32,10 @@ object Ess {
 
   /** 1-row readout from any (logw_micro) frame: (n_docs,
     * max_logw_micro, ess_micro, ess_frac_micro, collapsed). */
-  def essFromWeights(w: DataFrame): DataFrame = {
+  def essFromWeights(wIn: DataFrame): DataFrame = {
+    // the weight table feeds the 1-row max AND the quantize pass —
+    // materialize once so the DSIR scoring join is paid once
+    val (w, _) = graft.util.Checkpoints.checkpointTracked(wIn)
     val mx = w.agg(max(col("logw_micro")).as("mx"))
     w.crossJoin(broadcast(mx))
       .select(expr("""cast(round(1000000.0

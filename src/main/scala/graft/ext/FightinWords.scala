@@ -54,9 +54,13 @@ object FightinWords {
         explode(split(col("text"), " ")).as("word"))
       .filter(!col("word").isInCollection(TextOps.stopwords) &&
         col("word") =!= "")
-    val counts = toks.groupBy("word").agg(
-      sum(when(col("side") === "a", 1L).otherwise(0L)).as("y_a"),
-      sum(when(col("side") === "b", 1L).otherwise(0L)).as("y_b"))
+    // the vocab-bounded count table feeds the 1-row totals AND the
+    // scoring leg (and scored feeds two top-k legs) — materialize
+    // once so the tokenize scan happens once (plan-asserted)
+    val (counts, _) = graft.util.Checkpoints.checkpointTracked(
+      toks.groupBy("word").agg(
+        sum(when(col("side") === "a", 1L).otherwise(0L)).as("y_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("y_b")))
     val tot = counts.agg(sum("y_a").as("n_a"), sum("y_b").as("n_b"),
       count(lit(1)).as("v"))
     val scored = counts.crossJoin(broadcast(tot))

@@ -345,8 +345,11 @@ object Anonymity {
   def lDiversityProfile(df: DataFrame, qi: Seq[String],
                         sensitive: String): DataFrame = {
     val qc = qi.map(col)
-    val cc = df.groupBy(qc :+ col(sensitive): _*)
-      .agg(count(lit(1)).as("cc"))
+    // the (class, value) histogram feeds the class rollup AND the
+    // term join — materialize once (the tClosenessProfile posture)
+    val (cc, _) = graft.util.Checkpoints.checkpointTracked(
+      df.groupBy(qc :+ col(sensitive): _*)
+        .agg(count(lit(1)).as("cc")))
     val cls = cc.groupBy(qc: _*)
       .agg(sum("cc").as("sz"), count(lit(1)).as("distinct_l"))
     cc.join(cls, qi)

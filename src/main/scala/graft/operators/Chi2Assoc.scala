@@ -33,7 +33,11 @@ object Chi2Assoc {
   /** 1-row association profile over any (a, b) pair frame:
     * (n_obs, a_levels, b_levels, dof, stat_micro, v_micro). */
   def chi2(pairs: DataFrame): DataFrame = {
-    val grid = pairs.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    // the bounded grid feeds FOUR legs (row totals, col totals, the
+    // 1-row tot, and the densify join) — materialize once so the
+    // corpus is scanned once (the t_closeness lesson, plan-asserted)
+    val (grid, _) = graft.util.Checkpoints.checkpointTracked(
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("o")))
     val rows = grid.groupBy("a").agg(sum("o").as("r"))
     val cols = grid.groupBy("b").agg(sum("o").as("c"))
     val tot = grid.agg(sum("o").as("n"),

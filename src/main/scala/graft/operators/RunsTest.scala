@@ -41,8 +41,12 @@ object RunsTest {
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val spine = span.select(col("event_type"),
       explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-    val dense = spine.join(hourly, Seq("event_type", "hour"), "left")
-      .na.fill(0L, Seq("n"))
+    // the dense spine feeds the mean totals AND the sign join —
+    // materialize the calendar-bounded table once so the corpus
+    // rollup is paid once (plan-asserted)
+    val (dense, _) = graft.util.Checkpoints.checkpointTracked(
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .na.fill(0L, Seq("n")))
     val tot = dense.groupBy(col("event_type").as("te"))
       .agg(sum(col("n")).as("tsum"), count(lit(1)).as("tcnt"))
     val w = Window.partitionBy("event_type").orderBy("hour")
