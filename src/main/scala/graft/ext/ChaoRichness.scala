@@ -27,13 +27,22 @@ import graft.Tables
   * grid-sized. The ideal two-shuffle shape. */
 object ChaoRichness {
 
-  /** Per-source richness: (source, n_tokens, vocab, f1, f2,
-    * chao1_micro, unseen_mass_micro). */
-  def chaoRichness(docs: DataFrame): DataFrame =
+  /** The per-(source, word) count table — a SUM monoid, so the
+    * streaming [[graft.streaming.TextStatsStore]] serves the same
+    * readout live from its merged deltas. */
+  def wordCounts(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .groupBy("source").agg(
+
+  /** Per-source richness: (source, n_tokens, vocab, f1, f2,
+    * chao1_micro, unseen_mass_micro). */
+  def chaoRichness(docs: DataFrame): DataFrame =
+    chaoFromWordCounts(wordCounts(docs))
+
+  /** The readout from any (source, w, c) count table. */
+  def chaoFromWordCounts(wc: DataFrame): DataFrame =
+    wc.groupBy("source").agg(
         sum("c").as("n_tokens"),
         count(lit(1)).as("vocab"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),

@@ -47,20 +47,27 @@ object FightinWords {
   /** The (word, y_a, y_b, z_micro, side) table: [[topK]] most
     * A-leaning and B-leaning words. `half` must map a source name to
     * 'a'/'b'. */
-  def fightinWords(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
+  def fightinWords(docs: DataFrame): DataFrame =
+    fightinFromWordCounts(ChaoRichness.wordCounts(docs)
+      .withColumnRenamed("w", "word"))
+
+  /** The readout from any (source, word, c) count table — the
+    * streaming [[graft.streaming.TextStatsStore]] entry (the stopword
+    * gate applies HERE, so the stored monoid carries the full
+    * vocabulary and also serves [[ChaoRichness]]). */
+  def fightinFromWordCounts(wc: DataFrame): DataFrame = {
+    val sided = wc
+      .filter(!col("word").isInCollection(TextOps.stopwords))
+      .withColumn("side",
         when(regexp_extract(col("source"), "([0-9]+)$", 1)
-          .cast("int") < 10, "a").otherwise("b").as("side"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(!col("word").isInCollection(TextOps.stopwords) &&
-        col("word") =!= "")
+          .cast("int") < 10, "a").otherwise("b"))
     // the vocab-bounded count table feeds the 1-row totals AND the
     // scoring leg (and scored feeds two top-k legs) — materialize
     // once so the tokenize scan happens once (plan-asserted)
     val (counts, _) = graft.util.Checkpoints.checkpointTracked(
-      toks.groupBy("word").agg(
-        sum(when(col("side") === "a", 1L).otherwise(0L)).as("y_a"),
-        sum(when(col("side") === "b", 1L).otherwise(0L)).as("y_b")))
+      sided.groupBy("word").agg(
+        sum(when(col("side") === "a", col("c")).otherwise(0L)).as("y_a"),
+        sum(when(col("side") === "b", col("c")).otherwise(0L)).as("y_b")))
     val tot = counts.agg(sum("y_a").as("n_a"), sum("y_b").as("n_b"),
       count(lit(1)).as("v"))
     val scored = counts.crossJoin(broadcast(tot))

@@ -33,17 +33,27 @@ object Readability {
     * (source, n_docs, n_words, n_sentences, n_syllables,
     *  flesch_micro, fk_grade_micro). */
   def readability(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        size(split(col("text"), " ")).cast("bigint").as("w"),
-        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
-          .cast("bigint"), lit(1L)).as("s"),
-        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
-          .cast("bigint").as("y"))
+    readabilityFromCounts(perDocCounts(docs)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("w").as("n_words"), sum("s").as("n_sentences"),
-        sum("y").as("n_syllables"))
-      .selectExpr("source", "n_docs", "n_words", "n_sentences",
+        sum("y").as("n_syllables")))
+
+  /** Per-document exact counts — all SUM monoids per source, so the
+    * streaming [[graft.streaming.TextStatsStore]] serves the same
+    * readout live. */
+  def perDocCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      size(split(col("text"), " ")).cast("bigint").as("w"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("bigint"), lit(1L)).as("s"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("bigint").as("y"))
+
+  /** The scores from any (source, n_docs, n_words, n_sentences,
+    * n_syllables) sum table. */
+  def readabilityFromCounts(ps: DataFrame): DataFrame =
+    ps.selectExpr("source", "n_docs", "n_words", "n_sentences",
         "n_syllables",
         """cast(round(1000000.0 * (206.835
           | - 1.015 * (cast(n_words as double) / n_sentences)

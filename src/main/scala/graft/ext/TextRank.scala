@@ -37,7 +37,7 @@ object TextRank {
 
   /** Symmetrized co-occurrence edges over any (doc_id, text) frame:
     * (src, dst, w) with stopwords and self-pairs dropped. */
-  private[ext] def wordEdges(docs: DataFrame): DataFrame = {
+  private[graft] def wordEdges(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val pairs = arrays_zip(
       slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
@@ -54,8 +54,13 @@ object TextRank {
   }
 
   /** Top-[[topK]] keywords: (word, rank). */
-  def textrank(docs: DataFrame): DataFrame = {
-    val raw = wordEdges(docs)
+  def textrank(docs: DataFrame): DataFrame =
+    textrankFromEdges(wordEdges(docs))
+
+  /** The ranking from any (src, dst, w) symmetrized-edge count table
+    * (a SUM monoid — the streaming [[graft.streaming.TextStatsStore]]
+    * entry). */
+  def textrankFromEdges(raw: DataFrame): DataFrame = {
     val strength = raw.groupBy(col("src").as("ssrc"))
       .agg(sum(col("w")).as("s"))
     val (edges, _) = graft.util.Checkpoints.checkpointTracked(
