@@ -854,7 +854,17 @@ object ScaleCheck {
         // (the knn_shapley plan) — fixed probe budget keeps it linear
         "q_hubness",
         // ESS: one pass over the memoized DSIR weight table → 1 row
-        "q_ess")
+        "q_ess",
+        // gains curve: the KN serving join + ONE two-level global row
+        // number + a 10-row decile table
+        "q_gains_curve",
+        // Borda: the same three rankings as quality_fusion with an
+        // integer point sum instead of the RRF float
+        "q_borda_fusion",
+        // capture-recapture: one scan → per-user two-bit agg → 1 row
+        "q_capture_recapture",
+        // Simpson diversity: one bounded (lang, source) grid agg
+        "q_simpson_diversity")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

@@ -148,9 +148,9 @@ object IsotonicCal {
           + " as flag")
   }
 
-  /** Shared oracle prefix: scored+labeled docs, min/max, bucket table,
-    * prefix sums, B² intervals, minimax fit. */
-  private val isoCtes: String =
+  /** The scored+labeled CTE prefix (KN score join + gate label) —
+    * shared with [[GainsCurve]]'s oracle. */
+  private[ext] val slCtes: String =
     s"""${KneserNey.knScoreCtes.replaceFirst("toks AS", "kn_toks AS")
           .replace("FROM toks", "FROM kn_toks")},
       |sl AS MATERIALIZED (
@@ -163,7 +163,12 @@ object IsotonicCal {
       |          / len(string_split(d.text, ' ')) >= 0.01
       |      THEN 1 ELSE 0 END AS y
       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-      |  WHERE s.n_bigrams > 0),
+      |  WHERE s.n_bigrams > 0)""".stripMargin
+
+  /** Shared oracle prefix: scored+labeled docs, min/max, bucket table,
+    * prefix sums, B² intervals, minimax fit. */
+  private val isoCtes: String =
+    s"""$slCtes,
       |mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM sl),
       |bt AS (
       |  SELECT CAST((s - lo) // ((hi - lo) // $isoBuckets + 1)

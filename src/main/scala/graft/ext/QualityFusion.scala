@@ -34,7 +34,21 @@ object QualityFusion {
       Seq(col("s").desc, col("doc_id").asc), name)
       .select("doc_id", name)
 
-  def qQualityFusion(spark: SparkSession, dir: String): DataFrame = {
+  def qQualityFusion(spark: SparkSession, dir: String): DataFrame =
+    rankedTriple(spark, dir)
+      .select(col("doc_id"), col("r_clf"), col("r_kn"), col("r_heur"),
+        (coalesce(lit(1.0) / (lit(fuseK).cast("double")
+            + col("r_clf").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(fuseK).cast("double")
+            + col("r_kn").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(fuseK).cast("double")
+            + col("r_heur").cast("double")), lit(0.0))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(fuseTopN)
+
+  /** The three rank tables (shared by RRF and the Borda twin). */
+  private[ext] def rankedTriple(spark: SparkSession,
+                                dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val clf = ranked(CorpusOps.qClassifierInfer(spark, dir)
       .select(col("doc_id"), col("score").as("s")), "r_clf")
@@ -49,18 +63,33 @@ object QualityFusion {
       .join(clf, Seq("doc_id"), "left")
       .join(kn, Seq("doc_id"), "left")
       .join(heur, Seq("doc_id"), "left")
+  }
+
+  // ---------------------------------------------------------------
+  // BORDA-COUNT FUSION (Borda 1781; de Borda rank aggregation) — the
+  // pure-INTEGER counterpart to the RRF float sum: each scorer gives
+  // a ranked doc n − r points (unranked → 0), the fused order is the
+  // point sum. Where RRF emphasizes agreement near the top (the 1/k
+  // falloff), Borda weighs the whole list linearly — a different,
+  // classic aggregation the release pipeline can cross-check RRF
+  // against. Zero float anywhere.
+  // ---------------------------------------------------------------
+
+  def qBordaFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    rankedTriple(spark, dir)
       .select(col("doc_id"), col("r_clf"), col("r_kn"), col("r_heur"),
-        (coalesce(lit(1.0) / (lit(fuseK).cast("double")
-            + col("r_clf").cast("double")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(fuseK).cast("double")
-            + col("r_kn").cast("double")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(fuseK).cast("double")
-            + col("r_heur").cast("double")), lit(0.0))).as("rrf_score"))
-      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        (coalesce(lit(n) - col("r_clf"), lit(-1L)) + 1L +
+          coalesce(lit(n) - col("r_kn"), lit(-1L)) + 1L +
+          coalesce(lit(n) - col("r_heur"), lit(-1L)) + 1L)
+          .as("borda"))
+      .orderBy(col("borda").desc, col("doc_id").asc)
       .limit(fuseTopN)
   }
 
-  val qQualityFusionSql: String = {
+  /** The rank-CTE chain shared by both fusion oracles. */
+  private lazy val rankCtesSql: String = {
     val wT = s"w${CorpusOps.classifierTrainRounds}"
     s"""${CorpusOps.classifierTrainCtes},
       |clf_score AS MATERIALIZED (
@@ -84,7 +113,28 @@ object QualityFusion {
       |      CAST(len(list_filter(string_split(text, ' '),
       |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |        / len(string_split(text, ' ')) AS s
-      |    FROM documents))
+      |    FROM documents))""".stripMargin
+  }
+
+  lazy val qBordaFusionSql: String =
+    s"""$rankCtesSql,
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      |SELECT d.doc_id,
+      |  CAST(c.r_clf AS BIGINT) AS r_clf,
+      |  CAST(k.r_kn AS BIGINT) AS r_kn,
+      |  CAST(h.r_heur AS BIGINT) AS r_heur,
+      |  COALESCE(nn.n - c.r_clf, -1) + 1
+      |  + COALESCE(nn.n - k.r_kn, -1) + 1
+      |  + COALESCE(nn.n - h.r_heur, -1) + 1 AS borda
+      |FROM documents d
+      |CROSS JOIN nn
+      |LEFT JOIN clf_rank c USING (doc_id)
+      |LEFT JOIN kn_rank k USING (doc_id)
+      |LEFT JOIN heur_rank h USING (doc_id)
+      |ORDER BY borda DESC, d.doc_id ASC LIMIT $fuseTopN""".stripMargin
+
+  lazy val qQualityFusionSql: String = {
+    s"""$rankCtesSql
       |SELECT d.doc_id,
       |  CAST(c.r_clf AS BIGINT) AS r_clf,
       |  CAST(k.r_kn AS BIGINT) AS r_kn,
