@@ -864,7 +864,15 @@ object ScaleCheck {
         // capture-recapture: one scan → per-user two-bit agg → 1 row
         "q_capture_recapture",
         // Simpson diversity: one bounded (lang, source) grid agg
-        "q_simpson_diversity")
+        "q_simpson_diversity",
+        // ICC/DEFF: one scan → per-user masses → 1-row moments
+        "q_icc",
+        // factorial: the ab_test shape with a 4-cell aggregate
+        "q_factorial_ab",
+        // word burstiness: (doc, word) partial agg, vocab-bounded tail
+        "q_word_burstiness",
+        // Gries DP: the wc monoid + bounded word×source dense grid
+        "q_word_dispersion")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;
