@@ -872,7 +872,13 @@ object ScaleCheck {
         // word burstiness: (doc, word) partial agg, vocab-bounded tail
         "q_word_burstiness",
         // Gries DP: the wc monoid + bounded word×source dense grid
-        "q_word_dispersion")
+        "q_word_dispersion",
+        // churn risk: one scan → per-user clocks → 6-row histogram,
+        // band membership by integer cross-multiplication
+        "q_churn_risk",
+        // co-engagement: one scan → ≤32-row mask histogram → |types|²
+        // pairwise sums (the shapley_channels shape)
+        "q_coengagement")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;
