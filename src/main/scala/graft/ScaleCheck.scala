@@ -878,7 +878,9 @@ object ScaleCheck {
         "q_churn_risk",
         // co-engagement: one scan → ≤32-row mask histogram → |types|²
         // pairwise sums (the shapley_channels shape)
-        "q_coengagement")
+        "q_coengagement",
+        // embed geometry: one posexplode scan → 64 integer rows
+        "q_embed_geometry")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;
