@@ -880,7 +880,11 @@ object ScaleCheck {
         // pairwise sums (the shapley_channels shape)
         "q_coengagement",
         // embed geometry: one posexplode scan → 64 integer rows
-        "q_embed_geometry")
+        "q_embed_geometry",
+        // segmented SRM: one scan → per-user gateway agg → 5 rows
+        "q_srm_segmented",
+        // overdispersion: the ab_test shape, 1-row moments
+        "q_overdispersion")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;
