@@ -884,7 +884,10 @@ object ScaleCheck {
         // segmented SRM: one scan → per-user gateway agg → 5 rows
         "q_srm_segmented",
         // overdispersion: the ab_test shape, 1-row moments
-        "q_overdispersion")
+        "q_overdispersion",
+        // ADF: the granger shape — rollup + calendar-bounded lags +
+        // 1-row-per-type Cramer statistics
+        "q_adf_test")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

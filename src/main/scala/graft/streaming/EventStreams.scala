@@ -371,6 +371,15 @@ object EventStreams extends Serializable {
         .select(col("event_type"), col("ws").as("hour"),
           col("n_events").as("n")))
 
+  /** STREAMING ADF VIEW — [[graft.operators.AdfTest]]'s unit-root
+    * test served from the hourly count store via the shared
+    * `adfOverHourly` definition. */
+  def adfView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.AdfTest.adfOverHourly(
+      spark.read.parquet(storePath)
+        .select(col("event_type"), col("ws").as("hour"),
+          col("n_events").as("n")))
+
   /** STREAMING EXTREME-VALUE VIEW — [[graft.operators.ExtremeValue]]'s
     * Gumbel return levels served from the hourly count store via the
     * shared `extremeOverHourly` definition. */
