@@ -115,4 +115,29 @@ object CurationViews {
     CorpusOps.qDsirSample(spark, dir)
       .createOrReplaceTempView("dsir_sample")
   }
+
+  /** Register the LEXICAL-ANALYTICS views (round-14 session-5 wave):
+    * per-source readability and richness, the corpus-half lexical
+    * drift, Simpson source-mix concentration, word distribution
+    * lenses, and TextRank keywords — so a SQL-first corpus review
+    * composes them without Scala (e.g. join readability grades to
+    * Chao unseen mass per source — the ExtSpec composition test).
+    * All lazy plans: each is one or two bounded aggregations. */
+  def createTextAnalyticsViews(spark: SparkSession, dir: String): Unit = {
+    graft.Tables.registerAll(spark, dir)
+    Readability.qReadability(spark, dir)
+      .createOrReplaceTempView("readability")
+    ChaoRichness.qChaoRichness(spark, dir)
+      .createOrReplaceTempView("vocab_richness")
+    FightinWords.qFightinWords(spark, dir)
+      .createOrReplaceTempView("fightin_words")
+    SimpsonDiversity.qSimpsonDiversity(spark, dir)
+      .createOrReplaceTempView("source_diversity")
+    WordDispersion.qWordBurstiness(spark, dir)
+      .createOrReplaceTempView("word_burstiness")
+    WordDispersion.qWordDispersion(spark, dir)
+      .createOrReplaceTempView("word_dispersion")
+    TextRank.qTextrank(spark, dir)
+      .createOrReplaceTempView("textrank_keywords")
+  }
 }

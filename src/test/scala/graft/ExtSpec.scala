@@ -1534,4 +1534,32 @@ class ExtSpec extends SparkSpec {
     val cov = got.map(_.getAs[Long]("coverage_micro"))
     assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
   }
+
+  test("text-analytics views: SQL-first composition joins readability " +
+    "to richness per source") {
+    val dir = "/root/testdata/sf0.001"
+    graft.ext.CurationViews.createTextAnalyticsViews(spark, dir)
+    // the corpus review a data team actually writes: per source, the
+    // reading grade next to the unseen-vocabulary mass, flagged when
+    // either is extreme
+    val review = spark.sql(
+      """SELECT r.source, r.fk_grade_micro, v.unseen_mass_micro,
+        |  r.fk_grade_micro > 16000000 OR v.unseen_mass_micro > 500000
+        |    AS needs_review
+        |FROM readability r JOIN vocab_richness v USING (source)
+        |ORDER BY r.source""".stripMargin).collect()
+    assert(review.length ===
+      graft.ext.Readability.qReadability(spark, dir).count())
+    // cross-check one value against the operators directly
+    val direct = graft.ext.ChaoRichness.qChaoRichness(spark, dir)
+      .orderBy("source").collect()
+    assert(review.map(_.getAs[Long]("unseen_mass_micro")).toSeq ===
+      direct.map(_.getAs[Long]("unseen_mass_micro")).toSeq)
+    // the keyword + drift views register and are non-empty
+    assert(spark.sql("SELECT COUNT(*) FROM textrank_keywords")
+      .head.getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM fightin_words WHERE side IN ('a','b')")
+      .head.getLong(0) === 20L)
+  }
 }
