@@ -887,7 +887,9 @@ object ScaleCheck {
         "q_overdispersion",
         // ADF: the granger shape — rollup + calendar-bounded lags +
         // 1-row-per-type Cramer statistics
-        "q_adf_test")
+        "q_adf_test",
+        // Tukey HSD: the anova scan + C(k,2) grid pairs
+        "q_tukey_hsd")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;
