@@ -889,7 +889,9 @@ object ScaleCheck {
         // 1-row-per-type Cramer statistics
         "q_adf_test",
         // Tukey HSD: the anova scan + C(k,2) grid pairs
-        "q_tukey_hsd")
+        "q_tukey_hsd",
+        // KS A/B: the mann_whitney prefix-sum shape, 1-row verdict
+        "q_ks_ab")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

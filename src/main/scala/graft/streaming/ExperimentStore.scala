@@ -132,6 +132,11 @@ object ExperimentStore {
     graft.operators.OddsRatio.oddsFromPerUser(
       perUserView(spark, storePath))
 
+  /** Live distribution-level KS readout ≡ [[graft.operators.KsAb
+    * .ksAb]] — the same rank state as [[mannWhitneyView]]. */
+  def ksView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.KsAb.ksFromPerUser(perUserView(spark, storePath))
+
   /** Live covariate-balance table ≡ [[graft.operators
     * .CovariateBalance.covariateBalance]]: n_events re-derives as
     * purchases + nonpurchases (every event is one or the other) —

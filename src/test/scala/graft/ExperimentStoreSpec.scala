@@ -55,6 +55,9 @@ class ExperimentStoreSpec extends SparkSpec {
       ("balance", () =>
         rows(ExperimentStore.balanceView(spark, s"$tmp/store")),
         rows(graft.operators.CovariateBalance.covariateBalance(all))),
+      ("ks", () =>
+        rows(ExperimentStore.ksView(spark, s"$tmp/store")),
+        rows(graft.operators.KsAb.ksAb(all))),
       ("medsurv", () =>
         rows(ExperimentStore.medianSurvivalView(spark, s"$tmp/store")),
         rows(graft.operators.MedianSurvival.survivalQuantiles(
