@@ -892,7 +892,9 @@ object ScaleCheck {
         // Tukey HSD: the anova scan + C(k,2) grid pairs
         "q_tukey_hsd",
         // KS A/B: the mann_whitney prefix-sum shape, 1-row verdict
-        "q_ks_ab")
+        "q_ks_ab",
+        // rate ratio: the ab_test shape, 1-row verdict
+        "q_rate_ratio")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

@@ -137,6 +137,12 @@ object ExperimentStore {
   def ksView(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.KsAb.ksFromPerUser(perUserView(spark, storePath))
 
+  /** Live Poisson rate-ratio readout ≡ [[graft.operators.RateRatio
+    * .rateRatio]] — the purchases sum is already store state. */
+  def rateRatioView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.RateRatio.rateFromPerUser(
+      perUserView(spark, storePath))
+
   /** Live covariate-balance table ≡ [[graft.operators
     * .CovariateBalance.covariateBalance]]: n_events re-derives as
     * purchases + nonpurchases (every event is one or the other) —

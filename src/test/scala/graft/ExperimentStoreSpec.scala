@@ -58,6 +58,9 @@ class ExperimentStoreSpec extends SparkSpec {
       ("ks", () =>
         rows(ExperimentStore.ksView(spark, s"$tmp/store")),
         rows(graft.operators.KsAb.ksAb(all))),
+      ("rate", () =>
+        rows(ExperimentStore.rateRatioView(spark, s"$tmp/store")),
+        rows(graft.operators.RateRatio.rateRatio(all))),
       ("medsurv", () =>
         rows(ExperimentStore.medianSurvivalView(spark, s"$tmp/store")),
         rows(graft.operators.MedianSurvival.survivalQuantiles(
