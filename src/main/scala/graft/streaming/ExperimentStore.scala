@@ -38,9 +38,12 @@ import graft.operators.{AbTest, Cuped, DiffInDiff, GroupSeq, KaplanMeier, LogRan
   * [[Rmst]]) and the [[GroupSeq]] per-look conditional sums live on
   * the SAME per-user delta — the clocks are two more lattice columns
   * and the looks K more sum columns, so one store and one per-batch
-  * agg serve all sixteen-plus live readouts (the former SurvivalStore
+  * agg serve all twenty-five live readouts (the former SurvivalStore
   * is retired; half the storage, half the per-batch agg count for a
-  * platform running both).
+  * platform running both). Round-14 session 5 added nine more views
+  * at zero new state: cliffsDelta/bayes/odds/rateRatio/ks off the
+  * existing sums, nelsonAalen/medianSurvival off the clock lattice,
+  * balance off sums re-derived, qini/shapley earlier.
   *
   * At 100 TB the store is |users|-bounded (never event history), a
   * batch's delta cost is its own per-user agg with map-side combine,
