@@ -67,8 +67,19 @@ object SessionCache {
     entries.forEach { (key, e) => if (e.sessionKey == sk) evict(key, e) }
   }
 
-  /** Build-once-per-(session, scope, dir) memoization. `build` runs at
-    * most once per key (ConcurrentHashMap.computeIfAbsent contract). */
+  /** Build-once-per-(session, scope, dir) memoization.
+    *
+    * NOT computeIfAbsent: a memoized build may itself memoize a
+    * NESTED artifact (source_overlap builds through the memoized
+    * near-dup pair view, q_split_leakfree through the cluster view),
+    * and ConcurrentHashMap.computeIfAbsent throws "Recursive update"
+    * when the inner call lands in the outer key's bin — a latent trap
+    * that only fires when query ORDER leaves the inner key cold
+    * (caught by the round-14 session-5 gate after new registrations
+    * reshuffled the sweep order). The get → build → putIfAbsent
+    * pattern supports nesting; under a true concurrent first call the
+    * losing racer unpersists its duplicate blocks and serves the
+    * winner's artifact. */
   def memoize[T <: AnyRef](spark: SparkSession, scope: String, dir: String)
                           (build: => T): T = {
     val ctxId = spark.sparkContext.applicationId
@@ -83,21 +94,32 @@ object SessionCache {
     }
     val key = s"${sessionKey(spark)}|$scope|$dir"
     accessLog.add(key)
-    entries
-      .computeIfAbsent(key, { _ =>
-        // Record which persistent RDDs the build creates: those blocks
-        // back the memoized artifact and must survive any sweep-level
-        // cleanup ([[dropTransientBlocks]]) that evicts per-invocation
-        // checkpoint garbage between queries.
-        val before = spark.sparkContext.getPersistentRDDs
-        val built = build
-        val created =
-          spark.sparkContext.getPersistentRDDs -- before.keySet
-        created.keys.foreach(ownedRdds.add(_))
-        Entry(built, sessionKey(spark),
-          created.keySet.toSet, created.values.toSeq)
+    val hit = entries.get(key)
+    if (hit != null) return hit.value.asInstanceOf[T]
+    // Record which persistent RDDs the build creates: those blocks
+    // back the memoized artifact and must survive any sweep-level
+    // cleanup ([[dropTransientBlocks]]) that evicts per-invocation
+    // checkpoint garbage between queries. A nested memoize inside
+    // `build` registers its OWN blocks first, so exclude ids already
+    // owned — otherwise evicting the outer key would unpersist blocks
+    // the inner entry still serves.
+    val before = spark.sparkContext.getPersistentRDDs
+    val built = build
+    val created = (spark.sparkContext.getPersistentRDDs -- before.keySet)
+      .filterNot { case (id, _) => ownedRdds.contains(id) }
+    val e = Entry(built, sessionKey(spark),
+      created.keySet.toSet, created.values.toSeq)
+    val prev = entries.putIfAbsent(key, e)
+    if (prev != null) {
+      // lost a concurrent race: drop this duplicate's blocks
+      e.ownedRdds.foreach(r => try r.unpersist(blocking = false) catch {
+        case _: Throwable => ()
       })
-      .value.asInstanceOf[T]
+      prev.value.asInstanceOf[T]
+    } else {
+      created.keys.foreach(ownedRdds.add(_))
+      built
+    }
   }
 
   /** Keys memoize() has served (hit or build) since the last drain.

@@ -8,6 +8,38 @@ import graft.util.SessionCache
   * on a later memoize. */
 class SessionCacheSpec extends SparkSpec {
 
+  test("nested memoize works and ownership stays disjoint " +
+    "(the computeIfAbsent recursive-update regression)") {
+    SessionCache.clear()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var innerBuilds = 0
+    def inner() = SessionCache.memoize(spark, "spec-inner", "x") {
+      innerBuilds += 1
+      spark.range(40).toDF("n").localCheckpoint()
+    }
+    // an OUTER artifact whose build memoizes the inner one — this is
+    // q_source_overlap's shape (the near-dup pair view inside the
+    // overlap build); with computeIfAbsent it threw "Recursive update"
+    // whenever the sweep order left the inner key cold
+    val outer = SessionCache.memoize(spark, "spec-outer", "x") {
+      inner().selectExpr("n * 2 as m").localCheckpoint()
+    }
+    assert(outer.count() === 40)
+    assert(innerBuilds === 1)
+    // both entries serve independently; inner did NOT rebuild
+    assert(inner().count() === 40)
+    assert(innerBuilds === 1)
+    // evicting the OUTER key must not kill the inner entry's blocks
+    val innerIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    SessionCache.evictKeys(Set(
+      s"${SessionCache.sessionKey(spark)}|spec-outer|x"))
+    assert(inner().count() === 40) // still served, blocks intact
+    assert(innerBuilds === 1)
+    assert(innerIds.nonEmpty)
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+  }
+
   test("memo blocks survive the transient sweep; unowned blocks do not") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val memo = SessionCache.memoize(spark, "spec-owned", "x") {
