@@ -894,7 +894,10 @@ object ScaleCheck {
         // KS A/B: the mann_whitney prefix-sum shape, 1-row verdict
         "q_ks_ab",
         // rate ratio: the ab_test shape, 1-row verdict
-        "q_rate_ratio")
+        "q_rate_ratio",
+        // audio stats: the memoized real-codec decode (one map pass)
+        // + a |sources| rollup
+        "q_audio_stats")
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
       // t-closeness against the scaled population twin (the
       // k_anonymity posture): class count fixed, class sizes ~factor;

@@ -761,12 +761,13 @@ object Multimodal {
     * while this is a codec certificate — and the sf0.01 gate corpus
     * happens to plant zero near-dup pairs inside the ≡1 (mod 3) third,
     * which would make the hash check trivially empty. */
-  def qAudioNearDupDet(spark: SparkSession, dir: String): DataFrame = {
+  /** The decode-once per-doc segment-peak artifact (REAL javax.sound
+    * round trip), memoized per (session, dir) and shared by the
+    * near-dup twin and the stats profile. */
+  private def sqPeaks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{decode => _, _}
-    // decode-once artifact, memoized like the image twin's features
-    val peaks = graft.util.SessionCache.memoize(spark, "media-sq-peaks",
-      dir) {
+    graft.util.SessionCache.memoize(spark, "media-sq-peaks", dir) {
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"))
         .as[(Long, String, Long)]
@@ -778,6 +779,11 @@ object Multimodal {
         .toDF("doc_id", "p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7")
         .localCheckpoint()
     }
+  }
+
+  def qAudioNearDupDet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{decode => _, _}
+    val peaks = sqPeaks(spark, dir)
     val dp = (0 until 8).map(j => col(s"a.p$j") * col(s"b.p$j")).reduce(_ + _)
     val na = (0 until 8).map(j => col(s"a.p$j") * col(s"a.p$j")).reduce(_ + _)
     val nb = (0 until 8).map(j => col(s"b.p$j") * col(s"b.p$j")).reduce(_ + _)
@@ -798,16 +804,21 @@ object Multimodal {
     * arithmetic, the ·0.8·32767 amplitude quantization (the same
     * left-associated double product the synthesizer computes), the
     * (p0, p1) band join, and the integer-sum cosine. */
+  /** Shared oracle text: byte k of the text (97 = 'a' padding). */
+  private def sqlByteAt(i: Int) =
+    s"(CASE WHEN length(text) > $i THEN ascii(substr(text, ${i + 1}, 1)) " +
+      "ELSE 97 END)"
+
+  /** Shared oracle text: segment-c peak of the square-wave synth —
+    * the same ·0.8·32767 quantization the codec path computes. */
+  private def sqlPeakCol(c: Int) = {
+    val s = (0 until 8).map(k => sqlByteAt(8 * c + k)).mkString(" + ")
+    s"CAST(round(LEAST(1.0, GREATEST(0.0, (($s) / 8.0 - 96.0) " +
+      s"/ 32.0)) * 0.8 * 32767) AS BIGINT) AS p$c"
+  }
+
   val qAudioNearDupDetSql: String = {
-    def byteAt(i: Int) =
-      s"(CASE WHEN length(text) > $i THEN ascii(substr(text, ${i + 1}, 1)) " +
-        "ELSE 97 END)"
-    def pcol(c: Int) = {
-      val s = (0 until 8).map(k => byteAt(8 * c + k)).mkString(" + ")
-      s"CAST(round(LEAST(1.0, GREATEST(0.0, (($s) / 8.0 - 96.0) " +
-        s"/ 32.0)) * 0.8 * 32767) AS BIGINT) AS p$c"
-    }
-    val pcols = (0 until 8).map(pcol).mkString(",\n    ")
+    val pcols = (0 until 8).map(sqlPeakCol).mkString(",\n    ")
     val dp = (0 until 8).map(j => s"a.p$j*b.p$j").mkString(" + ")
     val na = (0 until 8).map(j => s"a.p$j*a.p$j").mkString(" + ")
     val nb = (0 until 8).map(j => s"b.p$j*b.p$j").mkString(" + ")
@@ -827,6 +838,70 @@ object Multimodal {
       |WHERE na > 0 AND nb > 0
       |  AND CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
       |    * sqrt(CAST(nb AS DOUBLE))) >= $mediaNearDupDetMinCos""".stripMargin
+  }
+
+  /** Peak amplitude the ·0.8·32767 quantization saturates at
+    * (a fully-clipped segment). */
+  val peakFullScale = 26214L
+
+  /** AUDIO LOUDNESS/CLIPPING PROFILE per source — the analytics
+    * readout over the decoded clips the near-dup twin only compares:
+    * per source, mean segment peak (integer sums over the 8 decoded
+    * peaks per clip), the loudest peak seen, and the CLIPPING rate
+    * (clips with any segment at digital full scale — the QA number a
+    * speech-data pipeline gates ingest on). Rides the SAME memoized
+    * real-codec decode artifact as [[qAudioNearDupDet]]; the oracle
+    * re-derives every peak from the text bytes via the shared
+    * [[sqlPeakCol]] text. */
+  def qAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{decode => _, _}
+    val peaks = sqPeaks(spark, dir)
+    val psum = (0 until 8).map(j => col(s"p$j")).reduce(_ + _)
+    val pmax = (0 until 8).map(j => col(s"p$j")).reduce(greatest(_, _))
+    peaks
+      .join(Tables(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .select(col("source"), psum.as("psum"), pmax.as("pmax"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("psum")).as("peak_sum"),
+        max(col("pmax")).as("max_peak"),
+        sum(when(col("pmax") >= peakFullScale, 1L).otherwise(0L))
+          .as("n_clipped"))
+      .selectExpr("source", "n_clips", "max_peak", "n_clipped",
+        """cast(round(cast(peak_sum as double)
+          | / (cast(n_clips as double) * 8.0)) as bigint)
+          | as mean_peak""".stripMargin.replace("\n", " "),
+        """cast(round(1000000.0 * cast(n_clipped as double)
+          | / cast(n_clips as double)) as bigint)
+          | as clip_rate_micro""".stripMargin.replace("\n", " "))
+      .orderBy("source")
+  }
+
+  val qAudioStatsSql: String = {
+    val pcols = (0 until 8).map(sqlPeakCol).mkString(",\n      |    ")
+    val psum = (0 until 8).map(j => s"p$j").mkString(" + ")
+    val pmax = s"GREATEST(${(0 until 8).map(j => s"p$j").mkString(", ")})"
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    $pcols
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, $psum AS psum, $pmax AS pmax FROM q),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+       |    CAST(SUM(psum) AS BIGINT) AS peak_sum,
+       |    MAX(pmax) AS max_peak,
+       |    CAST(SUM(CASE WHEN pmax >= $peakFullScale THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_clipped
+       |  FROM per GROUP BY source)
+       |SELECT source, n_clips, max_peak, n_clipped,
+       |  CAST(ROUND(CAST(peak_sum AS DOUBLE)
+       |    / (CAST(n_clips AS DOUBLE) * 8.0)) AS BIGINT) AS mean_peak,
+       |  CAST(ROUND(1000000.0 * CAST(n_clipped AS DOUBLE)
+       |    / CAST(n_clips AS DOUBLE)) AS BIGINT) AS clip_rate_micro
+       |FROM agg
+       |ORDER BY source""".stripMargin
   }
 
   /** Mirrors [[synthesize]] + the REAL codec decodes field by field —

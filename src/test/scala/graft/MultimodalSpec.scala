@@ -373,4 +373,29 @@ class MultimodalSpec extends SparkSpec {
     val wav2 = Multimodal.squareWavFromText(text + " trailing tail", 200)
     assert(Multimodal.WavCodec.peaks8(wav2).toSeq === peaks.toSeq)
   }
+
+  test("audio stats profile: mean/max/clip-rate replay from the codec") {
+    import graft.multimodal.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.qAudioStats(spark, dir).collect()
+    assert(out.nonEmpty)
+    // replay ONE source driver-side through the real codec
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars", "source").collect()
+    val src = out.head.getString(0)
+    val mine = docs.filter(_.getString(3) == src)
+    val peaks = mine.map { r =>
+      Multimodal.WavCodec.peaks8(Multimodal.squareWavFromText(
+        r.getString(1), (64 + (r.getLong(2) % 512)).toInt))
+    }
+    val r0 = out.head
+    assert(r0.getLong(r0.fieldIndex("n_clips")) === mine.length.toLong)
+    assert(r0.getLong(r0.fieldIndex("max_peak")) ===
+      peaks.map(_.max).max)
+    assert(r0.getLong(r0.fieldIndex("mean_peak")) ===
+      math.round(peaks.flatten.map(_.toDouble).sum / (mine.length * 8.0)))
+    val clipped = peaks.count(_.max >= Multimodal.peakFullScale)
+    assert(r0.getLong(r0.fieldIndex("clip_rate_micro")) ===
+      math.round(1e6 * clipped / mine.length.toDouble))
+  }
 }
