@@ -162,4 +162,101 @@ class SessionCacheSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty)
   }
+
+  test("round-15: interleaved first-builds of DIFFERENT keys attribute " +
+    "ownership by reachability, never by window-diff contamination") {
+    SessionCache.clear()
+    import java.util.concurrent.CyclicBarrier
+    // Two threads first-build different keys with STAGGERED persists:
+    // each thread checkpoints inside the other's build window, so the
+    // old getPersistentRDDs diff would capture both sides in both
+    // entries. Barriers force the interleave deterministically:
+    //   A enters build, checkpoints dfA1 … B checkpoints dfB … A
+    //   checkpoints dfA2 and closes its window (diff sees dfB too).
+    val b1 = new CyclicBarrier(2); val b2 = new CyclicBarrier(2)
+    @volatile var errA: Throwable = null; @volatile var errB: Throwable = null
+    val tA = new Thread(() => try {
+      SessionCache.memoize(spark, "spec-race-a", "k") {
+        val d1 = spark.range(60).toDF("n").localCheckpoint()
+        b1.await() // B builds + persists now, inside A's window
+        b2.await()
+        d1.selectExpr("n + 1 as m").localCheckpoint()
+      }: Unit
+    } catch { case t: Throwable => errA = t })
+    val tB = new Thread(() => try {
+      b1.await()
+      SessionCache.memoize(spark, "spec-race-b", "k") {
+        spark.range(70).toDF("n").localCheckpoint()
+      }: Unit
+      b2.await()
+    } catch { case t: Throwable => errB = t })
+    tA.start(); tB.start(); tA.join(30000); tB.join(30000)
+    assert(errA == null, s"thread A failed: $errA")
+    assert(errB == null, s"thread B failed: $errB")
+    val sk = SessionCache.sessionKey(spark)
+    // Evict A: B's artifact must still serve from intact blocks — under
+    // diff-based attribution A owned B's RDD and this unpersisted it.
+    SessionCache.evictKeys(Set(s"$sk|spec-race-a|k"))
+    val bServed = SessionCache.memoize(spark, "spec-race-b", "k") {
+      fail("B must still be cached"); null
+    }.asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(bServed.count() === 70,
+      "evicting A unpersisted B's blocks (ownership contamination)")
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+  }
+
+  test("round-15: concurrent first-build of the SAME key — the loser " +
+    "drops only its own duplicate, the winner's artifact stays intact") {
+    SessionCache.clear()
+    import java.util.concurrent.CyclicBarrier
+    val inBuild = new CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.DataFrame]()
+    @volatile var err: Throwable = null
+    def racer() = new Thread(() => try {
+      val df = SessionCache.memoize(spark, "spec-race-same", "k") {
+        // both threads are mid-build before either publishes
+        inBuild.await()
+        spark.range(90).toDF("n").localCheckpoint()
+      }
+      results.add(df)
+    } catch { case t: Throwable => err = t })
+    val t1 = racer(); val t2 = racer()
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    assert(err == null, s"racer failed: $err")
+    // both callers got the SAME (winner's) artifact object
+    val got = results.toArray(Array.empty[org.apache.spark.sql.DataFrame])
+    assert(got.length === 2)
+    assert(got(0) eq got(1), "losing racer must serve the winner's value")
+    // and it still executes — the loser's cleanup must not have touched
+    // the winner's blocks (reachability: the loser unpersists only ids
+    // reachable from its OWN duplicate artifact)
+    assert(got(0).count() === 90)
+    assert(got(0).count() === 90) // twice: rules out lingering buffers
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+  }
+
+  test("round-15: driver-side model artifacts pin nothing — their " +
+    "build intermediates stay transient and the sweep reclaims them") {
+    SessionCache.clear()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val model = SessionCache.memoize(spark, "spec-model", "k") {
+      // a build that checkpoints an intermediate but returns a
+      // driver-side Map (the classifier/DSIR/bloom shape)
+      val inter = spark.range(30).toDF("n").localCheckpoint()
+      inter.collect().map(r => r.getLong(0) -> 1L).toMap
+    }
+    assert(model.size === 30)
+    // the intermediate was NOT claimed: the transient sweep drops it
+    SessionCache.dropTransientBlocks(spark)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "model build's intermediate blocks must not be pinned as owned")
+    // the entry itself still serves (driver-side value, no blocks)
+    assert(SessionCache.memoize(spark, "spec-model", "k") {
+      fail("must not rebuild"); null
+    }.asInstanceOf[Map[Long, Long]].size === 30)
+    SessionCache.clear()
+  }
 }
