@@ -28,6 +28,56 @@ class GainsFusionSpec extends SparkSpec {
     assert(dL.getLong(dL.fieldIndex("lift_micro")) === 1000000L)
   }
 
+  test("gains round-15: histogram-selection curve ≡ brute row_number " +
+    "curve under heavy ties, negative scores, and tiny n") {
+    // the rework replaced the global row number with multi-boundary
+    // order statistics; this replays the OLD exact-rank formulation
+    // driver-side and demands bit-equality across adversarial shapes:
+    // dense score ties straddling decile boundaries (forcing the
+    // doc_id tie resolution), all-one-score, n < 10, negatives
+    val rng = new scala.util.Random(421)
+    val shapes: Seq[Seq[(Long, Long, Int)]] = Seq(
+      // ~5 distinct scores over 137 rows: every boundary is a tie cut
+      (1L to 137L).map(i => (i, (rng.nextInt(5) - 2).toLong,
+        rng.nextInt(2))),
+      // all rows identical score: rank order IS doc_id order
+      (1L to 43L).map(i => (i, 7L, if (i % 3 == 0) 1 else 0)),
+      // n < 10: some deciles empty, GROUP BY shape must match
+      (1L to 7L).map(i => (i, -i * 1000L, (i % 2).toInt)),
+      // n = 1
+      Seq((5L, -123456L, 1)),
+      // wide magnitudes: multi-level refinement path
+      (1L to 211L).map(i => (i, rng.nextLong() % (1L << 40),
+        rng.nextInt(2)))
+    )
+    shapes.zipWithIndex.foreach { case (data, si) =>
+      val sl = data.toDF("doc_id", "s", "y")
+      val got = GainsCurve.gainsCurve(sl).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      // brute: exact ranks driver-side
+      val n = data.size
+      val ranked = data.sortBy { case (id, s, _) => (-s, id) }
+      val deciles = ranked.zipWithIndex
+        .groupBy { case (_, rn0) => rn0.toLong * 10 / n + 1 }
+      val tp = data.count(_._3 == 1).toLong
+      var cumN = 0L; var cumP = 0L
+      val want = deciles.keys.toSeq.sorted.map { d =>
+        val rows = deciles(d)
+        val nd = rows.size.toLong
+        val pd = rows.count(_._1._3 == 1).toLong
+        cumN += nd; cumP += pd
+        val gain = if (tp == 0) 0L
+          else math.round(1000000.0 * cumP.toDouble / tp.toDouble)
+        val lift = if (tp == 0 || cumN == 0) 0L
+          else math.round(1000000.0 * cumP.toDouble * n.toDouble /
+            (cumN.toDouble * tp.toDouble))
+        (d, nd, pd, cumN, cumP, gain, lift)
+      }
+      assert(got.toSeq === want, s"shape $si diverged")
+    }
+  }
+
   test("capture-recapture: identical samples → N = seen; " +
     "disjoint → Chapman blow-up") {
     def ev(rows: Seq[(Long, String)]) = rows.toDF("user_id", "event_type")
