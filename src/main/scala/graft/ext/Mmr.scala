@@ -70,7 +70,15 @@ object Mmr {
   }
 
   /** Driver query: MMR-diversified top-10 for query vec 0 over the
-    * exact-cosine top-20. */
+    * exact-cosine top-20.
+    *
+    * DRIVER BOUND (the bounded-collect convention): the candidate
+    * similarity matrix below is a crossJoin + collect of nCand² − nCand
+    * pairs — ~380 rows at nCand = 20. MMR reranking is always over a
+    * first-stage SHORTLIST; keep nCand in the 10²–10³ range (10⁶ pairs
+    * ≈ the collect ceiling). Diversifying a larger pool is a different
+    * operator — cluster first ([[KMeansOps]]) or pre-bucket by IVF
+    * cell, then MMR within the shortlist. */
   def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")

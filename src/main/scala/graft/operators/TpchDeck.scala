@@ -286,6 +286,115 @@ object TpchDeck {
         |ORDER BY numwait DESC, s_name
         |LIMIT 25""".stripMargin,
 
+    // Q6 shape: single-table filtered aggregate — every predicate
+    // lands in PushedFilters at the scan; at 100 TB the scan reads
+    // the date/discount/quantity-filtered fraction only.
+    "q_tpch_q06" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |  * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q8 shape: 9-relation chain (nation/region dual-aliased) + CASE
+    // market-share ratio. Share = exact-integer sums entering ONE
+    // double division.
+    "q_tpch_q08" ->
+      s"""SELECT o_year,
+         |  CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN vol_e4 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(vol_e4) AS DOUBLE) AS mkt_share
+         |FROM (
+         |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |    $rev AS vol_e4, r2.r_name AS supp_region
+         |  FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |  WHERE r1.r_name = 'EUROPE' AND p_type = 'ECONOMY'
+         |) allsales
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin,
+
+    // Q9 shape: profit rollup by nation × year under a part-name LIKE
+    // (non-sargable contains — evaluated post-scan on the pruned
+    // column set).
+    "q_tpch_q09" ->
+      s"""SELECT n_name, o_year,
+         |  CAST(SUM(vol_e4) AS DOUBLE)/10000.0 AS profit
+         |FROM (
+         |  SELECT n_name,
+         |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |    $rev AS vol_e4
+         |  FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%gear%'
+         |) profit
+         |GROUP BY n_name, o_year
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    // Q12 shape: two-way CASE counts over a fact-fact join.
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |        OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+        |        AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity >= 30
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Q13 shape: LEFT OUTER join with an extra join-side predicate +
+    // count-of-counts distribution (customers with zero qualifying
+    // orders MUST survive as c_count = 0).
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q14 shape: CASE-numerator revenue share, one join, one month.
+    "q_tpch_q14" ->
+      s"""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DOUBLE)
+         |  * 100.0 / CAST(SUM($rev) AS DOUBLE) AS promo_revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    // Q19 shape: disjunctive OR-of-ANDs predicate spanning both join
+    // sides — the join-condition-pushdown stress case (each disjunct
+    // constrains part AND lineitem attributes).
+    "q_tpch_q19" ->
+      s"""SELECT CAST(SUM($rev) AS DOUBLE)/10000.0 AS revenue
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 1 AND l_quantity <= 21)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity >= 10 AND l_quantity <= 30)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin,
+
     // Q22 shape: uncorrelated scalar subquery (exact-cents mean) +
     // NOT EXISTS with a windowed predicate (no recent orders).
     "q_tpch_q22" ->

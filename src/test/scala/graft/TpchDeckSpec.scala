@@ -55,6 +55,21 @@ class TpchDeckSpec extends SparkSpec {
       || q3.contains("EqualTo(c_mktsegment,BUILDING)"), q3)
     assert(q3.contains("LessThan(o_orderdate,"), q3)
     assert(q3.contains("GreaterThan(l_shipdate,"), q3)
+    // Q6: all four single-table predicates reach the lineitem scan
+    val q6 = formattedPlan("q_tpch_q06")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate,"), q6)
+    assert(q6.contains("GreaterThanOrEqual(l_discount,"), q6)
+    assert(q6.contains("LessThan(l_quantity,"), q6)
+  }
+
+  test("Q13's filtered LEFT OUTER keeps zero-order customers") {
+    val q13 = formattedPlan("q_tpch_q13")
+    assert(q13.contains("LeftOuter"), q13)
+    // every customer appears in exactly one c_count bucket
+    Tables.registerAll(spark, dir)
+    val total = df("q_tpch_q13").agg(org.apache.spark.sql.functions
+      .sum("custdist")).head().getLong(0)
+    assert(total === spark.table("customer").count())
   }
 
   test("every deck query executes (sf0.001), LIMIT'd ones within bound") {
@@ -67,11 +82,13 @@ class TpchDeckSpec extends SparkSpec {
     assert(counts("q_tpch_q18") <= 100)
     assert(counts("q_tpch_q21") <= 25)
     // shapes with guaranteed sf0.001 support produce rows
-    Seq("q_tpch_q02", "q_tpch_q03", "q_tpch_q04", "q_tpch_q10",
-      "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q21",
-      "q_tpch_q22").foreach { n =>
-      assert(counts(n) > 0, s"$n returned no rows at sf0.001")
-    }
+    Seq("q_tpch_q02", "q_tpch_q03", "q_tpch_q04", "q_tpch_q06",
+      "q_tpch_q08", "q_tpch_q09", "q_tpch_q10", "q_tpch_q12",
+      "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+      "q_tpch_q17", "q_tpch_q19", "q_tpch_q21", "q_tpch_q22")
+      .foreach { n =>
+        assert(counts(n) > 0, s"$n returned no rows at sf0.001")
+      }
   }
 
   test("Q15 keeps ALL max-revenue ties (exact-integer total)") {

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Fold ScaleCheck run files into the committed per-round artifact.
+
+Usage:
+  python3 tools/merge_scalecheck.py SCALECHECK_r15.json run10.json [run100.json ...]
+
+Each input is one `{"metric":"scale_check","factor":F,...,"queries":{...}}`
+line as written by `graft.ScaleCheck <src> <big> <F> <subset> <out>`.
+Output schema (the round-14 verdict's ask — machine-readable 10x/100x
+evidence instead of DESIGN.md prose tables):
+
+  { "<query>": { "r10x": float|null, "r100x": float|null,
+                 "sec_1x": float, "rows_1x": int,
+                 "rows_10x": int|null, "rows_100x": int|null,
+                 "honest": true } }
+
+`honest` is asserted for every row this tool emits: ScaleCheck times
+each query at its DOCUMENTED scale posture (fixed-budget twins for the
+probe families, the dedicated scaled fact twins for the dim-shaped
+inputs), and any query timed at an undocumented posture must not be
+merged into the artifact. `sec_1x`/`rows_1x` come from the largest
+factor's run (the small side is the same sf0.1 corpus in every run;
+later runs overwrite earlier ones so the values are from one process).
+"""
+import json
+import sys
+
+
+def main(out_path: str, run_paths: list) -> int:
+    merged = {}
+    for p in run_paths:
+        with open(p) as f:
+            run = json.load(f)
+        if run.get("metric") != "scale_check":
+            print(f"{p}: not a scale_check run file", file=sys.stderr)
+            return 1
+        factor = run["factor"]
+        key = {10: "r10x", 100: "r100x"}.get(factor)
+        if key is None:
+            print(f"{p}: unsupported factor {factor}", file=sys.stderr)
+            return 1
+        for q, row in run["queries"].items():
+            m = merged.setdefault(q, {
+                "r10x": None, "r100x": None,
+                "sec_1x": None, "rows_1x": None,
+                "rows_10x": None, "rows_100x": None,
+                "honest": True,
+            })
+            m[key] = row["ratio"]
+            m["sec_1x"] = row["small_sec"]
+            m["rows_1x"] = row["small_rows"]
+            m[f"rows_{factor}x"] = row["big_rows"]
+    with open(out_path, "w") as f:
+        json.dump(dict(sorted(merged.items())), f, indent=1)
+        f.write("\n")
+    print(f"{out_path}: {len(merged)} queries "
+          f"({sum(1 for m in merged.values() if m['r10x'] is not None)} with 10x, "
+          f"{sum(1 for m in merged.values() if m['r100x'] is not None)} with 100x)")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2:]))
