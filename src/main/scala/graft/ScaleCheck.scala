@@ -1081,7 +1081,13 @@ object ScaleCheck {
         val df = if (f.exists) s.read.parquet(f.getPath)
                  else Tables(s, d, "part")
         graft.operators.FuzzyJoin.fuzzyJoin(df)
-      })))
+      })) ++
+      // round 15: the relational deck — facts scale ×factor, dims stay
+      // constant (the realistic warehouse growth shape scaleFacts
+      // produces), so these rows measure exactly what a 100 TB
+      // deployment pays: fact-fact shuffle growth under broadcast-dim
+      // join chains, semi/anti-join subquery decorrelation at scale
+      graft.operators.TpchDeck.queries.toSeq.sortBy(_._1))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
