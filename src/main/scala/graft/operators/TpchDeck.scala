@@ -395,6 +395,45 @@ object TpchDeck {
          |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
          |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin,
 
+    // LATERAL shape: correlated top-k-per-group subquery in FROM —
+    // the modern decision-support idiom for "best N orders per
+    // customer". Catalyst decorrelates the correlated ORDER BY+LIMIT
+    // lateral into window machinery / a domain join — TpchDeckSpec
+    // asserts the nested-loop fallback never survives.
+    "q_tpch_lateral" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) best
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey < 300
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // Set-op shape: INTERSECT / EXCEPT cohort algebra (retained vs
+    // churned 1997 buyers) — planned as semi/anti hash joins over the
+    // distinct key sets.
+    "q_tpch_setops" ->
+      """SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_cust FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01')
+        |UNION ALL
+        |SELECT 'churned' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_cust FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01')
+        |ORDER BY cohort""".stripMargin,
+
     // Q22 shape: uncorrelated scalar subquery (exact-cents mean) +
     // NOT EXISTS with a windowed predicate (no recent orders).
     "q_tpch_q22" ->
