@@ -98,6 +98,25 @@ class TpchDeckSpec extends SparkSpec {
     assert(revs.length === 1, "every surviving supplier shares the max")
   }
 
+  test("scaled corpora keep the same join machinery (no BNLJ/cartesian)") {
+    // the 100 TB claim is that the plans don't flip to nested-loop
+    // machinery when the facts grow; check against whatever ScaleCheck
+    // corpora exist on this host (cancelled cleanly when none do)
+    val dirs = Seq("/tmp/sfbig10", "/tmp/sfbig100")
+      .filter(d => new java.io.File(s"$d/lineitem.parquet").exists)
+    assume(dirs.nonEmpty, "no ScaleCheck corpus on this host")
+    dirs.foreach { d =>
+      graft.operators.TpchDeck.sql.keys.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, d).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name flipped to BNLJ at $d")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name flipped to cartesian at $d")
+      }
+    }
+  }
+
   test("Q17 correlated AVG: only sub-threshold quantities contribute") {
     // recompute the per-part 0.2·avg thresholds directly and replay
     // the sum — pins the decorrelated join's semantics, not just rows>0
