@@ -48,6 +48,15 @@ object GainsCurve {
   /** One refinement level narrows each tracked window by 2^12. */
   private val levelBits = 12
 
+  /** h − l saturating at Long.MaxValue: the selection windows start at
+    * (min, max) of an arbitrary long column, whose span can exceed
+    * Long.MaxValue — a wrapped width would degrade shift to 0 and
+    * collect every distinct value. */
+  private def satWidth(l: Long, h: Long): Long = {
+    val d = h - l
+    if (((h ^ l) & (h ^ d)) < 0L) Long.MaxValue else d
+  }
+
   /** For each rank k in `ks` (1 = largest under `c` desc), the exact
     * boundary: (value v, #rows with c > v, #rows with c = v).
     * Shared iterative histogram selection: every level is ONE
@@ -60,7 +69,7 @@ object GainsCurve {
     var state = ks.distinct.map(k => k -> (0L, lo0, hi0)).toMap
     var out = Map.empty[Long, (Long, Long, Long)]
     while (state.nonEmpty) {
-      val width = state.values.map { case (_, l, h) => h - l }.max
+      val width = state.values.map { case (_, l, h) => satWidth(l, h) }.max
       val shift = math.max(0,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(width, 1L)) -
           levelBits)
@@ -85,7 +94,13 @@ object GainsCurve {
         while (it.hasNext && !found) {
           val (b, cnt) = it.next()
           val bLo = b << shift
-          val bHi = bLo + (1L << shift) - 1 // shift=0 → bHi = bLo = value
+          // shift=0 → bHi = bLo = value; saturate: buckets adjoining
+          // Long.MaxValue must not wrap past it and dodge the overlap
+          // test (that would lose the top bucket → require(found) trips)
+          val bSpan = (1L << shift) - 1
+          val bHi =
+            if (bLo > Long.MaxValue - bSpan) Long.MaxValue
+            else bLo + bSpan
           if (bHi >= lo && bLo <= hi) {
             if (cum + cnt >= k) {
               found = true
@@ -134,21 +149,27 @@ object GainsCurve {
       // s = v_d; within the equal-s run ranks go by doc_id ASC, so the
       // cut keeps the m_d smallest doc_ids (m_d = K_d − #rows above).
       // m_d = eq ⇒ the whole run is in ⇒ no id resolution needed.
-      val cuts: Seq[(Long, Long, Long)] = kd.take(9).map { k =>
+      val raw = kd.take(9).map { k =>
         val (v, above, eq) = bounds(k)
-        val m = k - above
-        val idCut =
-          if (m >= eq) Long.MaxValue
-          else {
-            // m-th smallest doc_id among the s = v rows = m-th largest
-            // of −doc_id (ids are unique: eq-count per value is 1)
-            val tie = scored.filter(col("s") === v)
-            val mm = tie.agg(min("doc_id"), max("doc_id")).head()
-            val sel = multiSelectLargest(tie, -col("doc_id"), Seq(m),
-              -mm.getLong(1), -mm.getLong(0))
-            -sel(m)._1
-          }
-        (k, v, idCut)
+        (k, v, k - above, eq)
+      }
+      // Boundaries falling in the SAME equal-s run share one tie set:
+      // resolve all their ranks in a single multiSelectLargest over
+      // that run (heavily tied scores would otherwise rescan the same
+      // tie rows up to 9 times). m ≥ eq ⇒ whole run in ⇒ no resolution.
+      val idCutByK: Map[Long, Long] = raw
+        .filter { case (_, _, m, eq) => m < eq }
+        .groupBy(_._2).flatMap { case (v, grp) =>
+          // m-th smallest doc_id among the s = v rows = m-th largest
+          // of −doc_id (ids are unique: eq-count per value is 1)
+          val tie = scored.filter(col("s") === v)
+          val mm = tie.agg(min("doc_id"), max("doc_id")).head()
+          val sel = multiSelectLargest(tie, -col("doc_id"),
+            grp.map(_._3), -mm.getLong(1), -mm.getLong(0))
+          grp.map { case (k, _, m, _) => k -> -sel(m)._1 }
+        }
+      val cuts: Seq[(Long, Long, Long)] = raw.map { case (k, v, m, eq) =>
+        (k, v, if (m >= eq) Long.MaxValue else idCutByK(k))
       }
       // ONE closing scan: all nine cumulative positive counts
       val cumExprs = cuts.zipWithIndex.map { case ((_, v, idCut), i) =>

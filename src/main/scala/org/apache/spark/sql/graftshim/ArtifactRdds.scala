@@ -50,31 +50,46 @@ object ArtifactRdds {
     }
 
     def walkDf(df: org.apache.spark.sql.classic.Dataset[_]): Unit = {
-      df.queryExecution.analyzed.foreach {
+      // subqueriesAll: a LogicalRDD reachable only through a scalar /
+      // IN / EXISTS subquery expression is still executed against —
+      // plan.foreach alone never descends into subquery plans.
+      val analyzed = df.queryExecution.analyzed
+      (analyzed +: analyzed.subqueriesAll).foreach(_.foreach {
         case l: LogicalRDD => walkRdd(l.rdd)
         case _ => ()
-      }
-      df.queryExecution.withCachedData.foreach {
+      })
+      val cached = df.queryExecution.withCachedData
+      (cached +: cached.subqueriesAll).foreach(_.foreach {
         case im: InMemoryRelation
           if im.cacheBuilder.isCachedColumnBuffersLoaded =>
           walkRdd(im.cacheBuilder.cachedColumnBuffers)
         case _ => ()
-      }
+      })
     }
 
+    // Container hops (Seq/Map/Array cells — incl. List cons chains) must
+    // NOT consume the structural depth budget: a List[DataFrame] of n>7
+    // elements would otherwise run out of depth mid-spine and silently
+    // lose ownership of the tail's blocks. Depth bounds only case-class
+    // NESTING; total work is bounded separately by a node budget.
+    var budget = 1 << 20
+
     def walk(x: Any, depth: Int): Unit =
-      if (x != null && depth <= 8) x match {
+      if (x != null && depth <= 8 && budget > 0) { budget -= 1; x match {
         case df: org.apache.spark.sql.classic.Dataset[_] => walkDf(df)
         case r: RDD[_] => walkRdd(r)
-        case p: Product with AnyRef if seen.add(p) =>
-          // tuples, case-class models, ::-lists — bounded fan-out
-          p.productIterator.take(1 << 17).foreach(walk(_, depth + 1))
+        // Iterable before Product: List/Vector/Map are Products too in
+        // 2.13 — matching Product first turns each cons cell into one
+        // depth level.
         case it: Iterable[_] if seen.add(it) =>
-          it.iterator.take(1 << 17).foreach(walk(_, depth + 1))
+          it.iterator.take(1 << 17).foreach(walk(_, depth))
         case arr: Array[_] if seen.add(arr) =>
-          arr.iterator.take(1 << 17).foreach(walk(_, depth + 1))
+          arr.iterator.take(1 << 17).foreach(walk(_, depth))
+        case p: Product with AnyRef if seen.add(p) =>
+          // tuples and case-class models — bounded fan-out
+          p.productIterator.take(1 << 17).foreach(walk(_, depth + 1))
         case _ => ()
-      }
+      } }
 
     walk(artifact, 0)
     out.toSet

@@ -238,6 +238,37 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.dropTransientBlocks(spark)
   }
 
+  test("round-16: ownership reaches EVERY element of a long List " +
+    "artifact and plans referenced only via subquery expressions") {
+    SessionCache.clear()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // (a) a List of 12 checkpointed DataFrames: cons cells must not
+    // consume the structural depth budget (>7 elements used to lose
+    // the tail's blocks — Product matched before Iterable)
+    val many = SessionCache.memoize(spark, "spec-list12", "k") {
+      (0 until 12).map(i =>
+        spark.range(10 + i).toDF("n").localCheckpoint()).toList
+    }
+    // (b) an artifact whose ONLY path to its checkpointed RDD is a
+    // scalar-subquery expression (plan.foreach never descends there)
+    val sub = SessionCache.memoize(spark, "spec-subq", "k") {
+      val cut = spark.range(25).toDF("n").localCheckpoint()
+      cut.createOrReplaceTempView("spec_subq_cut")
+      spark.sql(
+        "SELECT id FROM range(50) WHERE id < (SELECT max(n) FROM spec_subq_cut)")
+    }
+    SessionCache.dropTransientBlocks(spark)
+    // every List element still executes off intact blocks
+    many.zipWithIndex.foreach { case (df, i) =>
+      assert(df.count() === 10 + i, s"list element $i lost its blocks")
+    }
+    assert(sub.count() === 24,
+      "subquery-reachable checkpoint was swept as unowned")
+    SessionCache.clear()
+    SessionCache.dropTransientBlocks(spark)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("round-15: driver-side model artifacts pin nothing — their " +
     "build intermediates stay transient and the sweep reclaims them") {
     SessionCache.clear()

@@ -19,8 +19,8 @@ each query at its DOCUMENTED scale posture (fixed-budget twins for the
 probe families, the dedicated scaled fact twins for the dim-shaped
 inputs), and any query timed at an undocumented posture must not be
 merged into the artifact. `sec_1x`/`rows_1x` come from the largest
-factor's run (the small side is the same sf0.1 corpus in every run;
-later runs overwrite earlier ones so the values are from one process).
+factor's run seen per query (the small side is the same sf0.1 corpus
+in every run), regardless of the order the run files are passed in.
 """
 import json
 import sys
@@ -28,6 +28,7 @@ import sys
 
 def main(out_path: str, run_paths: list) -> int:
     merged = {}
+    base_factor = {}  # query -> largest factor whose run gave sec_1x/rows_1x
     for p in run_paths:
         with open(p) as f:
             run = json.load(f)
@@ -47,8 +48,10 @@ def main(out_path: str, run_paths: list) -> int:
                 "honest": True,
             })
             m[key] = row["ratio"]
-            m["sec_1x"] = row["small_sec"]
-            m["rows_1x"] = row["small_rows"]
+            if factor >= base_factor.get(q, 0):
+                base_factor[q] = factor
+                m["sec_1x"] = row["small_sec"]
+                m["rows_1x"] = row["small_rows"]
             m[f"rows_{factor}x"] = row["big_rows"]
     with open(out_path, "w") as f:
         json.dump(dict(sorted(merged.items())), f, indent=1)
