@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
 /** CLASSIC DECISION-SUPPORT DECK — the canonical TPC-H query shapes the
@@ -451,13 +452,126 @@ object TpchDeck {
         |ORDER BY c_mktsegment""".stripMargin
   )
 
+  // ───────── Round-16: manual runtime filters on the two fact-fact
+  // shapes whose probe side grows with the corpus ─────────
+  //
+  // Q18 and Q21 were the deck's worst 100× slopes (7.65× / the q21
+  // self-fact pair): their semi/anti probe sides are the FULL lineitem
+  // fact, shuffled wholesale even though only the rows whose orderkey
+  // survives a highly selective build side can ever match. Catalyst's
+  // own InjectRuntimeFilter declines both (the creation side is an
+  // Aggregate for Q18, a filtered self-fact for Q21 — neither passes
+  // the injection's creation-side gates), so this is exactly
+  // [[BloomProbe.bloomJoin]]'s documented escape hatch applied by hand.
+  // The ORACLE text above is unchanged — the bloom ONLY PRUNES rows
+  // the exact join/semi/anti after it would drop anyway (one-sided
+  // contract: no false negatives, and a false-positive row either
+  // matches the exact key set, in which case it was legitimate, or
+  // doesn't, in which case the equi-condition kills it) — so the
+  // result is row-for-row the shared SQL's, which the driver gate
+  // hash-certifies.
+
+  /** Q18, runtime-filtered: the HAVING'd qualifying-order key set is
+    * computed ONCE (one map-side-combine pass over lineitem — the
+    * unavoidable scan), localCheckpointed (it is tiny: orders over 300
+    * total qty), and a 0.1%-FP bloom over it prunes BOTH fact scans
+    * before any shuffle. At 100 TB: the old plan shuffled every
+    * lineitem row into the o_orderkey join; this plan shuffles only
+    * the ~qualifying fraction (+0.1% passengers), and the exact
+    * semi-join against the materialized key set removes those. Keys +
+    * bloom are memoized per (session, dir) — the [[PageRank
+    * .coPurchaseEdgesMemo]] artifact posture. */
+  def q18RuntimeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (keys, bloom) = graft.util.SessionCache.memoize(
+      spark, "tpch-q18-rf", dir) {
+      val qual = graft.Tables(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("qk"))
+        .agg(sum("l_quantity").as("qsum"))
+        .filter(col("qsum") > 300).select("qk")
+        .localCheckpoint()
+      val n = qual.count()
+      (qual, BloomProbe.buildFilter(qual, "qk",
+        expectedKeys = math.max(n, 1L), fpRate = 0.001))
+    }
+    val liRf = graft.Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .filter(BloomProbe.mightContain(bloom, col("l_orderkey")))
+    val ordRf = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .filter(BloomProbe.mightContain(bloom, col("o_orderkey")))
+      // exact semi-join drops the bloom's ~0.1% false passengers
+      .join(keys, col("o_orderkey") === col("qk"), "left_semi")
+    graft.Tables(spark, dir, "customer").select("c_custkey", "c_name")
+      .join(ordRf, col("c_custkey") === col("o_custkey"))
+      .join(liRf, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice")
+      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double")
+        / 100.0).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q21, runtime-filtered: the EXISTS/NOT-EXISTS pair probes the
+    * self-fact (l2/l3) with the FULL lineitem; only rows sharing an
+    * orderkey with an 'R'-flagged line on a finished order can ever
+    * match, so a bloom over that key set (bounded by |orders|) prunes
+    * both probe scans map-side. Pruning a semi/anti join's PROBE side
+    * to a superset of the matchable keys is exact: a dropped row
+    * matches no build row by the equi-condition, so it contributed
+    * nothing to either the semi's keeps or the anti's kills. */
+  def q21RuntimeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = graft.util.SessionCache.memoize(
+      spark, "tpch-q21-rf", dir) {
+      val k1 = graft.Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(graft.Tables(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey").as("k1")).distinct()
+        .localCheckpoint()
+      BloomProbe.buildFilter(k1, "k1",
+        expectedKeys = math.max(k1.count(), 1L), fpRate = 0.001)
+    }
+    val li = graft.Tables(spark, dir, "lineitem")
+    val base = graft.Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_name")
+      .join(li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(graft.Tables(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("o_orderkey") === col("l_orderkey"))
+    val l2 = li.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("sk2"))
+      .filter(BloomProbe.mightContain(bloom, col("k2")))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      .filter(BloomProbe.mightContain(bloom, col("k3")))
+    base
+      .join(l2, col("l_orderkey") === col("k2") &&
+        col("sk2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("sk3") =!= col("l_suppkey"), "left_anti")
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  /** Engine-side overrides: same rows as the shared text (the oracle
+    * still runs [[sql]]'s string), different physical plan. */
+  val rfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q18" -> (q18RuntimeFiltered _),
+    "q_tpch_q21" -> (q21RuntimeFiltered _))
+
   /** SparkEntry-shaped runners: register the dir's tables, run the
-    * shared text. */
+    * shared text — except the two runtime-filtered shapes, which run
+    * the hand-pruned plan against the unchanged oracle text. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sql.map { case (name, text) =>
       name -> ((s: SparkSession, dir: String) => {
         graft.Tables.registerAll(s, dir)
         s.sql(text)
       })
-    }
+    } ++ rfQueries
 }

@@ -117,6 +117,29 @@ class TpchDeckSpec extends SparkSpec {
     }
   }
 
+  test("round-16: Q18/Q21 runtime filters — bloom probe in the plan, " +
+    "semi/anti machinery intact, rows identical to the shared text") {
+    Tables.registerAll(spark, dir)
+    Seq("q_tpch_q18", "q_tpch_q21").foreach { name =>
+      val plan = formattedPlan(name)
+      // the manual runtime filter is really in the plan, upstream of
+      // the joins (BloomFilterMightContain renders as might_contain)
+      assert(plan.contains("might_contain"),
+        s"$name lost its bloom runtime filter:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), name)
+      // row-for-row equivalence with the UNCHANGED oracle text: the
+      // bloom only prunes rows the exact joins would drop anyway
+      val rf = df(name).collect().map(_.toString).toSeq
+      val ref = spark.sql(graft.operators.TpchDeck.sql(name))
+        .collect().map(_.toString).toSeq
+      assert(rf === ref, s"$name runtime-filtered rows diverge")
+    }
+    assert(formattedPlan("q_tpch_q21").contains("LeftSemi") &&
+      formattedPlan("q_tpch_q21").contains("LeftAnti"))
+    assert(formattedPlan("q_tpch_q18").contains("LeftSemi"))
+  }
+
   test("Q17 correlated AVG: only sub-threshold quantities contribute") {
     // recompute the per-part 0.2·avg thresholds directly and replay
     // the sum — pins the decorrelated join's semantics, not just rows>0
