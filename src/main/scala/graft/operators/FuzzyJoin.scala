@@ -69,12 +69,11 @@ object FuzzyJoin {
     * cross-name pairs fanned out by two equi-joins on name. At 100 TB:
     * candidate work scales with |distinct strings|, expansion with
     * |result| — both floors, not artifacts. */
-  def fuzzyJoin(parts: DataFrame, d: Int = fuzzyD): DataFrame = {
+  /** Verified distinct-name near pairs (na < nb, 0 < dist ≤ d) from a
+    * `(name, l)` distinct-string table — the PassJoin core both the
+    * exhaustive and the top-k arms ride. */
+  private def namePairsOf(names: DataFrame, d: Int): DataFrame = {
     require(d == fuzzyD, "slot arithmetic is specialized to fuzzyD")
-    val keys = parts.select(col("p_partkey"), col("p_name"))
-    val names = keys.select(col("p_name").as("name")).distinct()
-      .withColumn("l", length(col("name")))
-
     val idx = slotCols(
         names.select(col("name").as("s_name"), col("l").as("sl"))
           .withColumn("i", explode(sequence(lit(0), lit(d)))), "sl")
@@ -100,7 +99,7 @@ object FuzzyJoin {
     // verified distinct-name near pairs (na < nb orients once; the
     // identical-name case is dist 0 by definition — handled in the
     // expansion below, never re-verified)
-    val namePairs = probe.join(idx,
+    probe.join(idx,
         probe("tl") === idx("sl") && probe("i") === idx("si") &&
           probe("sub") === idx("seg"))
       .filter(col("r_name") < col("s_name"))
@@ -108,6 +107,13 @@ object FuzzyJoin {
       .distinct() // a true pair matches via several slots/directions
       .withColumn("nd", levenshtein(col("na"), col("nb"), d))
       .filter(col("nd") >= 0) // threshold form returns -1 above d
+  }
+
+  def fuzzyJoin(parts: DataFrame, d: Int = fuzzyD): DataFrame = {
+    val keys = parts.select(col("p_partkey"), col("p_name"))
+    val names = keys.select(col("p_name").as("name")).distinct()
+      .withColumn("l", length(col("name")))
+    val namePairs = namePairsOf(names, d)
 
     // expansion to key pairs = the result's own volume:
     // same-name groups pair internally at dist 0 ...
@@ -137,6 +143,95 @@ object FuzzyJoin {
 
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoin(Tables(spark, dir, "part"))
+
+  /** Partners kept per key in the bounded variant. */
+  val fuzzyTopK = 5
+
+  /** BOUNDED-OUTPUT fuzzy join (round-16 ask #7): the exhaustive
+    * variant's output is the true pair set — honest, but itself the
+    * scale risk (same-name groups pair internally, so output grows
+    * QUADRATICALLY in rows-per-name; 30.1× wall at 100× was pure
+    * output volume). This arm keeps, per part key, only the
+    * [[fuzzyTopK]] nearest partners under the total order
+    * (dist ASC, partner key ASC), plus an exact `dropped` count — the
+    * `log()`-what-you-drop posture: the cap is visible in every row,
+    * never silent.
+    *
+    * Work stays bounded WITHOUT materializing the full pair set
+    * first: within one partner-name group every partner has the SAME
+    * dist, so a key's top-k can only draw from the k+1 smallest keys
+    * of each candidate name group (k+1: self-exclusion can consume
+    * one). Those prefixes are a per-name window over the keys table
+    * (shuffle by name — the dedup key, AQE splits hot names), the
+    * candidate name lists come from the same verified PassJoin name
+    * pairs as the exhaustive arm, and `dropped` is computed from name-
+    * group COUNTS, not pairs. Output and work are both ≤ n·k·|near
+    * names| — linear in the corpus at fixed k, the posture that
+    * survives 100×. */
+  def fuzzyJoinTopK(parts: DataFrame, d: Int = fuzzyD,
+                    k: Int = fuzzyTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = parts.select(col("p_partkey"), col("p_name"))
+    val names = keys.select(col("p_name").as("name")).distinct()
+      .withColumn("l", length(col("name")))
+    // verified near-name pairs, symmetrized, plus the self (dist-0) arm
+    val np = namePairsOf(names, d)
+    val cand = np.select(col("na").as("name"), col("nb").as("pname"),
+        col("nd"))
+      .unionByName(np.select(col("nb").as("name"),
+        col("na").as("pname"), col("nd")))
+      .unionByName(names.select(col("name"),
+        col("name").as("pname"), lit(0).as("nd")))
+    // per name: group size (for exact dropped counts) and the k+1
+    // smallest keys (the only keys a top-k result can contain)
+    val gc = keys.groupBy(col("p_name").as("gname"))
+      .agg(count(lit(1)).as("gc"))
+    val prefix = keys
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_name").orderBy("p_partkey")))
+      .filter(col("rn") <= k + 1)
+      .select(col("p_name").as("tname"), col("p_partkey").as("partner"))
+    val ranked = keys
+      .join(cand, col("p_name") === col("name"))
+      .join(prefix, col("pname") === col("tname"))
+      .filter(col("partner") =!= col("p_partkey"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("p_partkey")
+          .orderBy(col("nd"), col("partner"))))
+      .filter(col("rnk") <= k)
+      .select(col("p_partkey"), col("partner"),
+        col("nd").cast("int").as("dist"), col("rnk").cast("long"))
+    val totals = keys
+      .join(cand, col("p_name") === col("name"))
+      .join(gc, col("pname") === col("gname"))
+      .groupBy(col("p_partkey").as("tk"))
+      .agg((sum("gc") - 1).as("total")) // −1: a key never partners itself
+    ranked.join(totals, col("p_partkey") === col("tk"))
+      .select(col("p_partkey"), col("partner"), col("dist"), col("rnk"),
+        greatest(col("total") - k, lit(0L)).cast("long").as("dropped"))
+  }
+
+  def qFuzzyJoinTopK(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoinTopK(Tables(spark, dir, "part"))
+
+  /** Oracle: brute-force pairs, windows for rank and total, same cap
+    * and tie-break. */
+  val qFuzzyJoinTopKSql: String =
+    s"""WITH pairs AS (
+      |  SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      |    levenshtein(a.p_name, b.p_name) AS d
+      |  FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+      |    AND abs(len(a.p_name) - len(b.p_name)) <= $fuzzyD
+      |  WHERE levenshtein(a.p_name, b.p_name) <= $fuzzyD),
+      |ranked AS (
+      |  SELECT k1, k2, d,
+      |    row_number() OVER (PARTITION BY k1 ORDER BY d, k2) AS rn,
+      |    COUNT(*) OVER (PARTITION BY k1) AS total
+      |  FROM pairs)
+      |SELECT k1 AS p_partkey, k2 AS partner, CAST(d AS INTEGER) AS dist,
+      |  CAST(rn AS BIGINT) AS rnk,
+      |  CAST(GREATEST(total - $fuzzyTopK, 0) AS BIGINT) AS dropped
+      |FROM ranked WHERE rn <= $fuzzyTopK""".stripMargin
 
   /** Brute-force oracle — the completeness proof the driver re-runs:
     * every length-compatible pair, exact levenshtein. */
