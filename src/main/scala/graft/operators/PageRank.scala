@@ -70,15 +70,22 @@ object PageRank {
     }
 
   def pagerank(li: DataFrame, iters: Int = prIters,
-               edgesIn: Option[DataFrame] = None): DataFrame = {
+               edgesIn: Option[DataFrame] = None): DataFrame =
+    pagerankFrom(li.select(col("l_partkey").as("node")).distinct(),
+      edgesIn.getOrElse(coPurchaseEdges(li)), iters)
+
+  /** The iteration core over a prepared graph — `nodes` one `node`
+    * column (isolated nodes included: they carry base rank), `rawEdges`
+    * the weighted (src, dst, w) table. Shared by the batch operator
+    * and [[graft.streaming.GraphStore]]'s live readout. */
+  def pagerankFrom(nodes: DataFrame, rawEdges: DataFrame,
+                   iters: Int = prIters): DataFrame = {
     // out-degree is folded onto the edges ONCE at build time, so the
     // per-round plan touches a single prepared table
-    val rawEdges = edgesIn.getOrElse(coPurchaseEdges(li))
     val out = rawEdges.groupBy(col("src").as("osrc"))
       .agg(sum(col("w")).as("outw"))
     val (edges, _) = graft.util.Checkpoints.checkpointTracked(
       rawEdges.join(out, col("src") === col("osrc")).drop("osrc"))
-    val nodes = li.select(col("l_partkey").as("node")).distinct()
     val n = nodes.count() // |nodes| — the oracle recomputes it in SQL
     var r = nodes.withColumn("rank", lit(prMass / n))
     var release: () => Unit = () => ()

@@ -49,12 +49,17 @@ object Triangles {
   /** One row: |V|, |E|, wedge count Σ d(d−1)/2, triangle count, and the
     * global clustering coefficient 3·T/W in exact integer permille. */
   def triangleStats(li: DataFrame,
-                    undIn: Option[DataFrame] = None): DataFrame = {
-    val und = undIn.getOrElse {
+                    undIn: Option[DataFrame] = None): DataFrame =
+    triangleStatsFrom(undIn.getOrElse {
       val (u, _) = graft.util.Checkpoints.checkpointTracked(
         undirectedEdges(li))
       u
-    }
+    })
+
+  /** The counting core over a prepared distinct (u < v) edge table —
+    * shared by the batch operator and
+    * [[graft.streaming.GraphStore]]'s live readout. */
+  def triangleStatsFrom(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
