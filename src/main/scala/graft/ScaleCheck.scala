@@ -342,26 +342,30 @@ object ScaleCheck {
       }),
       // the ANN-served probe at its DOCUMENTED scale posture: a fixed
       // probe BUDGET (`every` grows with the corpus, here ~80 probes
-      // at any size), so the measured slope is the serving path's —
-      // candidates per probe — not the probe count's. The rate-fixed
-      // driver query (n/25 probes) is deliberately not timed at scale.
+      // at any size) over the CORPUS-SCALED index
+      // (buildIvfIndexScaled: cell size ~constant, so candidates per
+      // probe are nprobe·cellSize — bounded, where the fixed-16-cell
+      // oracle index's cells grew linearly; round-16 ask #8). The
+      // rate-fixed driver query (n/25 probes, 16 cells) is the
+      // oracle's fixture and deliberately not timed at scale.
       "q_knn_probe_ann_budget" -> ((s: SparkSession, d: String) => {
         val emb = Tables(s, d, "embeddings")
         val n = emb.count()
         val every = math.max(1L, n / 80L).toInt
-        val idx = graft.util.SessionCache.memoize(s, "ivf", d) {
-          ext.Similarity.buildIvfIndex(s, d)
+        val idx = graft.util.SessionCache.memoize(s, "ivf-scaled", d) {
+          ext.Similarity.buildIvfIndexScaled(s, d)
         }
         val (model, codes) =
           graft.util.SessionCache.memoize(s, "pq", d) {
             val m = ext.Similarity.trainPq(emb)
             (m, ext.Similarity.pqEncode(emb, m).localCheckpoint())
           }
-        val cellCodes = graft.util.SessionCache.memoize(s, "ivfpq", d) {
-          idx.cells.select(org.apache.spark.sql.functions.col("cell"),
-              org.apache.spark.sql.functions.col("vec_id"))
-            .join(codes, "vec_id").localCheckpoint()
-        }
+        val cellCodes =
+          graft.util.SessionCache.memoize(s, "ivfpq-scaled", d) {
+            idx.cells.select(org.apache.spark.sql.functions.col("cell"),
+                org.apache.spark.sql.functions.col("vec_id"))
+              .join(codes, "vec_id").localCheckpoint()
+          }
         ext.Similarity.knnProbeAnn(emb, cellCodes, model, idx.centroids,
           every = every)
       })) ++
@@ -1081,6 +1085,16 @@ object ScaleCheck {
         val df = if (f.exists) s.read.parquet(f.getPath)
                  else Tables(s, d, "part")
         graft.operators.FuzzyJoin.fuzzyJoin(df)
+      }),
+      // round 16: the bounded-output arm on the same scaled corpus —
+      // output is n·k by construction, so its slope isolates the
+      // candidate-generation cost the exhaustive row mixes with its
+      // own (legitimately quadratic-in-group-size) output volume
+      "q_fuzzy_join_topk" -> ((s: SparkSession, d: String) => {
+        val f = new java.io.File(s"$d/part_scaled.parquet")
+        val df = if (f.exists) s.read.parquet(f.getPath)
+                 else Tables(s, d, "part")
+        graft.operators.FuzzyJoin.fuzzyJoinTopK(df)
       })) ++
       // round 15: the relational deck — facts scale ×factor, dims stay
       // constant (the realistic warehouse growth shape scaleFacts

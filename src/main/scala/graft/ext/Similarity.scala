@@ -319,16 +319,46 @@ object Similarity {
     * The cell table is localCheckpoint-materialized (vec_id, embedding,
     * cell — the same bytes a persisted index table would hold); centroid
     * math beyond the fit is driver-side O(k·d) only. */
-  def buildIvfIndex(spark: SparkSession, dir: String, k: Int = 16): IvfIndex = {
+  def buildIvfIndex(spark: SparkSession, dir: String, k: Int = 16): IvfIndex =
+    buildIvfIndexOn(Tables(spark, dir, "embeddings"), k, fitEvery = 1L)
+
+  /** Corpus-scaled IVF build — the BOUNDED-FAN-IN serving posture
+    * (round-16): cell count grows with the corpus so the EXPECTED CELL
+    * SIZE stays ~`targetCellSize`, making a probe's candidate list
+    * nprobe·targetCellSize — CONSTANT in corpus size — where the
+    * fixed-16-cell build's cells (n/16 each) grew linearly and dragged
+    * the ADC leg of every probe with them (the 17× 100× slope on
+    * q_knn_probe_ann_budget). The fit runs on a deterministic sample
+    * (~50 points per centroid): a coarse quantizer needs cluster
+    * GEOMETRY, not membership — transform assigns the full corpus in
+    * one map pass. Recall at fixed nprobe is the LSH-style tradeoff
+    * (bounded candidates find the neighbors only where neighbors
+    * cluster); ExtSpec asserts the bound empirically on this corpus
+    * and the production dial is nprobe. The broadcast centroid table
+    * is k·d doubles — `maxCells` caps it (4096·64 ≈ 2 MB); beyond the
+    * cap cells grow again, and the real-scale continuation is sharding
+    * the coarse quantizer (FAISS's HNSW-over-centroids move). */
+  def buildIvfIndexScaled(spark: SparkSession, dir: String,
+                          targetCellSize: Int = 256,
+                          maxCells: Int = 4096): IvfIndex = {
+    val emb = Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val k = math.max(16L, math.min(maxCells.toLong,
+      n / targetCellSize)).toInt
+    buildIvfIndexOn(emb, k, fitEvery = math.max(1L, n / (k.toLong * 50)))
+  }
+
+  private def buildIvfIndexOn(embIn: DataFrame, k: Int,
+                              fitEvery: Long): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("fv", array_to_vector(col("embedding")))
+    val emb = embIn.withColumn("fv", array_to_vector(col("embedding")))
     // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
     // give stable-enough cells at a quarter of the fit cost
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(5)
-      .fit(emb)
+      .fit(if (fitEvery <= 1L) emb
+           else emb.filter(col("vec_id") % fitEvery === 0))
     val cells = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .localCheckpoint()

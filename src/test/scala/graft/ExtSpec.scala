@@ -1152,6 +1152,43 @@ class ExtSpec extends SparkSpec {
       s"$disagree of ${bruteAcc.size} probe verdicts flipped")
   }
 
+  test("round-16: scaled-cells IVF (bounded candidate fan-in) — cell " +
+    "size tracks the target, served probe keeps recall and accuracy") {
+    import org.apache.spark.sql.functions.col
+    // sf0.1: 2000 vectors; targetCellSize 25 → 80 cells, so a probe's
+    // candidate list is nprobe·~25 ≈ 100 of 2000 (5%) — the bounded
+    // posture ScaleCheck times at 10×/100× (there with the default
+    // 256-vector cells). Recall must survive the pruning: neighbors
+    // cluster by label, and the scaled quantizer keeps cluster
+    // geometry (fit on a ~50-per-centroid sample).
+    val bigDir = "/root/testdata/sf0.1"
+    val emb = Tables(spark, bigDir, "embeddings")
+    val idx = Similarity.buildIvfIndexScaled(spark, bigDir,
+      targetCellSize = 25, maxCells = 4096)
+    val nCells = idx.centroids.length
+    assert(nCells === 80, s"2000/25 cells expected, got $nCells")
+    // cells stay near the target (k-means balance, not a guarantee —
+    // bound the MEAN, which is what the candidate arithmetic uses)
+    val mean = idx.cells.count().toDouble / nCells
+    assert(mean === 25.0)
+    val model = Similarity.trainPq(emb)
+    val cellCodes = idx.cells.select(col("cell"), col("vec_id"))
+      .join(Similarity.pqEncode(emb, model), "vec_id")
+    val got = Similarity.knnProbeAnn(emb, cellCodes, model,
+      idx.centroids, every = 25).collect()
+    assert(got.length === 80) // 2000/25 probes
+    val meanRecall = got.map(_.getAs[Double]("recall")).sum / got.length
+    // 4 of 80 cells probed = 5% of the corpus scanned; recall well
+    // above that floor proves the quantizer routes probes to their
+    // neighbors' cells rather than uniformly
+    assert(meanRecall >= 0.3, s"mean recall $meanRecall at 5% scan")
+    val acc = got.map(_.getAs[Int]("correct")).sum.toDouble / got.length
+    val bruteAcc = Similarity.knnProbe(emb, every = 25).collect()
+      .map(_.getAs[Int]("correct")).sum.toDouble / got.length
+    assert(acc >= bruteAcc - 0.15,
+      s"ann accuracy $acc vs brute $bruteAcc")
+  }
+
   test("curate report: per-source counts re-aggregate the audit exactly; " +
     "keep_rate consistent") {
     val audit = TextOps.qCurateAudit(spark, dir).collect()
