@@ -95,8 +95,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written
+        # corpora (EdgeCorpus, ScaleCheck) are part-file directories
+        p = f"{sf_dir}/{t}.parquet"
+        pat = p if os.path.isfile(p) else f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
@@ -142,6 +145,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
             failures += 1
             continue
+        if len(s) == 0:  # both empty + same columns: equal by definition
+            print(f"PASS {name}: 0 rows ({duck_ms:.0f} ms duckdb)")
+            continue
         if not s.equals(d):
             neq = (s != d).any(axis=1)
             idx = list(s.index[neq])[:3]
@@ -154,7 +160,6 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         print(f"PASS {name}: {len(s)} rows ({duck_ms:.0f} ms duckdb)")
     # queries with no oracle: rows-only check
-    import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracle:
