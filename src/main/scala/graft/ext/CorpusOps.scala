@@ -190,7 +190,7 @@ object CorpusOps {
     val yExpr = labelCol.map(c => col(c).cast("bigint")).getOrElse(
       (length(col("text")) >= 100 &&
         (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-          length(col("text"))) <= 0.3 &&
+          greatest(length(col("text")), lit(1))) <= 0.3 &&
         (size(filter(t, x => x.isInCollection(
           Seq("the", "a", "of", "and", "to")))).cast("double") /
           size(t)) >= 0.01).cast("bigint"))
@@ -271,7 +271,7 @@ object CorpusOps {
   private[graft] lazy val gateSql: String =
     """(length(text) >= 100
       |     AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |         / length(text) <= 0.3
+      |         / greatest(length(text), 1) <= 0.3
       |     AND CAST(len(list_filter(string_split(text, ' '),
       |           x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |         / len(string_split(text, ' ')) >= 0.01)""".stripMargin
@@ -370,7 +370,7 @@ object CorpusOps {
       .join(docs.select(col("doc_id"),
         (length(col("text")) >= 100 &&
           (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-            length(col("text"))) <= 0.3 &&
+            greatest(length(col("text")), lit(1))) <= 0.3 &&
           (size(filter(t, x => x.isInCollection(
             Seq("the", "a", "of", "and", "to")))).cast("double") /
             size(t)) >= 0.01).cast("int").as("y")), Seq("doc_id"))
@@ -437,10 +437,12 @@ object CorpusOps {
     *
     * Equal-count bins need a global rank — the single-partition-window
     * trap — so the decile comes from the scalable two-level row number
-    * ([[graft.operators.RowNumbering]]) via the exact ntile identity
-    * `(rn−1)·k div n + 1` (the [[graft.operators.Aggregates.qNtile]]
-    * precedent, cross-validated against DuckDB's native ntile by the
-    * oracle). Everything else is one partial-agg pass over the
+    * ([[graft.operators.RowNumbering]]) via the exact remainder
+    * arithmetic of `ntileFromRowNumber` (the
+    * [[graft.operators.Aggregates.qNtile]] precedent, cross-validated
+    * against DuckDB's native ntile by the oracle; the approximate
+    * `(rn−1)·k div n + 1` identity holds only when k | n and was
+    * retired by the round-16 edge-corpus sweep). Everything else is one partial-agg pass over the
     * |docs|-row inference output; rates are non-negative integer
     * divisions, so the truncating div agrees across engines. */
   def qCalibration(spark: SparkSession, dir: String): DataFrame = {
@@ -450,8 +452,8 @@ object CorpusOps {
     val n = inf.count()
     graft.operators.RowNumbering.withGlobalRowNumber(inf,
         Seq(col("score").asc, col("doc_id").asc), "rn")
-      .withColumn("decile",
-        expr(s"(rn - 1) * $k div ${math.max(n, 1L)} + 1").cast("int"))
+      .withColumn("decile", graft.operators.RowNumbering
+        .ntileFromRowNumber(k, math.max(n, 1L), "rn"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         min(col("score")).as("min_score"),
@@ -524,7 +526,7 @@ object CorpusOps {
     val t = split(col("text"), " ")
     val gate = (length(col("text")) >= 100 &&
       (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-        length(col("text"))) <= 0.3 &&
+        greatest(length(col("text")), lit(1))) <= 0.3 &&
       (size(filter(t, x => x.isInCollection(
         Seq("the", "a", "of", "and", "to")))).cast("double") /
         size(t)) >= 0.01).cast("int")

@@ -59,8 +59,12 @@ object FightinWords {
     val sided = wc
       .filter(!col("word").isInCollection(TextOps.stopwords))
       .withColumn("side",
-        when(regexp_extract(col("source"), "([0-9]+)$", 1)
-          .cast("int") < 10, "a").otherwise("b"))
+        // try_cast: a source with NO trailing digits extracts '' —
+        // ANSI cast throws where DuckDB's CAST also errors; TRY_CAST
+        // on both engines yields NULL < 10 = false ⇒ side 'b'
+        // (round-16 edge-corpus find)
+        when(expr("try_cast(regexp_extract(source, '([0-9]+)$', 1)" +
+          " as int)") < 10, "a").otherwise("b"))
     // the vocab-bounded count table feeds the 1-row totals AND the
     // scoring leg (and scored feeds two top-k legs) — materialize
     // once so the tokenize scan happens once (plan-asserted)
@@ -85,7 +89,7 @@ object FightinWords {
   val qFightinWordsSql: String = {
     val stop = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH toks AS (
-       |  SELECT CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1)
+       |  SELECT CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$$', 1)
        |      AS INTEGER) < 10 THEN 'a' ELSE 'b' END AS side,
        |    UNNEST(string_split(text, ' ')) AS word
        |  FROM documents),

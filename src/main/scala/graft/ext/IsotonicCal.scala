@@ -61,7 +61,7 @@ object IsotonicCal {
     val lab = docs.select(col("doc_id"),
       ((length(col("text")) >= 100) &&
         (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-          length(col("text"))) <= 0.3 &&
+          greatest(length(col("text")), lit(1))) <= 0.3 &&
         (size(filter(t, x => x.isInCollection(TextOps.stopwords)))
           .cast("double") / size(t)) >= 0.01).cast("int").as("y"))
     KneserNey.qKneserNey(spark, dir)
@@ -157,7 +157,7 @@ object IsotonicCal {
       |  SELECT s.doc_id, -(s.kn_nll_micro // s.n_bigrams) AS s,
       |    CASE WHEN length(d.text) >= 100
       |      AND CAST(len(regexp_extract_all(d.text, '[.,;:!?]'))
-      |          AS DOUBLE) / length(d.text) <= 0.3
+      |          AS DOUBLE) / greatest(length(d.text), 1) <= 0.3
       |      AND CAST(len(list_filter(string_split(d.text, ' '),
       |            x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |          / len(string_split(d.text, ' ')) >= 0.01

@@ -348,17 +348,30 @@ object Similarity {
     buildIvfIndexOn(emb, k, fitEvery = math.max(1L, n / (k.toLong * 50)))
   }
 
+  /** k clamped to the DISTINCT point count on tiny inputs: Spark ML's
+    * KMeansAggregator sizes per-task buffers by the RETURNED center
+    * count while indexing by assignment — with k above the distinct
+    * point count (k-means|| dedupes its seeds) the fit itself throws an
+    * executor-side ArrayIndexOutOfBounds (round-16 edge-corpus find,
+    * KMeans.scala:795). The exact distinct count is gated behind a
+    * cheap limit-probe so production-sized fits never pay it. */
+  private def safeK(points: DataFrame, k: Int): Int =
+    if (points.limit(4097).count() > 4096L) k
+    else math.max(1, math.min(k, points.distinct().count().toInt))
+
   private def buildIvfIndexOn(embIn: DataFrame, k: Int,
                               fitEvery: Long): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = embIn.withColumn("fv", array_to_vector(col("embedding")))
+    val fit = if (fitEvery <= 1L) emb
+              else emb.filter(col("vec_id") % fitEvery === 0)
     // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
     // give stable-enough cells at a quarter of the fit cost
-    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+    val model = new KMeans().setK(safeK(fit.select("embedding"), k))
+      .setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(5)
-      .fit(if (fitEvery <= 1L) emb
-           else emb.filter(col("vec_id") % fitEvery === 0))
+      .fit(fit)
     val cells = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .localCheckpoint()
@@ -551,9 +564,11 @@ object Similarity {
                    fitSample: Double = 1.0): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").setMaxIter(5)
-      .fit(hashSample(emb, fitSample)
-        .withColumn("fv", array_to_vector(col("embedding"))))
+    val fit = hashSample(emb, fitSample)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    new KMeans().setK(safeK(fit.select("embedding"), k))
+      .setSeed(42L).setFeaturesCol("fv").setMaxIter(5)
+      .fit(fit)
       .clusterCenters.map(_.toArray)
   }
 
@@ -621,9 +636,11 @@ object Similarity {
     val fit = hashSample(emb, fitSample)
     val dsub = dim / m
     val codebooks = (0 until m).map { j =>
-      val sub = fit.select(array_to_vector(
-        slice(col("embedding"), j * dsub + 1, dsub)).as("fv"))
-      new KMeans().setK(ks).setSeed(42L + j).setFeaturesCol("fv")
+      val sub = fit.select(
+        slice(col("embedding"), j * dsub + 1, dsub).as("sub"))
+        .withColumn("fv", array_to_vector(col("sub")))
+      new KMeans().setK(safeK(sub.select("sub"), ks))
+        .setSeed(42L + j).setFeaturesCol("fv")
         .setMaxIter(5).fit(sub)
         .clusterCenters.map(_.toArray)
     }.toArray
@@ -1173,8 +1190,13 @@ object Similarity {
         l -> rows.sortBy(_.getInt(1)).map(r =>
           (r.getLong(2).toDouble / counts(l) / protoMicro).toFloat)
     }
-    val dCols = labels.map(l =>
-      dot(col("embedding"), typedLit(protos(l))).as(s"d$l"))
+    // a declared class ABSENT from the corpus (round-16 edge-corpus
+    // find) has no centroid: its dot column is NULL, which both
+    // engines' greatest() skips and the prediction CASE never matches
+    // — exactly what the oracle's empty scalar subquery produces
+    val dCols = labels.map(l => protos.get(l)
+      .map(p => dot(col("embedding"), typedLit(p)))
+      .getOrElse(lit(null).cast("double")).as(s"d$l"))
     val withDots = emb.select(col("vec_id") +: col("label") +: dCols: _*)
     val m = greatest(labels.map(l => col(s"d$l")): _*)
     val pred = labels.foldRight(lit(-1): Column)((l, rest) =>

@@ -50,7 +50,7 @@ object SourceAblation {
     docs.select(col("source"),
       (length(col("text")) >= 100 &&
         (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-          length(col("text"))) <= 0.3 &&
+          greatest(length(col("text")), lit(1))) <= 0.3 &&
         (size(filter(t, x => x.isInCollection(TextOps.stopwords)))
           .cast("double") / size(t)) >= 0.01)
         .cast("long").as("pass"))
@@ -64,7 +64,7 @@ object SourceAblation {
       |  SELECT source,
       |    CAST(length(text) >= 100
       |      AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |          / length(text) <= 0.3
+      |          / greatest(length(text), 1) <= 0.3
       |      AND CAST(len(list_filter(string_split(text, ' '),
       |            x -> x IN ('the', 'a', 'of', 'and', 'to')))
       |          AS DOUBLE) / len(string_split(text, ' ')) >= 0.01

@@ -182,7 +182,7 @@ object TextOps {
       col("doc_id"),
       length(col("text")).as("n_chars_obs"),
       (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-        length(col("text"))).as("punct_ratio"),
+        greatest(length(col("text")), lit(1))).as("punct_ratio"),
       (size(filter(t, x => x.isInCollection(stopwords))).cast("double") /
         size(t)).as("stopword_ratio"))
     scored.filter(col("n_chars_obs") >= 100 &&
@@ -194,7 +194,7 @@ object TextOps {
       |  SELECT doc_id,
       |    length(text) AS n_chars_obs,
       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |      / length(text) AS punct_ratio,
+      |      / greatest(length(text), 1) AS punct_ratio,
       |    CAST(len(list_filter(string_split(text, ' '),
       |                         x -> x IN ('the', 'a', 'of', 'and', 'to')))
       |      AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
@@ -543,7 +543,7 @@ object TextOps {
     val t = split(col("text"), " ")
     val gate = length(col("text")) >= 100 &&
       (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-        length(col("text"))) <= 0.3 &&
+        greatest(length(col("text")), lit(1))) <= 0.3 &&
       (size(filter(t, x => x.isInCollection(
         Seq("the", "a", "of", "and", "to")))).cast("double") /
         size(t)) >= 0.01
@@ -572,7 +572,7 @@ object TextOps {
       |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
       |    CAST(SUM(CASE WHEN length(text) >= 100
       |      AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |          / length(text) <= 0.3
+      |          / greatest(length(text), 1) <= 0.3
       |      AND CAST(len(list_filter(string_split(text, ' '),
       |            x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |          / len(string_split(text, ' ')) >= 0.01
@@ -595,7 +595,7 @@ object TextOps {
     val t = split(col("text"), " ")
     val gate = length(col("text")) >= 100 &&
       (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-        length(col("text"))) <= 0.3 &&
+        greatest(length(col("text")), lit(1))) <= 0.3 &&
       (size(filter(t, x => x.isInCollection(
         Seq("the", "a", "of", "and", "to")))).cast("double") /
         size(t)) >= 0.01
@@ -625,7 +625,7 @@ object TextOps {
       |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
       |  CAST(SUM(CASE WHEN length(text) >= 100
       |    AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |        / length(text) <= 0.3
+      |        / greatest(length(text), 1) <= 0.3
       |    AND CAST(len(list_filter(string_split(text, ' '),
       |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |        / len(string_split(text, ' ')) >= 0.01
@@ -1177,7 +1177,7 @@ object TextOps {
     scrubPii(docs.filter(
       length(col("text")) >= 100 &&
         (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-          length(col("text"))) <= 0.3 &&
+          greatest(length(col("text")), lit(1))) <= 0.3 &&
         (size(filter(t0, x => x.isInCollection(stopwords))).cast("double") /
           size(t0)) >= 0.01))
   }
@@ -1227,7 +1227,7 @@ object TextOps {
     val gated = Tables(spark, dir, "documents").filter(
       length(col("text")) >= 100 &&
         (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-          length(col("text"))) <= 0.3)
+          greatest(length(col("text")), lit(1))) <= 0.3)
     graft.operators.PrefixSum.withRunningTotal(
         chunkTokens(dedupScrubbed(scrubPii(gated)), col("scrubbed")),
         Seq(col("doc_id"), col("chunk_id")),
@@ -1241,7 +1241,7 @@ object TextOps {
       |  SELECT doc_id, text FROM documents
       |  WHERE length(text) >= 100
       |    AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |        / length(text) <= 0.3
+      |        / greatest(length(text), 1) <= 0.3
       |    AND CAST(len(list_filter(string_split(text, ' '),
       |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |        / len(string_split(text, ' ')) >= 0.01),
@@ -1318,7 +1318,7 @@ object TextOps {
     val t0 = split(col("text"), " ")
     val lenOk = length(col("text")) >= 100
     val punctOk = (regexp_count(col("text"), lit("[.,;:!?]"))
-      .cast("double") / length(col("text"))) <= 0.3
+      .cast("double") / greatest(length(col("text")), lit(1))) <= 0.3
     val stopOk = (size(filter(t0, x => x.isInCollection(stopwords)))
       .cast("double") / size(t0)) >= 0.01
     val reps = dedupScrubbed(gateAndScrub(docs))
@@ -1337,7 +1337,7 @@ object TextOps {
       |  SELECT doc_id,
       |    CAST(length(text) >= 100 AS INTEGER) AS len_ok,
       |    CAST(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |        / length(text) <= 0.3 AS INTEGER) AS punct_ok,
+      |        / greatest(length(text), 1) <= 0.3 AS INTEGER) AS punct_ok,
       |    CAST(CAST(len(list_filter(string_split(text, ' '),
       |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |        / len(string_split(text, ' ')) >= 0.01 AS INTEGER)
@@ -1347,7 +1347,7 @@ object TextOps {
       |  SELECT doc_id, text FROM documents
       |  WHERE length(text) >= 100
       |    AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |        / length(text) <= 0.3
+      |        / greatest(length(text), 1) <= 0.3
       |    AND CAST(len(list_filter(string_split(text, ' '),
       |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |        / len(string_split(text, ' ')) >= 0.01),

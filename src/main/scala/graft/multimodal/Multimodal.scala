@@ -375,11 +375,16 @@ object Multimodal {
     * Segment s = clamp((avg of bytes 8s..8s+7 − 96) / 32, 0, 1),
     * text padded with 'a' past its end. */
   private[graft] def textAmps(text: String): Array[Double] = {
-    val body = text.take(64).getBytes("UTF-8")
-    def byteAt(k: Int): Int =
-      if (k < body.length) body(k) & 0xFF else 'a'.toInt
+    // CODEPOINTS, not UTF-8 bytes (round-16 edge-corpus find): the
+    // oracle's ascii(substr(text, i+1, 1)) is the i-th CHARACTER's
+    // codepoint in DuckDB, identical to the byte value only while the
+    // text is pure ASCII — an accented doc made the two envelopes
+    // diverge. Identical on ASCII corpora, so existing hashes hold.
+    val body = text.codePoints().limit(64).toArray
+    def cpAt(k: Int): Int =
+      if (k < body.length) body(k) else 'a'.toInt
     (0 until 8).map { s =>
-      val avg = (0 until 8).map(k => byteAt(s * 8 + k)).sum / 8.0
+      val avg = (0 until 8).map(k => cpAt(s * 8 + k)).sum / 8.0
       math.min(1.0, math.max(0.0, (avg - 96.0) / 32.0))
     }.toArray
   }

@@ -154,10 +154,13 @@ object Aggregates {
     * single-partition window `ntile()` plans: decile is computed from
     * the scalable two-level global row number ([[RowNumbering]], the
     * TRANSACTIONS-scaled posture) and the row count via the exact
-    * equivalence ntile(k)[rn of n] = (rn−1)·k div n + 1 — remainder
-    * rows land in the leading tiles, which is ntile's own definition.
-    * The oracle runs DuckDB's native ntile over the same total order,
-    * cross-validating the identity. Order: spend desc, custkey asc. */
+    * remainder arithmetic of [[RowNumbering.ntileFromRowNumber]]
+    * (first n mod k tiles take one extra row — ntile's own
+    * definition; the round-16 edge-corpus sweep retired the
+    * approximate "(rn−1)·k div n + 1" identity, which holds only when
+    * k divides n). The oracle runs DuckDB's native ntile over the
+    * same total order, cross-validating the arithmetic.
+    * Order: spend desc, custkey asc. */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
     val spend = Tables(spark, dir, "orders")
@@ -167,7 +170,7 @@ object Aggregates {
     RowNumbering.withGlobalRowNumber(spend,
         Seq(col("spend").desc, col("o_custkey")), "rn")
       .withColumn("decile",
-        expr(s"(rn - 1) * $k div ${math.max(n, 1)} + 1").cast("int"))
+        RowNumbering.ntileFromRowNumber(k, math.max(n, 1L), "rn"))
       .drop("rn")
   }
 

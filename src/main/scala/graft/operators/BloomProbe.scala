@@ -303,7 +303,7 @@ object BloomProbe {
 
   val qBloomJoinSql: String =
     """SELECT date_trunc('month', o.o_orderdate) AS month,
-      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
       |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
       |    AS revenue_cents
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -106,6 +106,11 @@ object Events {
       .groupBy("user_id")
       .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
+      // a user with NO events of a pivoted type gets a NULL cell from
+      // Spark's pivot where the oracle's COUNT(*) FILTER gives 0
+      // (round-16 edge-corpus find; every main-corpus user had every
+      // type, which hid it)
+      .na.fill(0L, eventTypes)
 
   val qPivotSql: String =
     s"""SELECT user_id,
@@ -296,9 +301,15 @@ object Events {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
 
+  /** json_valid guard (round-16 edge-corpus find): Spark's
+    * get_json_object returns NULL for malformed/empty props where
+    * DuckDB's json_extract_string ERRORS — the guard makes the oracle
+    * reproduce Spark's null-on-malformed contract. */
   val qJsonPropsSql: String =
     """SELECT event_id,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  CASE WHEN json_valid(props)
+      |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |    END AS k
       |FROM events""".stripMargin
 
   /** COHORT RETENTION MATRIX — the other product-analytics classic:

@@ -96,14 +96,37 @@ object FuzzyJoin {
         expr("substring(r_name, p + 1, len_i)").as("sub"))
       .distinct() // multiple windows can emit the same (slot, substring)
 
-    // verified distinct-name near pairs (na < nb orients once; the
+    // candidate pairs from the segment join (na < nb orients once; the
     // identical-name case is dist 0 by definition — handled in the
     // expansion below, never re-verified)
-    probe.join(idx,
+    val segCands = probe.join(idx,
         probe("tl") === idx("sl") && probe("i") === idx("si") &&
           probe("sub") === idx("seg"))
       .filter(col("r_name") < col("s_name"))
       .select(col("r_name").as("na"), col("s_name").as("nb"))
+
+    // SHORT-STRING arm (round-16 edge-corpus find): the probe filter
+    // tl > d means a partner of length ≤ d is never emitted as a
+    // target length, so a pair like ("ab","ac") at d = 2 was silently
+    // missed — the brute oracle caught it the first time the corpus
+    // held names that short. Any missed pair has one side ≤ d, hence
+    // BOTH sides ≤ 2d, so the complete patch is an all-pairs arm over
+    // the ≤ 2d-length names only — a BOUNDED vocabulary (strings that
+    // short number ≤ |alphabet|^(2d), and real corpora hold a handful)
+    // joined against itself; never the corpus.
+    val shorts = names.filter(col("l") <= 2 * d)
+    // equi-join on target length (the main scheme's own probe idiom)
+    // so even this tiny arm stays a hash join — never a nested loop
+    val shortCands = shorts
+      .select(col("name").as("na"), col("l").as("la"))
+      .withColumn("tl2",
+        explode(sequence(col("la") - d, col("la") + d)))
+      .join(shorts.select(col("name").as("nb"), col("l").as("lb")),
+        col("tl2") === col("lb"))
+      .filter(col("na") < col("nb"))
+      .select("na", "nb")
+
+    segCands.unionByName(shortCands)
       .distinct() // a true pair matches via several slots/directions
       .withColumn("nd", levenshtein(col("na"), col("nb"), d))
       .filter(col("nd") >= 0) // threshold form returns -1 above d

@@ -74,9 +74,13 @@ object KsDrift {
       .withColumn("gap", abs(sum(col("step")).over(cum)).cast(dec))
       .orderBy(col("gap").desc, col("cents").asc).limit(1)
       .select(col("n_ref"), col("n_cur"), col("cents").as("at_cents"),
-        round(lit(1e6) * col("gap").cast(DoubleType) /
-            (col("n_ref").cast(DoubleType) * col("n_cur").cast(DoubleType)))
-          .cast(LongType).as("ks_micro"),
+        // an empty side makes D undefined — report 0 on BOTH engines
+        // (round-16 edge-corpus find: ANSI Spark throws on the double
+        // division where DuckDB yields NULL)
+        when(col("n_ref") === 0L || col("n_cur") === 0L, 0L).otherwise(
+          round(lit(1e6) * col("gap").cast(DoubleType) /
+              (col("n_ref").cast(DoubleType) * col("n_cur").cast(DoubleType)))
+            .cast(LongType)).as("ks_micro"),
         (col("gap") * alarmDen >=
           col("n_ref").cast(dec) * col("n_cur")).cast("integer").as("drifted"))
   }
@@ -112,9 +116,10 @@ object KsDrift {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS gap
       |  FROM counts, tot)
       |SELECT n_ref, n_cur, cents AS at_cents,
-      |  CAST(round(1000000.0 * CAST(gap AS DOUBLE)
-      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))) AS BIGINT)
-      |    AS ks_micro,
+      |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0 ELSE
+      |    CAST(round(1000000.0 * CAST(gap AS DOUBLE)
+      |      / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))) AS BIGINT)
+      |    END AS ks_micro,
       |  CAST(gap * $alarmDen >= CAST(n_ref AS HUGEINT) * n_cur AS INTEGER)
       |    AS drifted
       |FROM gaps ORDER BY gap DESC, cents ASC LIMIT 1""".stripMargin

@@ -72,7 +72,7 @@ object MiSelect {
     val t = split(col("text"), " ")
     (length(col("text")) >= 100 &&
       (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
-        length(col("text"))) <= 0.3 &&
+        greatest(length(col("text")), lit(1))) <= 0.3 &&
       (size(filter(t, x => x.isInCollection(
         Seq("the", "a", "of", "and", "to")))).cast("double") /
         size(t)) >= 0.01).cast("int")

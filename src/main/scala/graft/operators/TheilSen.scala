@@ -46,6 +46,14 @@ object TheilSen {
     val (spine, release) = graft.util.Checkpoints.checkpointTracked(
       hourlySpine(events))
     try {
+      import spark.implicits._
+      // degenerate spine (round-16 edge-corpus find): fewer than two
+      // points ⇒ zero pairwise slopes ⇒ no median exists. The oracle's
+      // final join over the empty slope set yields ZERO rows — match
+      // it instead of tripping the selection's non-empty requirement.
+      if (spine.limit(2).count() < 2)
+        return Seq.empty[(Long, Long, Long, Long)]
+          .toDF("n_points", "n_pairs", "slope_micro", "intercept_micro")
       // rename-before-join: a self-join of the same checkpointed plan
       // can resolve both alias sides to one attribute, making Δt read
       // 0 (observed as an ANSI divide-by-zero); distinct names can't

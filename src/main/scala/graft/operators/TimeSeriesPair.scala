@@ -92,12 +92,21 @@ object TimeSeriesPair {
         sum(col("x") * col("x")).as("sx2"),
         sum(col("y") * col("y")).as("sy2"))
       .selectExpr("lag", "n",
-        """(cast(n as double) * cast(sxy as double)
+        // zero variance on either channel (constant series — the
+        // round-16 edge corpus's single-click hour) makes r undefined:
+        // NULL on BOTH engines, where ANSI Spark would throw and
+        // DuckDB would quietly emit NULL anyway
+        """case when (cast(n as double) * cast(sx2 as double)
+          |    - cast(sx as double) * cast(sx as double))
+          |  * (cast(n as double) * cast(sy2 as double)
+          |    - cast(sy as double) * cast(sy as double)) <= 0.0
+          |then cast(null as double) else
+          |(cast(n as double) * cast(sxy as double)
           |  - cast(sx as double) * cast(sy as double))
           |/ sqrt((cast(n as double) * cast(sx2 as double)
           |    - cast(sx as double) * cast(sx as double))
           |  * (cast(n as double) * cast(sy2 as double)
-          |    - cast(sy as double) * cast(sy as double))) as r"""
+          |    - cast(sy as double) * cast(sy as double))) end as r"""
           .stripMargin.replace("\n", " "))
       .orderBy("lag")
   }
@@ -213,12 +222,17 @@ object TimeSeriesPair {
        |    CAST(SUM(y * y) AS BIGINT) AS sy2
        |  FROM pairs GROUP BY 1)
        |SELECT lag, n,
+       |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0
+       |  THEN CAST(NULL AS DOUBLE) ELSE
        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |  / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
-       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r
        |FROM m ORDER BY lag""".stripMargin
 
   val qGrangerSql: String = {

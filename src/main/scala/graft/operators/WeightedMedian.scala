@@ -74,11 +74,18 @@ object WeightedMedian {
       round(col("l_extendedprice") * 100).cast("long").as("v"),
       col("l_quantity").cast("long").as("w")))
 
-  /** Definition replay: global cumulative weight over value order. */
+  /** Definition replay: global cumulative weight over value order.
+    * FLOOR is explicit on the weight (round-16 edge-corpus find):
+    * Spark's double→BIGINT cast truncates toward zero while DuckDB's
+    * ROUNDS — a fractional quantity (23.999) split the two engines'
+    * total weight by 1 until the truncation was written out. FLOOR,
+    * not TRUNC: quantities are non-negative (where the two agree) and
+    * FLOOR is 1-arg on BOTH engines — Spark's trunc is the 2-arg DATE
+    * function, which broke the specs that replay this text on Spark. */
   val qWeightedMedianSql: String =
     """WITH vw AS (
       |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
-      |         CAST(l_quantity AS BIGINT) AS w
+      |         CAST(FLOOR(l_quantity) AS BIGINT) AS w
       |  FROM lineitem),
       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM vw),
       |per AS (SELECT v, CAST(SUM(w) AS BIGINT) AS vw FROM vw GROUP BY 1),
