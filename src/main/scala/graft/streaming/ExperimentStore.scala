@@ -309,6 +309,50 @@ object ExperimentStore {
           .map(c => col(s"ch_$c")).reduce(_ + _).as("mask"),
         when(col("purchases") > 0L, 1L).otherwise(0L).as("conv")))
 
+  /** RETENTION CONTRACT (round-16; the round-15 verdict's ask #5).
+    * The store is |users|-bounded, so the thing a long-running
+    * deployment retires is PER-USER ROWS, and the rule is:
+    *
+    *   retire user u ⟺ last_ts_us(u) < horizonUs, where
+    *   (a) `upto` is the last COMMITTED batch id (the compaction
+    *       safety contract — dirs > upto are untouched and keep their
+    *       replay-overwrite idempotence), and
+    *   (b) `horizonUs` is at or below the ingest WATERMARK: no event
+    *       with ts < horizon will ever arrive, and — because the feed
+    *       is time-ordered within that watermark — no FUTURE event of
+    *       a user whose last activity predates the horizon either.
+    *
+    * Why (b) is load-bearing and what "breaking the lattice" means: a
+    * late event for a retired user recreates their row FROM EMPTY
+    * state. The MAX lattice (last_ts_us, channel bits) self-heals —
+    * max{lost, new} = new when the new event is later — but the MIN
+    * lattices (first_ts_us, big_ts_us) get CLIPPED to the late event
+    * and every SUM restarts at zero: min/sum over {lost ∪ new} ≠ over
+    * {new}, and nothing in the store can tell. Survival durations
+    * shorten, SPRT's arrival order rewrites history, DiD loses its
+    * pre-period — silently. Retirement safety is watermark
+    * discipline, not algebra.
+    *
+    * What retirement MEANS for the 25 views: every view equals its
+    * batch twin computed over the events of RETAINED users only
+    * (each user contributes to every view exclusively through their
+    * own row, so dropping a row deletes exactly that user's history —
+    * spec-proven across all views). Views are population statistics:
+    * retiring users IS a window change, stated rather than hidden.
+    *
+    * Mechanically this is a compaction variant: fold every dir ≤
+    * `upto` with the store's own monoid, then drop retired rows from
+    * the folded base — the per-batch-dir layout makes any other
+    * shape unsafe (deleting rows from a base while old dirs still
+    * held the user's deltas would resurrect PARTIAL state at the next
+    * merge). Crash safety and recovery ride [[StoreCompaction]]
+    * unchanged. Returns the number of delta dirs absorbed. */
+  def retireInactiveUsers(spark: SparkSession, storePath: String,
+                          upto: Long, horizonUs: Long): Int =
+    StoreCompaction.compactWith(spark, storePath,
+      (df: DataFrame) => store(storePath).reduce(df)
+        .filter(col("last_ts_us") >= horizonUs), upto)
+
   /** Wire the stream; `compactEvery` > 0 enables the cadenced fold. */
   def runExperimentStream(spark: SparkSession, uploadDir: String,
                           storePath: String, checkpointDir: String,

@@ -15,6 +15,88 @@ class ExperimentStoreSpec extends SparkSpec {
 
   private def events = Tables(spark, dir, "events")
 
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+  /** The full live-view battery vs batch twins over `all` — shared by
+    * the convergence test and the round-16 retention test. */
+  private def viewChecks(st: String, all: org.apache.spark.sql.DataFrame)
+      : Seq[(String, () => Seq[String], Seq[String])] = Seq(
+      ("ab", () => rows(ExperimentStore.abView(spark, st)),
+        rows(AbTest.abTest(all))),
+      ("mw", () =>
+        rows(ExperimentStore.mannWhitneyView(spark, st)),
+        rows(AbTest.mannWhitney(all))),
+      // round 14 session 5: Cliff's delta rides the same rank state;
+      // Nelson-Aalen the same clock lattice as kmView
+      ("cliffs", () =>
+        rows(ExperimentStore.cliffsDeltaView(spark, st)),
+        rows(AbTest.cliffsDelta(all))),
+      ("bayes", () =>
+        rows(ExperimentStore.bayesView(spark, st)),
+        rows(graft.operators.BayesAb.bayesAb(all))),
+      ("odds", () =>
+        rows(ExperimentStore.oddsView(spark, st)),
+        rows(graft.operators.OddsRatio.oddsRatio(all))),
+      ("balance", () =>
+        rows(ExperimentStore.balanceView(spark, st)),
+        rows(graft.operators.CovariateBalance.covariateBalance(all))),
+      ("ks", () =>
+        rows(ExperimentStore.ksView(spark, st)),
+        rows(graft.operators.KsAb.ksAb(all))),
+      ("rate", () =>
+        rows(ExperimentStore.rateRatioView(spark, st)),
+        rows(graft.operators.RateRatio.rateRatio(all))),
+      ("medsurv", () =>
+        rows(ExperimentStore.medianSurvivalView(spark, st)),
+        rows(graft.operators.MedianSurvival.survivalQuantiles(
+          graft.operators.KaplanMeier.timeToBigPurchase(all)))),
+      ("nelson", () =>
+        rows(ExperimentStore.nelsonAalenView(spark, st)),
+        rows(graft.operators.NelsonAalen.hazardTable(
+          graft.operators.KaplanMeier.timeToBigPurchase(all)))),
+      ("cuped", () => rows(ExperimentStore.cupedView(spark, st)),
+        rows(Cuped.cuped(all))),
+      ("did", () => rows(ExperimentStore.didView(spark, st)),
+        rows(DiffInDiff.didTest(all))),
+      ("perm", () =>
+        rows(ExperimentStore.permTestView(spark, st)),
+        rows(PermTest.permTest(all))),
+      ("sprt", () => rows(ExperimentStore.sprtView(spark, st)),
+        rows(Sprt.sprt(all))),
+      ("srm", () => rows(ExperimentStore.srmView(spark, st)),
+        rows(SrmMde.srmCheck(all))),
+      ("mde", () => rows(ExperimentStore.mdeView(spark, st)),
+        rows(SrmMde.mdePower(all))),
+      ("trimmed", () =>
+        rows(ExperimentStore.trimmedView(spark, st)),
+        rows(RobustEffects.trimmedAb(all))),
+      ("qte", () => rows(ExperimentStore.qteView(spark, st)),
+        rows(RobustEffects.qte(all))),
+      ("strat", () => rows(ExperimentStore.stratView(spark, st)),
+        rows(StratEffect.stratEffect(all))),
+      ("lorenz", () =>
+        rows(ExperimentStore.lorenzView(spark, st)),
+        rows(graft.operators.Lorenz.lorenzGini(all))),
+      ("rfm", () => rows(ExperimentStore.rfmView(spark, st)),
+        rows(graft.operators.Rfm.rfm(all))),
+      // round 14: the group-sequential looks ride the same per-user
+      // delta as K schedule-parameterized sum columns
+      ("groupseq", () =>
+        rows(ExperimentStore.groupSeqView(spark, st)),
+        rows(GroupSeq.groupSeq(all))),
+      // round 14 session 4: qini rides the existing sums; shapley the
+      // per-channel single-bit MAX lattices (bit-OR across batches)
+      ("qini", () => rows(ExperimentStore.qiniView(spark, st)),
+        rows(graft.operators.Uplift.qiniFromPerUser(
+          graft.operators.Uplift.perUserUplift(all)))),
+      ("shapley", () =>
+        rows(ExperimentStore.shapleyView(spark, st)),
+        rows(graft.operators.ShapleyAttrib.shapleyChannels(all))),
+      ("offpolicy", () =>
+        rows(ExperimentStore.offPolicyView(spark, st)),
+        rows(graft.operators.OffPolicy.offPolicyFromPerUser(
+          graft.operators.OffPolicy.perUserLogged(all)))))
+
   test("every live readout == its batch test; replay idempotent; " +
     "compaction inert") {
     val tmp = java.nio.file.Files.createTempDirectory("expstore")
@@ -32,85 +114,7 @@ class ExperimentStoreSpec extends SparkSpec {
       s"$tmp/store", s"$tmp/ckpt", parts.head.schema, compactEvery = 2)
       .awaitTermination()
 
-    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toString).toSeq.sorted
-    val all = events
-    val checks: Seq[(String, () => Seq[String], Seq[String])] = Seq(
-      ("ab", () => rows(ExperimentStore.abView(spark, s"$tmp/store")),
-        rows(AbTest.abTest(all))),
-      ("mw", () =>
-        rows(ExperimentStore.mannWhitneyView(spark, s"$tmp/store")),
-        rows(AbTest.mannWhitney(all))),
-      // round 14 session 5: Cliff's delta rides the same rank state;
-      // Nelson-Aalen the same clock lattice as kmView
-      ("cliffs", () =>
-        rows(ExperimentStore.cliffsDeltaView(spark, s"$tmp/store")),
-        rows(AbTest.cliffsDelta(all))),
-      ("bayes", () =>
-        rows(ExperimentStore.bayesView(spark, s"$tmp/store")),
-        rows(graft.operators.BayesAb.bayesAb(all))),
-      ("odds", () =>
-        rows(ExperimentStore.oddsView(spark, s"$tmp/store")),
-        rows(graft.operators.OddsRatio.oddsRatio(all))),
-      ("balance", () =>
-        rows(ExperimentStore.balanceView(spark, s"$tmp/store")),
-        rows(graft.operators.CovariateBalance.covariateBalance(all))),
-      ("ks", () =>
-        rows(ExperimentStore.ksView(spark, s"$tmp/store")),
-        rows(graft.operators.KsAb.ksAb(all))),
-      ("rate", () =>
-        rows(ExperimentStore.rateRatioView(spark, s"$tmp/store")),
-        rows(graft.operators.RateRatio.rateRatio(all))),
-      ("medsurv", () =>
-        rows(ExperimentStore.medianSurvivalView(spark, s"$tmp/store")),
-        rows(graft.operators.MedianSurvival.survivalQuantiles(
-          graft.operators.KaplanMeier.timeToBigPurchase(all)))),
-      ("nelson", () =>
-        rows(ExperimentStore.nelsonAalenView(spark, s"$tmp/store")),
-        rows(graft.operators.NelsonAalen.hazardTable(
-          graft.operators.KaplanMeier.timeToBigPurchase(all)))),
-      ("cuped", () => rows(ExperimentStore.cupedView(spark, s"$tmp/store")),
-        rows(Cuped.cuped(all))),
-      ("did", () => rows(ExperimentStore.didView(spark, s"$tmp/store")),
-        rows(DiffInDiff.didTest(all))),
-      ("perm", () =>
-        rows(ExperimentStore.permTestView(spark, s"$tmp/store")),
-        rows(PermTest.permTest(all))),
-      ("sprt", () => rows(ExperimentStore.sprtView(spark, s"$tmp/store")),
-        rows(Sprt.sprt(all))),
-      ("srm", () => rows(ExperimentStore.srmView(spark, s"$tmp/store")),
-        rows(SrmMde.srmCheck(all))),
-      ("mde", () => rows(ExperimentStore.mdeView(spark, s"$tmp/store")),
-        rows(SrmMde.mdePower(all))),
-      ("trimmed", () =>
-        rows(ExperimentStore.trimmedView(spark, s"$tmp/store")),
-        rows(RobustEffects.trimmedAb(all))),
-      ("qte", () => rows(ExperimentStore.qteView(spark, s"$tmp/store")),
-        rows(RobustEffects.qte(all))),
-      ("strat", () => rows(ExperimentStore.stratView(spark, s"$tmp/store")),
-        rows(StratEffect.stratEffect(all))),
-      ("lorenz", () =>
-        rows(ExperimentStore.lorenzView(spark, s"$tmp/store")),
-        rows(graft.operators.Lorenz.lorenzGini(all))),
-      ("rfm", () => rows(ExperimentStore.rfmView(spark, s"$tmp/store")),
-        rows(graft.operators.Rfm.rfm(all))),
-      // round 14: the group-sequential looks ride the same per-user
-      // delta as K schedule-parameterized sum columns
-      ("groupseq", () =>
-        rows(ExperimentStore.groupSeqView(spark, s"$tmp/store")),
-        rows(GroupSeq.groupSeq(all))),
-      // round 14 session 4: qini rides the existing sums; shapley the
-      // per-channel single-bit MAX lattices (bit-OR across batches)
-      ("qini", () => rows(ExperimentStore.qiniView(spark, s"$tmp/store")),
-        rows(graft.operators.Uplift.qiniFromPerUser(
-          graft.operators.Uplift.perUserUplift(all)))),
-      ("shapley", () =>
-        rows(ExperimentStore.shapleyView(spark, s"$tmp/store")),
-        rows(graft.operators.ShapleyAttrib.shapleyChannels(all))),
-      ("offpolicy", () =>
-        rows(ExperimentStore.offPolicyView(spark, s"$tmp/store")),
-        rows(graft.operators.OffPolicy.offPolicyFromPerUser(
-          graft.operators.OffPolicy.perUserLogged(all)))))
+    val checks = viewChecks(s"$tmp/store", events)
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"live $name view != batch")
     }
@@ -124,6 +128,62 @@ class ExperimentStoreSpec extends SparkSpec {
     ExperimentStore.store(s"$tmp/store").compact(spark, 2L)
     checks.foreach { case (name, live, batch) =>
       assert(live() === batch, s"$name after compaction")
+    }
+  }
+
+  test("round-16 retention contract: retiring inactive users preserves " +
+    "every view over the retained window; retained history stays whole") {
+    val tmp = java.nio.file.Files.createTempDirectory("expstore3")
+      .toFile.getAbsolutePath
+    // TIME-sliced batches (the feed shape the contract assumes:
+    // time-ordered within the watermark) — a user active across slices
+    // has rows in several dirs, so retention must survive the fold
+    val cuts = events.selectExpr(
+      "percentile(unix_micros(ts), 0.33) as c1",
+      "percentile(unix_micros(ts), 0.66) as c2").head()
+    val (c1, c2) = (cuts.getDouble(0).toLong, cuts.getDouble(1).toLong)
+    val slices = Seq(
+      events.filter(unix_micros(col("ts")) <= c1),
+      events.filter(unix_micros(col("ts")) > c1 &&
+        unix_micros(col("ts")) <= c2),
+      events.filter(unix_micros(col("ts")) > c2)).map(_.localCheckpoint())
+    slices.zipWithIndex.foreach { case (p, i) =>
+      ExperimentStore.appendExperimentBatch(spark, p, s"$tmp/store",
+        i.toLong)
+    }
+    // horizon at the median of per-user LAST activity, so roughly half
+    // the population retires (all batches are committed, so upto = 2;
+    // the watermark premise holds by construction — no further files)
+    val lastSeen = events.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"))
+    val horizon = lastSeen.selectExpr("percentile(last_us, 0.5)")
+      .head().getDouble(0).toLong + 1
+    val retainedUsers = lastSeen.filter(col("last_us") >= horizon)
+      .select("user_id")
+    val nRetired = lastSeen.filter(col("last_us") < horizon).count()
+    assert(nRetired > 0, "corpus produced no retirees — test vacuous")
+    ExperimentStore.retireInactiveUsers(spark, s"$tmp/store", 2L, horizon)
+    // store rows = retained users exactly
+    assert(ExperimentStore.store(s"$tmp/store").merged(spark).count() ===
+      retainedUsers.count())
+    // retained users keep their FULL history: first_ts can predate the
+    // horizon (retirement windows USERS, never a retained user's past)
+    val earliest = ExperimentStore.store(s"$tmp/store").merged(spark)
+      .agg(min("first_ts_us")).head().getLong(0)
+    assert(earliest < horizon, "retained users' pre-horizon history lost")
+    // every one of the 25 views equals its batch twin over the
+    // RETAINED users' events (all of them, pre-horizon included)
+    val retainedEvents = events.join(retainedUsers, Seq("user_id"),
+      "left_semi").localCheckpoint()
+    viewChecks(s"$tmp/store", retainedEvents).foreach {
+      case (name, live, batch) =>
+        assert(live() === batch, s"$name view broke under retention")
+    }
+    // a further plain compaction stays inert
+    ExperimentStore.store(s"$tmp/store").compact(spark, 2L)
+    viewChecks(s"$tmp/store", retainedEvents).foreach {
+      case (name, live, batch) =>
+        assert(live() === batch, s"$name after post-retirement compaction")
     }
   }
 
