@@ -407,7 +407,19 @@ object Bench {
       f""""$name":[${(orig.min * 1000).round},${(fin * 1000).round},$eff%.0f]"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"retimed","desc":"[sweep_min_ms,final_ms,eff_cores_adjacent] per post-sweep retimed query","queries":$retimeTail,$hostJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","n_queries":${results.size},"sf":"$sfDir"}""")
+    // The FINAL line is the one the driver's bounded stdout window is
+    // guaranteed to keep, so it must be self-sufficient for
+    // round-over-round claims (round-16 ask #3): it carries the
+    // start/end effective-core probes and an EFF-CORE-NORMALIZED
+    // total — value · (min_eff_cores / cpus), i.e. the wall this
+    // sweep would read if the host delivered every requested core
+    // (linear-scaling approximation; the probes themselves stay on
+    // the line so a reader can reject the approximation). A
+    // round-over-round comparison cites total_norm_sec from two
+    // BENCH_rN.json artifacts — never a builder-side best-of-N sweep.
+    val effMin = math.min(host0._3, host1._3)
+    val totalNorm = total * effMin / cpus.toDouble
+    println(f"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_after_warmup","n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,$hostJson,"total_norm_sec":$totalNorm%.1f}""")
     spark.stop()
   }
 }
