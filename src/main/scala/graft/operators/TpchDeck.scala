@@ -560,6 +560,13 @@ object TpchDeck {
 
   /** Engine-side overrides: same rows as the shared text (the oracle
     * still runs [[sql]]'s string), different physical plan. */
+  // Measured at 100× (ScaleCheck, one host window): q18 7.65× → 2.94×.
+  // q21's RF reads 9.79× vs plain 6.44× — but in ABSOLUTE wall the RF
+  // wins at both scales (1.24 s vs 2.20 s at 1×, 12.1 s vs 14.2 s at
+  // 100×); the ratio optics flip only because the bloom saves
+  // proportionally more on the small corpus. Ratios compare a query to
+  // itself, so a small-side speedup inflates them — absolute wall at
+  // the big scale is the number that matters, and both RFs lower it.
   val rfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q18" -> (q18RuntimeFiltered _),
     "q_tpch_q21" -> (q21RuntimeFiltered _))
