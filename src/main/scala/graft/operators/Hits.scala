@@ -38,11 +38,17 @@ object Hits {
     edges.filter(col("src") < col("dst"))
 
   def hits(li: DataFrame, edgesIn: Option[DataFrame] = None,
-           iters: Int = hitsIters): DataFrame = {
-    val edges0 = orientedEdges(
-      edgesIn.getOrElse(PageRank.coPurchaseEdges(li)))
-    val (edges, _) = graft.util.Checkpoints.checkpointTracked(edges0)
-    val nodes = li.select(col("l_partkey").as("node")).distinct()
+           iters: Int = hitsIters): DataFrame =
+    hitsFrom(li.select(col("l_partkey").as("node")).distinct(),
+      edgesIn.getOrElse(PageRank.coPurchaseEdges(li)), iters)
+
+  /** The iteration core over a prepared graph (symmetric weighted
+    * edges; orientation applied here) — shared by the batch operator
+    * and [[graft.streaming.GraphStore]]'s live readout. */
+  def hitsFrom(nodes: DataFrame, rawEdges: DataFrame,
+               iters: Int = hitsIters): DataFrame = {
+    val (edges, _) = graft.util.Checkpoints.checkpointTracked(
+      orientedEdges(rawEdges))
     val n = nodes.count()
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       // raw: (node, raw) over edge endpoints only; re-anchor to the

@@ -35,13 +35,19 @@ object LabelProp {
   val lpRounds = 3
 
   def labelPropagate(li: DataFrame, rounds: Int = lpRounds,
-                     edgesIn: Option[DataFrame] = None): DataFrame = {
-    val edges = edgesIn.getOrElse {
-      val (e, _) = graft.util.Checkpoints.checkpointTracked(
-        PageRank.coPurchaseEdges(li))
-      e
-    }
-    val nodes = li.select(col("l_partkey").as("node")).distinct()
+                     edgesIn: Option[DataFrame] = None): DataFrame =
+    labelPropagateFrom(
+      li.select(col("l_partkey").as("node")).distinct(),
+      edgesIn.getOrElse {
+        val (e, _) = graft.util.Checkpoints.checkpointTracked(
+          PageRank.coPurchaseEdges(li))
+        e
+      }, rounds)
+
+  /** The propagation core over a prepared graph — shared by the batch
+    * operator and [[graft.streaming.GraphStore]]'s live readout. */
+  def labelPropagateFrom(nodes: DataFrame, edges: DataFrame,
+                         rounds: Int = lpRounds): DataFrame = {
     val n = nodes.count()
     val bcast = n <= 10000000L
     var lab = nodes.withColumn("label", col("node"))

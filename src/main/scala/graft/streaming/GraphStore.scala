@@ -60,21 +60,43 @@ object GraphStore {
     batch.groupBy(col("l_partkey").as("node"))
       .agg(count(lit(1)).as("c"))
 
+  /** One batch's basket-distinct SUPPORT-pair delta: (u < v, co) where
+    * co counts the batch's ORDERS containing both parts — a different
+    * monoid than the weighted edge table (w counts line pairs, so an
+    * order holding a part twice inflates it; support counts baskets).
+    * Order-disjoint batches make the per-batch counts sum to the
+    * global basket counts; the k-core view applies its support
+    * threshold over the SUMMED counts, never per batch. */
+  def supportDelta(batch: DataFrame): DataFrame = {
+    val basket = batch
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    basket.join(basket.select(col("ok"), col("item").as("item2")), "ok")
+      .filter(col("item") < col("item2"))
+      .groupBy(col("item"), col("item2"))
+      .agg(count(lit(1)).as("co"))
+  }
+
   def edgeStore(storePath: String): MonoidStore =
     MonoidStore.sums(s"$storePath/edges", "w")
 
   def nodeStore(storePath: String): MonoidStore =
     MonoidStore.sums(s"$storePath/nodes", "c")
 
+  def supportStore(storePath: String): MonoidStore =
+    MonoidStore.sums(s"$storePath/support", "co")
+
   /** Absorb one order-disjoint fact batch (lineitem columns). */
   def appendFactBatch(spark: SparkSession, batch: DataFrame,
                       storePath: String, batchId: Long): Unit = {
-    // the batch is scanned twice (self-join + node counts): pin it
+    // the batch feeds three deltas (weighted self-join, node counts,
+    // basket-distinct support pairs): pin it
     val (b, release) = graft.util.Checkpoints.checkpointTracked(
       batch.select("l_orderkey", "l_partkey"))
     try {
       edgeStore(storePath).append(edgeDelta(b), batchId)
       nodeStore(storePath).append(nodeDelta(b), batchId)
+      supportStore(storePath).append(supportDelta(b), batchId)
     } finally release()
   }
 
@@ -122,6 +144,34 @@ object GraphStore {
     ConnectedComponents.components(
       undirected(spark, storePath), "u", "v")
 
+  /** Live label propagation ≡ batch
+    * [[graft.operators.LabelProp.labelPropagate]] (integer max-struct
+    * vote: identical inputs, identical communities). */
+  def labelPropView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.LabelProp.labelPropagateFrom(
+      nodes(spark, storePath), edges(spark, storePath))
+
+  /** Live HITS ≡ batch [[graft.operators.Hits.hits]] (exact-integer
+    * normalized half-steps over the same oriented weighted edges). */
+  def hitsView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Hits.hitsFrom(
+      nodes(spark, storePath), edges(spark, storePath))
+
+  /** Live k-core ≡ batch [[graft.operators.KCore.qKcore]]'s
+    * formulation: the support threshold applies over the SUMMED
+    * basket-distinct pair counts, then the peel runs the unchanged
+    * batch core over both directions. */
+  def kcoreView(spark: SparkSession, storePath: String,
+                k: Int = graft.operators.KCore.coreK): DataFrame = {
+    val pairs = supportStore(storePath).merged(spark)
+      .filter(col("co") >= graft.operators.KCore.minSupport)
+    val both = pairs.select(col("item").as("src"), col("item2").as("dst"))
+      .unionAll(pairs.select(col("item2").as("src"),
+        col("item").as("dst")))
+    graft.operators.KCore.kcore(both, k)
+      .select(col("node").as("p_partkey"), col("deg"))
+  }
+
   /** Wire the stream of fact files; `compactEvery` > 0 enables the
     * cadenced fold on both tables. */
   def runFactStream(spark: SparkSession, uploadDir: String,
@@ -129,12 +179,14 @@ object GraphStore {
                     schema: StructType,
                     compactEvery: Int = 0): StreamingQuery = {
     val es = edgeStore(storePath); val ns = nodeStore(storePath)
-    es.recover(spark); ns.recover(spark)
+    val ss = supportStore(storePath)
+    es.recover(spark); ns.recover(spark); ss.recover(spark)
     CurationStream.runFileStream(spark, uploadDir, checkpointDir, schema) {
       (batch, id) =>
         appendFactBatch(spark, batch, storePath, id)
         es.maybeCompact(spark, id, compactEvery)
         ns.maybeCompact(spark, id, compactEvery)
+        ss.maybeCompact(spark, id, compactEvery)
     }
   }
 }

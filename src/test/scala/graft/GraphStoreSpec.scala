@@ -60,6 +60,23 @@ class GraphStoreSpec extends SparkSpec {
     val liveCc = rows(GraphStore.componentsView(spark, tmp))
     assert(liveCc === rows(ConnectedComponents.components(und, "u", "v")))
 
+    // round-16 session close: the REST of the graph deck, live —
+    // label propagation, HITS, and the support-pair k-core (its own
+    // basket-distinct monoid; threshold applied over summed counts)
+    assert(rows(GraphStore.labelPropView(spark, tmp)) ===
+      rows(graft.operators.LabelProp.labelPropagate(fact)))
+    assert(rows(GraphStore.hitsView(spark, tmp)) ===
+      rows(graft.operators.Hits.hits(fact)))
+    val batchPairs = graft.operators.ItemCf.supportPairs(
+      fact.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("item")).distinct())
+    val batchKcore = graft.operators.KCore.kcore(
+      batchPairs.select(col("item").as("src"), col("item2").as("dst"))
+        .unionAll(batchPairs.select(col("item2").as("src"),
+          col("item").as("dst"))))
+      .select(col("node").as("p_partkey"), col("deg"))
+    assert(rows(GraphStore.kcoreView(spark, tmp)) === rows(batchKcore))
+
     // REPLAY: the newest batch redelivered — same dir overwritten,
     // every readout unchanged (the SUM monoid's layout safety)
     GraphStore.appendFactBatch(spark,
@@ -67,13 +84,15 @@ class GraphStoreSpec extends SparkSpec {
     assert(rows(GraphStore.edges(spark, tmp)) === batchEdges)
     assert(rows(GraphStore.pagerankView(spark, tmp)) === livePr)
 
-    // COMPACTION: fold committed deltas on both tables; views unchanged
+    // COMPACTION: fold committed deltas on all tables; views unchanged
     GraphStore.edgeStore(tmp).compact(spark, 2L)
     GraphStore.nodeStore(tmp).compact(spark, 2L)
+    GraphStore.supportStore(tmp).compact(spark, 2L)
     assert(rows(GraphStore.edges(spark, tmp)) === batchEdges)
     assert(rows(GraphStore.pagerankView(spark, tmp)) === livePr)
     assert(rows(GraphStore.trianglesView(spark, tmp)) === liveTri)
     assert(rows(GraphStore.componentsView(spark, tmp)) === liveCc)
+    assert(rows(GraphStore.kcoreView(spark, tmp)) === rows(batchKcore))
   }
 
   test("store state is the reduced co-occurrence table, not fact " +
