@@ -95,6 +95,28 @@ class GraphStoreSpec extends SparkSpec {
     assert(rows(GraphStore.kcoreView(spark, tmp)) === rows(batchKcore))
   }
 
+  test("runFactStream end to end: file-triggered batches + compaction " +
+    "cadence converge to the batch graph") {
+    val tmp = java.nio.file.Files.createTempDirectory("graphstream")
+      .toFile.getAbsolutePath
+    val fact = li.localCheckpoint()
+    // order-disjoint files (the store's contract), one per upload
+    (0 until 4).foreach { i =>
+      fact.filter(pmod(col("l_orderkey"), lit(4)) === i)
+        .coalesce(1).write.parquet(s"$tmp/src/up$i")
+    }
+    GraphStore.runFactStream(spark, s"$tmp/src/*", s"$tmp/store",
+        s"$tmp/ckpt", fact.schema, compactEvery = 2)
+      .awaitTermination()
+    assert(rows(GraphStore.edges(spark, s"$tmp/store")) ===
+      rows(PageRank.coPurchaseEdges(fact)))
+    assert(rows(GraphStore.trianglesView(spark, s"$tmp/store")) ===
+      rows(Triangles.triangleStats(fact)))
+    // the cadenced fold ran: a batch=-1 base exists on the edge table
+    assert(new java.io.File(s"$tmp/store/edges/batch=-1").exists,
+      "compaction cadence never fired")
+  }
+
   test("store state is the reduced co-occurrence table, not fact " +
     "history: one row per ordered pair after compaction") {
     val tmp = java.nio.file.Files.createTempDirectory("graphstore2")
