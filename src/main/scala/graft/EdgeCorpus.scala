@@ -207,7 +207,14 @@ object EdgeCorpus {
       // media near-dup family has a same-modality duplicate pair to
       // find (4 vs 5 are exact TEXT dups but different modalities)
       Row(10L, "the quick brown fox jumps over the lazy dog", "en",
-        "web", 44L)))
+        "web", 44L),
+      // PII that actually redacts: an email with +tag and multi-dot
+      // domain, a dashed phone, AND the documented swallow case (a
+      // phone-shaped span inside an email must count as the EMAIL) —
+      // Java-regex vs RE2 agreement on the shared patterns is only
+      // proven when the corpus makes them match something
+      Row(11L, "contact john.doe+spam@example.co.uk or 555-123-4567 " +
+        "and 111-222-3333@mail.example.com today", "en", "web", 92L)))
 
     val vecDim = 64
     def unit(seed: Int): Seq[Float] = {
